@@ -1,0 +1,144 @@
+# -*- coding: utf-8 -*-
+"""Unsupervised entity grouping (record assembly) with exact reference
+parity.
+
+Reproduces ``/root/reference/webstruct/grouping.py``:
+
+* token positions: start at -5; +2 when the parent block changes, +1
+  when the element changes, +2 per token (``grouping.py:140-154``).
+  For transcripts the parent AND element both change at each turn
+  boundary, so consecutive turns are 3 positions apart — the
+  structural analog of a new element under a new parent.
+* distances between consecutive entity spans
+  (``grouping.py:157-167``),
+* threshold clustering (``grouping.py:124-137``),
+* the heuristic cluster score (+count for singleton-or-exempt tags,
+  -count for duplicated tags, -1 per cluster; ``grouping.py:95-121``),
+* threshold selection: candidate thresholds are the distinct distances
+  except the first, sorted DESCENDING, and ``max`` keeps the FIRST
+  maximal score — ties therefore go to the LARGER threshold
+  (``grouping.py:81,92``).  This scan order is load-bearing; do not
+  "improve" it.
+
+Everything here is per-conversation and runs inside an
+``applyInPandas`` group in the Spark layer
+(``webstruct_spark/operators/grouping_op.py``).
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any, Callable, List, Optional, Sequence, Set, Tuple
+
+from .bilou import group_tags
+
+Entity = Tuple[List[Any], str]  # (token infos, entity type)
+Cluster = List[Tuple[List[Any], str, int]]  # [(infos, type, distance)]
+
+
+def block_positions(
+    parent_ids: Sequence[Any], elem_ids: Sequence[Any]
+) -> List[int]:
+    """Integer page/transcript position per token."""
+    pos = -(2 + 1 + 2)
+    prev_parent = prev_elem = object()
+    out: List[int] = []
+    for parent, elem in zip(parent_ids, elem_ids):
+        if parent != prev_parent:
+            pos += 2
+            prev_parent = parent
+        if elem != prev_elem:
+            pos += 1
+            prev_elem = elem
+        pos += 2
+        out.append(pos)
+    return out
+
+
+def span_distances(start_end_pairs: Sequence[Tuple[int, int]]) -> List[int]:
+    """Gap before each entity span: start_i - end_{i-1} (first gap is
+    measured from position 0)."""
+    out: List[int] = []
+    prev_end = 0
+    for start, end in start_end_pairs:
+        out.append(start - prev_end)
+        prev_end = end
+    return out
+
+
+def entities_with_positions(
+    infos: Sequence[Any],
+    tags: Sequence[str],
+    positions: Sequence[int],
+) -> Tuple[List[Entity], List[Tuple[int, int]]]:
+    """Decode tagged tokens into entities plus (first, last) token
+    positions per entity."""
+    entities: List[Entity] = []
+    spans: List[Tuple[int, int]] = []
+    paired = list(zip(zip(infos, positions), tags))
+    for items, tag in group_tags(paired):
+        if tag == "O":
+            continue
+        toks = [it[0] for it in items]
+        token_positions = [it[1] for it in items]
+        entities.append((toks, tag))
+        spans.append((token_positions[0], token_positions[-1]))
+    return entities, spans
+
+
+def cluster_by_threshold(
+    entities: Sequence[Entity],
+    distances: Sequence[int],
+    threshold: int,
+) -> List[Cluster]:
+    groups: List[Cluster] = []
+    buf: Cluster = []
+    for (toks, tag), dist in zip(entities, distances):
+        if dist > threshold and buf:
+            groups.append(buf)
+            buf = []
+        buf.append((toks, tag, dist))
+    if buf:
+        groups.append(buf)
+    return groups
+
+
+def clustering_score(
+    clusters: Sequence[Cluster],
+    threshold: int,
+    dont_penalize: Optional[Set[str]] = None,
+) -> int:
+    dont_penalize = set(dont_penalize or ())
+    score = 0
+    for cluster in clusters:
+        cnt = Counter(tag for _toks, tag, _dist in cluster)
+        cl_score = sum(v for k, v in cnt.items() if v == 1 or k in dont_penalize)
+        cl_score -= sum(v for k, v in cnt.items() if v != 1 and k not in dont_penalize)
+        cl_score -= 1
+        score += cl_score
+    return score
+
+
+def best_clustering(
+    infos: Sequence[Any],
+    tags: Sequence[str],
+    positions: Sequence[int],
+    dont_penalize: Optional[Set[str]] = None,
+    score_func: Optional[Callable[..., float]] = None,
+) -> Tuple[int, float, List[Cluster]]:
+    """Pick the gap threshold maximizing the clustering score.
+
+    Returns ``(threshold, score, clusters)``.
+    """
+    score = score_func or clustering_score
+    entities, spans = entities_with_positions(infos, tags, positions)
+    distances = span_distances(spans)
+    thresholds = sorted(set(distances[1:]), reverse=True)
+    if not thresholds:
+        return 0, 0, cluster_by_threshold(entities, distances, 0)
+    best = None
+    for thr in thresholds:  # descending: first max wins ties
+        clusters = cluster_by_threshold(entities, distances, thr)
+        s = score(clusters, thr, dont_penalize=dont_penalize)
+        if best is None or s > best[1]:
+            best = (thr, s, clusters)
+    return best
