@@ -1,38 +1,520 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query (triples) on the sf0.001
+synthetic transcript corpus.  ``queries()`` exposes each implemented
+operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` gives the DuckDB-runnable equivalent.  For the KG
+stages the oracle reads the single-node reference-extractor gold
+tables (built by webstruct_spark/sources/goldbuild.py, kernels pinned
+by the reference's own doctest goldens) — so the driver check is a
+genuine distributed-vs-single-node end-to-end comparison.  Relational
+analog queries run over the driver-provided TPC-H-ish tables with pure
+SQL oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_CORPUS_CACHE: dict[float, str] = {}
+
+
+def _corpus_for(sf: float) -> str:
+    """Generate-if-missing the synthetic transcript corpus + gold
+    tables for a scale factor; returns its directory."""
+    if sf not in _CORPUS_CACHE:
+        from webstruct_spark.sources.goldbuild import build_gold
+        from webstruct_spark.sources.transcripts import ensure_corpus_for_sf
+
+        d = ensure_corpus_for_sf(sf)
+        build_gold(d)
+        _CORPUS_CACHE[sf] = d
+    return _CORPUS_CACHE[sf]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _corpus_for(_sf_of(sf_dir))
+    return spark.read.parquet(os.path.join(d, "transcripts.parquet"))
+
+
+def _gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _corpus_for(_sf_of(sf_dir))
+    return spark.read.parquet(os.path.join(d, "gazetteer.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (SURVEY §2.3/2.4/2.8: F1-F3, E1-E4, A1-A9, G2/G3)
+
+
+def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.extract import mentions
+
+    return mentions(_transcripts(spark, sf_dir)).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("mention_idx").cast("int").alias("mention_idx"),
+        "text",
+        "entity_type",
+    )
+
+
+def _q_kg_mentions_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.extract import mentions
+
+    m = mentions(_transcripts(spark, sf_dir))
+    return m.groupBy("entity_type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+
+
+def _group_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.extract import with_extraction
+    from webstruct_spark.operators.grouping_op import group_entities
+
+    return group_entities(with_extraction(_transcripts(spark, sf_dir)))
+
+
+def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.triples_op import triples
+
+    return triples(_group_entities_df(spark, sf_dir)).select(
+        "conv_id",
+        "group_id",
+        F.col("triple_idx").cast("int").alias("triple_idx"),
+        "subj",
+        "pred",
+        "obj",
+    )
+
+
+def _q_kg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.triples_op import groups_summary
+
+    return groups_summary(_group_entities_df(spark, sf_dir)).select(
+        "conv_id",
+        "group_id",
+        F.col("threshold").cast("int").alias("threshold"),
+        F.col("n_entities").cast("int").alias("n_entities"),
+        F.col("first_turn").cast("int").alias("first_turn"),
+    )
+
+
+def _q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.canon import canonicalize
+    from webstruct_spark.operators.extract import mentions
+
+    links, _nodes = canonicalize(
+        mentions(_transcripts(spark, sf_dir)), _gazetteer(spark, sf_dir)
+    )
+    return links
+
+
+def _q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.canon import canonicalize
+    from webstruct_spark.operators.extract import mentions
+
+    _links, nodes = canonicalize(
+        mentions(_transcripts(spark, sf_dir)), _gazetteer(spark, sf_dir)
+    )
+    return nodes.select(
+        "node_id",
+        "entity_type",
+        "canonical_text",
+        F.col("n_surfaces").cast("int").alias("n_surfaces"),
+        F.col("n_mentions").cast("bigint").alias("n_mentions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational analog queries over the driver-provided tables
+# (SURVEY §2.8 A6/A8/A10, §2.2 P5)
+
+
+def _q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 analog: mode aggregation with lexicographic tie-break —
+    most frequent event_type per user."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"),
+                F.col("cnt").alias("n_events"))
+    )
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: gap-threshold sessionization (30 min) via cumulative
+    sum over a lag comparison — per-user session stats."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # events.ts is TIMESTAMP_NTZ; with session TZ=UTC this cast is the
+    # identity on the wall-clock value, matching DuckDB's epoch_us
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+    )
+
+
+def _q_min_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 analog: two-stage aggregation + semi join — document
+    frequency of whitespace words, keep df >= 10, count surviving
+    distinct words per doc."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0)
+    dw = words.distinct()
+    keep = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 10)
+    )
+    kept = dw.join(keep.select("word"), "word", "left_semi")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_words")
+    )
+
+
+def _q_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 analog: per-group argmax with deterministic tie-break — the
+    single highest-value order per customer."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").alias("top_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries (dedup / similarity / text analysis)
+
+_DOCGOLD_CACHE: dict[str, str] = {}
+
+
+def _doc_gold_for(sf_dir: str) -> str:
+    if sf_dir not in _DOCGOLD_CACHE:
+        from webstruct_spark.sources.docgold import build_doc_gold
+
+        name = os.path.basename(os.path.normpath(sf_dir))
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "docgold", name
+        )
+        _DOCGOLD_CACHE[sf_dir] = build_doc_gold(sf_dir, out)
+    return _DOCGOLD_CACHE[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.functions.text_quality import text_profile
+
+    return text_profile(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.functions.text_quality import lang_id_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id_udf("text").alias("lang_pred")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webstruct_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q_rows = (
+        emb.where(F.col("vec_id") % 199 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = [(int(r["vec_id"]), list(r["embedding"])) for r in q_rows]
+    return brute_force_topk(emb, qs, k=5)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG triple extraction on sf0.001."""
+    return _q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_mentions": _q_kg_mentions,
+        "kg_mentions_by_type": _q_kg_mentions_by_type,
+        "kg_triples": _q_kg_triples,
+        "kg_groups": _q_kg_groups,
+        "kg_links": _q_kg_links,
+        "kg_nodes": _q_kg_nodes,
+        "mode_event_type": _q_mode_event_type,
+        "sessionize_events": _q_sessionize_events,
+        "min_df_prune": _q_min_df_prune,
+        "top_order_per_cust": _q_top_order_per_cust,
+        "text_profile": _q_text_profile,
+        "lang_id": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_WORDS_SQL = (
+    "list_filter(string_split(%s, ' '), x -> length(x) > 0)" % _NORM_SQL
+)
+
+
+def _text_profile_oracle() -> str:
+    from webstruct_spark.functions.text_quality import STOPWORDS
+
+    stops = ", ".join("'%s'" % w for w in STOPWORDS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_NORM_SQL} AS norm, {_WORDS_SQL} AS w
+            FROM documents
+        ), raw AS (
+            SELECT doc_id, norm, len(w) AS n,
+                   len(list_filter(w, x -> list_contains([{stops}], x)))
+                       AS stops,
+                   coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                       AS total
+            FROM base
+        )
+        SELECT doc_id, CAST(n AS INT) AS n_tokens,
+               CAST(length(norm) AS INT) AS n_chars,
+               CAST(CASE WHEN n > 0 THEN floor(10000 * stops / n)
+                    ELSE 0 END AS INT) AS stop_x10k,
+               CAST(CASE WHEN n > 0 THEN floor(100 * total / n)
+                    ELSE 0 END AS INT) AS mwl_x100,
+               CAST(CASE WHEN n > 0 THEN
+                        floor(4000 * least(n, 100) / 100)
+                        + floor(3000 * (n - stops) / n)
+                        + floor(3000 * least(8 * n, total) / (8 * n))
+                    ELSE 0 END AS INT) AS quality_x10k,
+               md5(norm) AS fingerprint
+        FROM raw
     """
-    return {}
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(len(w) - 2),
+                                      i -> array_to_string(w[i+1:i+3], ' '))
+                   ELSE [array_to_string(w, ' ')] END AS shingles
+            FROM base
+        ), ex AS (
+            SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM ex a JOIN ex b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = _corpus_for(0.01)  # driver correctness runs at sf=0.01
+    dg = _doc_gold_for("/root/testdata/sf0.01")
+
+    def g(name: str) -> str:
+        return os.path.join(d, name)
+
+    return {
+        "text_profile": _text_profile_oracle(),
+        "lang_id": f"""
+            SELECT doc_id, lang_pred
+            FROM read_parquet('{os.path.join(dg, "gold_langid.parquet")}')
+        """,
+        "dedup_exact": f"""
+            SELECT doc_id, md5({_NORM_SQL.replace("text", "text")}) AS dup_key,
+                   min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS
+                   canonical_doc_id
+            FROM documents
+        """,
+        "dedup_minhash": f"""
+            SELECT doc_a, doc_b, jaccard FROM read_parquet(
+                '{os.path.join(dg, "gold_minhash_pairs.parquet")}')
+        """,
+        "dedup_simhash": f"""
+            SELECT doc_a, doc_b, hamming FROM read_parquet(
+                '{os.path.join(dg, "gold_simhash_pairs.parquet")}')
+        """,
+        "ngram_jaccard": _ngram_jaccard_oracle(),
+        "ann_topk": f"""
+            SELECT query_id, rank, neighbor_id, sim FROM read_parquet(
+                '{os.path.join(dg, "gold_ann_topk.parquet")}')
+        """,
+        "kg_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, text, entity_type
+            FROM read_parquet('{g("gold_extracted_mentions.parquet")}')
+        """,
+        "kg_mentions_by_type": f"""
+            SELECT entity_type,
+                   count(*) AS n_mentions,
+                   count(DISTINCT text) AS n_distinct_texts
+            FROM read_parquet('{g("gold_mentions.parquet")}')
+            GROUP BY entity_type
+        """,
+        "kg_triples": f"""
+            SELECT conv_id, group_id, triple_idx, subj, pred, obj
+            FROM read_parquet('{g("gold_triples.parquet")}')
+        """,
+        "kg_groups": f"""
+            SELECT conv_id, group_id, threshold, n_entities, first_turn
+            FROM read_parquet('{g("gold_groups.parquet")}')
+        """,
+        "kg_links": f"""
+            SELECT entity_type, norm_text, node_id
+            FROM read_parquet('{g("gold_links.parquet")}')
+        """,
+        "kg_nodes": f"""
+            SELECT node_id, entity_type, canonical_text, n_surfaces,
+                   n_mentions
+            FROM read_parquet('{g("gold_nodes.parquet")}')
+        """,
+        "mode_event_type": """
+            SELECT user_id, top_event_type, n_events FROM (
+                SELECT user_id, event_type AS top_event_type,
+                       count(*) AS n_events,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type ASC
+                       ) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS INT) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "min_df_prune": """
+            WITH raw AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), dw AS (
+                SELECT DISTINCT doc_id, word FROM raw WHERE length(word) > 0
+            ), keep AS (
+                SELECT word FROM dw GROUP BY word HAVING count(*) >= 10
+            )
+            SELECT doc_id, count(*) AS n_kept_words
+            FROM dw WHERE word IN (SELECT word FROM keep)
+            GROUP BY doc_id
+        """,
+        "top_order_per_cust": """
+            SELECT custkey, top_orderkey, top_totalprice FROM (
+                SELECT o_custkey AS custkey, o_orderkey AS top_orderkey,
+                       o_totalprice AS top_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+    }

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Headline benchmark: runs the flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+{"metric": "total_sec", "value": N, "unit": "sec",
+ "queries": {...per-query seconds...}, "sf": ..., "turns": ...,
+ "turns_per_sec": ...}
+
+The KG queries run over the deterministic synthetic transcript corpus
+matching the sf (generated on first use under data/transcripts/); the
+dedup/ANN/relational queries run over the provided parquet tables.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entry
+    from webstruct_spark.operators.canon import canonicalize
+    from webstruct_spark.operators.dedup import (
+        exact_duplicate_groups,
+        minhash_lsh_pairs,
+    )
+    from webstruct_spark.operators.extract import mentions, with_extraction
+    from webstruct_spark.operators.grouping_op import group_entities
+    from webstruct_spark.operators.similarity import brute_force_topk
+    from webstruct_spark.operators.triples_op import triples
+    from webstruct_spark.session import get_spark
+
+    sf = entry._sf_of(sf_dir)
+    corpus = entry._corpus_for(sf)
+    spark = get_spark("bench", cores=cpus)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    transcripts = spark.read.parquet(
+        os.path.join(corpus, "transcripts.parquet")
+    )
+    transcripts.cache()
+    n_turns = transcripts.count()
+    gazetteer = spark.read.parquet(os.path.join(corpus, "gazetteer.parquet"))
+
+    # q1: mention extraction (the tokenize->encode->decode hot path)
+    timed("q1_mentions", lambda: mentions(transcripts).count())
+
+    # q2: full KG chain -> triples
+    def q2() -> int:
+        ge = group_entities(with_extraction(transcripts))
+        return triples(ge).count()
+
+    timed("q2_triples", q2)
+
+    # q3: linking + connected-components canonicalization
+    def q3() -> int:
+        _links, nodes = canonicalize(mentions(transcripts), gazetteer)
+        return nodes.count()
+
+    timed("q3_canonicalize", q3)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.cache()
+    docs.count()
+
+    # q4: exact dedup groups
+    timed(
+        "q4_dedup_exact",
+        lambda: exact_duplicate_groups(docs)
+        .where(F.col("doc_id") != F.col("canonical_doc_id"))
+        .count(),
+    )
+
+    # q5: minhash-LSH near-dup pairs
+    timed("q5_dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+
+    # q6: brute-force cosine top-k over embeddings
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q_rows = emb.where(F.col("vec_id") % 199 == 0).select(
+        "vec_id", "embedding"
+    ).collect()
+    queries_vec = [(int(r["vec_id"]), list(r["embedding"])) for r in q_rows]
+    timed(
+        "q6_ann_topk",
+        lambda: brute_force_topk(emb, queries_vec, k=5).count(),
+    )
+
+    # q7/q8: relational analogs over events
+    timed(
+        "q7_mode_event",
+        lambda: entry._q_mode_event_type(spark, sf_dir).count(),
+    )
+    timed(
+        "q8_sessionize",
+        lambda: entry._q_sessionize_events(spark, sf_dir).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    extract_sec = timings["q1_mentions"]
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "counts": counts,
+                "sf": sf,
+                "cpus": cpus,
+                "turns": n_turns,
+                "turns_per_sec": round(n_turns / extract_sec, 1)
+                if extract_sec
+                else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

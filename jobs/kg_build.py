@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""spark-submit entry point for the full KG build.
+
+Usage:
+    zip -qr /tmp/ws.zip webstruct_spark
+    spark-submit --py-files /tmp/ws.zip jobs/kg_build.py \
+        --corpus-dir data/transcripts/sf0.001 --out /tmp/kgout
+
+Re-running with the same --out resumes at the first uncommitted stage
+(see webstruct_spark/plans/manifest.py); --force restarts from scratch.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--corpus-dir", required=True,
+                   help="dir with transcripts.parquet + gazetteer.parquet")
+    p.add_argument("--out", required=True, help="output dir for KG tables")
+    p.add_argument("--cores", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument("--force", action="store_true",
+                   help="ignore committed stages and rebuild everything")
+    args = p.parse_args()
+
+    from webstruct_spark.plans.pipeline import build_kg
+    from webstruct_spark.session import get_spark
+
+    if args.force and os.path.exists(args.out):
+        shutil.rmtree(args.out)
+
+    spark = get_spark("kg_build", cores=args.cores)
+    try:
+        paths = build_kg(spark, args.corpus_dir, args.out, resume=not args.force)
+        summary = {
+            stage: spark.read.parquet(path).count()
+            for stage, path in paths.items()
+        }
+        print(json.dumps({"out": args.out, "rows": summary}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

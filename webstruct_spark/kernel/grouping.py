@@ -118,19 +118,20 @@ def clustering_score(
     return score
 
 
-def best_clustering(
-    infos: Sequence[Any],
-    tags: Sequence[str],
-    positions: Sequence[int],
+def best_clustering_entities(
+    entities: Sequence[Entity],
+    spans: Sequence[Tuple[int, int]],
     dont_penalize: Optional[Set[str]] = None,
     score_func: Optional[Callable[..., float]] = None,
 ) -> Tuple[int, float, List[Cluster]]:
-    """Pick the gap threshold maximizing the clustering score.
+    """Threshold argmax over pre-decoded entities + spans.
 
-    Returns ``(threshold, score, clusters)``.
+    This is the shuffle-minimal entry point: at scale the distributed
+    layer decodes entities per turn (narrow), ships ONLY
+    (entity, tag, span) rows to the conversation level, and calls this
+    — token arrays never cross the shuffle boundary.
     """
     score = score_func or clustering_score
-    entities, spans = entities_with_positions(infos, tags, positions)
     distances = span_distances(spans)
     thresholds = sorted(set(distances[1:]), reverse=True)
     if not thresholds:
@@ -142,3 +143,28 @@ def best_clustering(
         if best is None or s > best[1]:
             best = (thr, s, clusters)
     return best
+
+
+def best_clustering(
+    infos: Sequence[Any],
+    tags: Sequence[str],
+    positions: Sequence[int],
+    dont_penalize: Optional[Set[str]] = None,
+    score_func: Optional[Callable[..., float]] = None,
+) -> Tuple[int, float, List[Cluster]]:
+    """Token-level wrapper: decode entities, then threshold argmax.
+    Returns ``(threshold, score, clusters)``."""
+    entities, spans = entities_with_positions(infos, tags, positions)
+    return best_clustering_entities(
+        entities, spans, dont_penalize=dont_penalize, score_func=score_func
+    )
+
+
+def token_position(global_token_index: int, turn_rank: int) -> int:
+    """Closed form of :func:`block_positions` for transcripts where
+    parent == elem == the turn: position = 2*g + 3*k with g = tokens
+    before this one in the conversation and k = 0-based rank of the
+    turn within the conversation.  Lets the distributed layer compute
+    positions from per-turn token counts alone (cumulative sum), with
+    no token-level shuffle."""
+    return 2 * global_token_index + 3 * turn_rank

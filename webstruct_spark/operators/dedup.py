@@ -1,0 +1,224 @@
+# -*- coding: utf-8 -*-
+"""Deduplication operators over a document table — the
+training-data-pipeline layer: exact, MinHash+LSH, SimHash, and n-gram
+Jaccard near-dup detection.
+
+Scale design per operator:
+
+* exact: md5 of normalized text, min-id per group — one hash
+  aggregate, no Python.
+* minhash_lsh: signature per doc in ONE Arrow UDF pass (narrow),
+  explode band keys, bucket self-join for candidates (AQE skew-join
+  handles hot buckets), then exact-Jaccard verification only on the
+  candidate pairs — verification work is proportional to candidates,
+  not corpus².
+* simhash: 64-bit fingerprints, pigeonhole banding on 16-bit chunks →
+  candidates, hamming verify (JVM-side bit ops).
+* ngram_jaccard: fully relational shingle-explode + self-join —
+  exact, and the SQL-oracle-checkable baseline for the sketch-based
+  variants.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernel.dedup import (
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+    simhash_band_keys,
+    word_shingles,
+)
+
+
+def norm_text_col(c):
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dup_key, canonical_doc_id): md5-exact duplicate groups,
+    canonical = min id per group."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm_text_col(F.col(text_col))).alias("dup_key"),
+    )
+    w = Window.partitionBy("dup_key")
+    return keyed.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _minhash_bands_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(
+        lambda t: lsh_band_keys(minhash_signature(word_shingles(t)))
+    )
+
+
+@pandas_udf(T.DoubleType())
+def _jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaccard(word_shingles(x), word_shingles(y)) for x, y in zip(a, b)]
+    )
+
+
+def _candidate_pairs(banded: DataFrame) -> DataFrame:
+    """banded: (doc_id, bucket) exploded band keys -> distinct
+    (doc_a, doc_b) with doc_a < doc_b."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-duplicate pairs: MinHash/LSH
+    candidates verified by exact word-3-gram Jaccard >= threshold."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    banded = base.select(
+        "doc_id", F.explode(_minhash_bands_udf("text")).alias("bucket")
+    )
+    pairs = _candidate_pairs(banded)
+    texts = base  # (doc_id, text)
+    joined = (
+        pairs.join(texts.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("text", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("text", "text_b"), "doc_b")
+    )
+    return (
+        joined.withColumn("jaccard", _jaccard_udf("text_a", "text_b"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+@pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    # signed int64 (two's complement) for JVM compatibility
+    return texts.map(lambda t: _to_i64(simhash64(t)))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with simhash hamming distance <=
+    max_hamming, found via 16-bit-chunk pigeonhole banding."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    sims = base.withColumn("simhash", _simhash_udf("text"))
+    banded = sims.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("%d:" % bi),
+                        F.conv(
+                            F.shiftrightunsigned("simhash", bi * 16)
+                            .bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                            10, 16,
+                        ),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    pairs = _candidate_pairs(banded)
+    s = sims.select("doc_id", "simhash")
+    joined = (
+        pairs.join(s.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("simhash", "sim_a"), "doc_a")
+        .join(s.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("simhash", "sim_b"), "doc_b")
+    )
+    # popcount of xor, JVM-side
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        joined.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard pairs >= threshold, fully relational
+    (shingle explode + self-join) — no sketches, no Python."""
+    words = F.split(norm_text_col(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    n = F.size("w")
+    # k-gram shingles via transform over indices (JVM-side)
+    shingled = base.select(
+        "doc_id",
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
+            ),
+        )
+        .otherwise(F.array(F.concat_ws(" ", "w")))
+        .alias("shingles"),
+    )
+    exploded = shingled.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

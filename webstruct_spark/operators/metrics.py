@@ -1,0 +1,81 @@
+# -*- coding: utf-8 -*-
+"""Evaluation operators (SURVEY §2.9): segment-level P/R/F1 — the
+relational form of ``bio_f_score``
+(/root/reference/webstruct/metrics.py:18-94): a segment matches iff
+(doc, start, end, type) matches exactly; macro average per document.
+
+Also the triple-set P/R used as the BASELINE acceptance metric.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _seg_keys(df: DataFrame, keys: List[str]) -> DataFrame:
+    return df.select(*keys).distinct()
+
+
+def set_prf(
+    pred: DataFrame, gold: DataFrame, keys: List[str]
+) -> DataFrame:
+    """One-row (tp, n_pred, n_gold, precision, recall, f1) comparing
+    two DataFrames as sets of ``keys`` tuples."""
+    p = _seg_keys(pred, keys)
+    g = _seg_keys(gold, keys)
+    tp = p.join(g, keys, "inner").count()
+    np_, ng = p.count(), g.count()
+    prec = tp / np_ if np_ else 0.0
+    rec = tp / ng if ng else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        [(tp, np_, ng, round(prec, 6), round(rec, 6), round(f1, 6))],
+        "tp long, n_pred long, n_gold long, precision double, "
+        "recall double, f1 double",
+    )
+
+
+def mention_prf(pred_mentions: DataFrame, gold_mentions: DataFrame) -> DataFrame:
+    """Segment-level P/R/F1: exact (conv, turn, span, type) matches."""
+    keys = ["conv_id", "turn_idx", "tok_start", "tok_end", "entity_type"]
+    return set_prf(pred_mentions, gold_mentions, keys)
+
+
+def triple_prf(pred_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
+    """Triple-set P/R — the BASELINE.json acceptance metric."""
+    return set_prf(pred_triples, gold_triples, ["subj", "pred", "obj"])
+
+
+def macro_avg_f1(
+    pred_mentions: DataFrame,
+    gold_mentions: DataFrame,
+    doc_col: str = "conv_id",
+) -> DataFrame:
+    """Per-document F1 then unweighted mean (reference
+    avg_bio_f1_score, metrics.py:83-94)."""
+    keys = [doc_col, "turn_idx", "tok_start", "tok_end", "entity_type"]
+    p = pred_mentions.select(*keys).distinct()
+    g = gold_mentions.select(*keys).distinct()
+    tp = (
+        p.join(g, keys, "inner")
+        .groupBy(doc_col)
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    np_ = p.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_pred"))
+    ng = g.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_gold"))
+    per_doc = (
+        ng.join(np_, doc_col, "outer")
+        .join(tp, doc_col, "left")
+        .fillna(0, ["tp", "n_pred", "n_gold"])
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("n_pred") + F.col("n_gold")) > 0,
+                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_gold")),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    return per_doc.agg(F.round(F.avg("f1"), 6).alias("macro_f1"))

@@ -1,0 +1,198 @@
+# -*- coding: utf-8 -*-
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+* :func:`brute_force_topk` — exact cosine top-k.  Distributed as
+  two-stage top-k: the (small) query matrix is broadcast, each
+  partition computes its LOCAL top-k per query with one numpy matmul
+  inside ``mapInPandas`` (Arrow batches), then a single shuffle of
+  k·|queries| candidate rows merges to the global top-k with a window.
+  The full corpus is never shuffled.
+* :func:`lsh_topk` — random-hyperplane LSH bucketing (deterministic
+  planes derived from blake2b, no RNG state), probing each query's
+  bucket ± multiprobe flips, exact rerank inside candidate buckets.
+  Approximate: recall < 1 by design; gauged against brute force in
+  tests.
+
+Similarities are computed in float32 numpy (then rounded) in BOTH the
+distributed and the single-node gold path, so comparisons are exact.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float32, copy=False)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def topk_merge(cands: DataFrame, k: int) -> DataFrame:
+    """Global top-k per query from candidate rows; deterministic
+    tie-break (sim desc, neighbor_id asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: List[Tuple[int, List[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    ``queries``: [(query_id, vector)] — small, broadcast to executors.
+    Output: (query_id, rank, neighbor_id, sim[rounded 4dp]).
+    """
+    spark = embeddings.sparkSession
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize_rows(np.array([q[1] for q in queries], dtype=np.float32))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    src = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            corpus = _normalize_rows(np.vstack(pdf["vec"].to_numpy()))
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            # float64 matmul over float32-normalized rows: products are
+            # exact, so results are stable across batch shapes
+            sims = mat.astype(np.float64) @ corpus.T.astype(np.float64)
+            # +1 slot when excluding self: the query's own vector may
+            # occupy one local top-k slot
+            kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+            # local per-query top-k by partial sort
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    if exclude_self and nids[j] == ids[qi]:
+                        continue
+                    out_q.append(ids[qi])
+                    out_n.append(nids[j])
+                    out_s.append(float(sims[qi, j]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cands = src.mapInPandas(local_topk, TOPK_SCHEMA)
+    return topk_merge(cands, k)
+
+
+# --------------------------------------------------------------------------
+# LSH variant
+
+
+def _planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from blake2b bytes."""
+    need = n_planes * dim * 4
+    buf = bytearray()
+    i = 0
+    while len(buf) < need:
+        buf += hashlib.blake2b(b"ann-plane-%d" % i, digest_size=64).digest()
+        i += 1
+    raw = np.frombuffer(bytes(buf[:need]), dtype="<u4").astype(np.float64)
+    m = (raw / 2**32) * 2.0 - 1.0  # uniform [-1, 1)
+    return m.reshape(n_planes, dim).astype(np.float32)
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) >= 0
+    out = np.zeros(mat.shape[0], dtype=np.int64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.int64) << b
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: List[Tuple[int, List[float]]],
+    k: int = 5,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH bucket filter + exact
+    rerank.  ``multiprobe`` additionally probes buckets reachable by
+    flipping that many sign bits (recall/latency dial)."""
+    spark = embeddings.sparkSession
+    dim = len(queries[0][1])
+    planes = _planes(n_planes, dim)
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize_rows(np.array([q[1] for q in queries], dtype=np.float32))
+    q_buckets = _bucket_of(q_mat, planes)
+    # probe set per query: own bucket + single-bit flips (multiprobe=1)
+    probe: dict = {}
+    for qi, b in enumerate(q_buckets):
+        probes = {int(b)}
+        if multiprobe >= 1:
+            probes |= {int(b) ^ (1 << j) for j in range(n_planes)}
+        for pb in probes:
+            probe.setdefault(pb, []).append(qi)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, planes, probe))
+
+    src = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, pl, pr = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            corpus = _normalize_rows(np.vstack(pdf["vec"].to_numpy()))
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cbuckets = _bucket_of(corpus, pl)
+            out_q, out_n, out_s = [], [], []
+            for j in range(corpus.shape[0]):
+                qis = pr.get(int(cbuckets[j]))
+                if not qis:
+                    continue
+                sims = mat[qis].astype(np.float64) @ corpus[j].astype(np.float64)
+                for t, qi in enumerate(qis):
+                    if exclude_self and nids[j] == ids[qi]:
+                        continue
+                    out_q.append(ids[qi])
+                    out_n.append(nids[j])
+                    out_s.append(float(sims[t]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cands = src.mapInPandas(local, TOPK_SCHEMA)
+    return topk_merge(cands, k)

@@ -1,0 +1,128 @@
+# -*- coding: utf-8 -*-
+"""The full KG-construction pipeline: transcripts → extracted turns →
+mentions → group entities → groups/triples → links/nodes, each stage a
+committed parquet table with manifest lineage.
+
+Stage DAG (all reads are from the previous stage's committed table, so
+a resumed run never recomputes upstream work):
+
+  extracted   narrow scan+UDF over transcripts (tokenize+encode+decode)
+  mentions    explode of extracted entities (narrow)
+  group_entities  ONE shuffle by conv_id (entities + token counts only)
+  groups      hash aggregate over group_entities
+  triples     window ops over group_entities
+  links,nodes broadcast gazetteer join + connected components
+
+At 100 TB: `extracted` is the dominant stage and is embarrassingly
+parallel; its output is ~5-10% of input bytes (entities only).  The
+single wide dependency is group_entities' shuffle keyed by conv_id,
+whose payload is the already-slim entity structs.  Everything after
+operates on mention/entity tables that are orders of magnitude smaller
+than the corpus.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.canon import canonicalize
+from ..operators.extract import mentions as mentions_op
+from ..operators.extract import with_extraction
+from ..operators.grouping_op import DEFAULT_DONT_PENALIZE, group_entities
+from ..operators.triples_op import groups_summary, triples as triples_op
+from .manifest import Manifest
+
+from pyspark.sql import functions as F
+
+STAGES = [
+    "extracted",
+    "mentions",
+    "group_entities",
+    "groups",
+    "triples",
+    "links",
+    "nodes",
+]
+
+
+def build_kg(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    resume: bool = True,
+    dont_penalize=DEFAULT_DONT_PENALIZE,
+) -> Dict[str, str]:
+    """Run (or resume) the staged build. Returns stage -> output path."""
+    man = Manifest(out_dir)
+
+    def committed(stage: str) -> bool:
+        return resume and man.is_committed(stage)
+
+    def run_stage(stage: str, df_builder) -> str:
+        path = man.stage_path(stage)
+        if committed(stage):
+            return path
+        t0 = time.time()
+        df = df_builder()
+        df.write.mode("overwrite").parquet(path)
+        man.commit(stage, time.time() - t0)
+        return path
+
+    transcripts = spark.read.parquet(
+        os.path.join(corpus_dir, "transcripts.parquet")
+    )
+    gazetteer = spark.read.parquet(
+        os.path.join(corpus_dir, "gazetteer.parquet")
+    )
+
+    paths: Dict[str, str] = {}
+
+    paths["extracted"] = run_stage(
+        "extracted", lambda: with_extraction(transcripts)
+    )
+    extracted = spark.read.parquet(paths["extracted"])
+
+    def mentions_from_extracted() -> DataFrame:
+        e = extracted.select(
+            "conv_id", "turn_idx", F.explode("entities").alias("m")
+        )
+        return e.select(
+            "conv_id",
+            "turn_idx",
+            F.col("m.entity_idx").alias("mention_idx"),
+            F.col("m.text").alias("text"),
+            F.col("m.entity_type").alias("entity_type"),
+            F.col("m.tok_start").alias("tok_start"),
+            F.col("m.tok_end").alias("tok_end"),
+            F.col("m.first_char").alias("first_char"),
+            F.col("m.last_char").alias("last_char"),
+        )
+
+    paths["mentions"] = run_stage("mentions", mentions_from_extracted)
+    mentions_df = spark.read.parquet(paths["mentions"])
+
+    paths["group_entities"] = run_stage(
+        "group_entities",
+        lambda: group_entities(extracted, dont_penalize=dont_penalize),
+    )
+    ge = spark.read.parquet(paths["group_entities"])
+
+    paths["groups"] = run_stage("groups", lambda: groups_summary(ge))
+    paths["triples"] = run_stage("triples", lambda: triples_op(ge))
+
+    if not (committed("links") and committed("nodes")):
+        links_df, nodes_df = canonicalize(mentions_df, gazetteer)
+        t0 = time.time()
+        if not committed("links"):
+            links_df.write.mode("overwrite").parquet(man.stage_path("links"))
+            man.commit("links", time.time() - t0)
+        t0 = time.time()
+        if not committed("nodes"):
+            nodes_df.write.mode("overwrite").parquet(man.stage_path("nodes"))
+            man.commit("nodes", time.time() - t0)
+    paths["links"] = man.stage_path("links")
+    paths["nodes"] = man.stage_path("nodes")
+    return paths

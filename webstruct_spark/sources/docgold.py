@@ -1,0 +1,162 @@
+# -*- coding: utf-8 -*-
+"""Single-node gold tables for the document-pipeline operators
+(MinHash-LSH pairs, SimHash pairs, language id, ANN top-k) over the
+driver-provided parquet tables.
+
+Same pattern as goldbuild.py: plain-python/numpy execution of the SAME
+pinned kernel math, written once per (table, sf); the driver oracle
+then compares distributed output against this single-node run.
+"""
+from __future__ import annotations
+
+import os
+from decimal import ROUND_HALF_UP, Decimal
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.text_quality import lang_id_py
+from ..kernel.dedup import (
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+    simhash_band_keys,
+    word_shingles,
+)
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Spark F.round parity (java BigDecimal HALF_UP on the exact
+    binary double) — Python's round() is banker's and would diverge on
+    dyadic midpoints like 1/128."""
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+
+    # --- minhash LSH pairs, verified with exact jaccard >= 0.5
+    buckets: dict = {}
+    shingle_cache = {}
+    for d in docs:
+        sh = word_shingles(d["text"])
+        shingle_cache[d["doc_id"]] = sh
+        for key in lsh_band_keys(minhash_signature(sh)):
+            buckets.setdefault(key, []).append(d["doc_id"])
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    mh_rows = []
+    for a, b in sorted(cand):
+        jac = jaccard(shingle_cache[a], shingle_cache[b])
+        if jac >= 0.5:
+            mh_rows.append(dict(doc_a=a, doc_b=b, jaccard=_round_half_up(jac, 6)))
+    pq.write_table(
+        pa.Table.from_pylist(
+            mh_rows,
+            schema=pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                 ("jaccard", pa.float64())]
+            ),
+        ),
+        os.path.join(out_dir, "gold_minhash_pairs.parquet"),
+    )
+
+    # --- simhash pairs (hamming <= 3 via banding)
+    sims = {d["doc_id"]: simhash64(d["text"]) for d in docs}
+    sbuckets: dict = {}
+    for did, s in sims.items():
+        for key in simhash_band_keys(s):
+            sbuckets.setdefault(key, []).append(did)
+    scand = set()
+    for ids in sbuckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                scand.add((ids[i], ids[j]))
+    sh_rows = [
+        dict(doc_a=a, doc_b=b, hamming=hamming64(sims[a], sims[b]))
+        for a, b in sorted(scand)
+        if hamming64(sims[a], sims[b]) <= 3
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            sh_rows,
+            schema=pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                 ("hamming", pa.int32())]
+            ),
+        ),
+        os.path.join(out_dir, "gold_simhash_pairs.parquet"),
+    )
+
+    # --- language id
+    lid_rows = [
+        dict(doc_id=d["doc_id"], lang_pred=lang_id_py(d["text"]))
+        for d in docs
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            lid_rows,
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("lang_pred", pa.string())]),
+        ),
+        os.path.join(out_dir, "gold_langid.parquet"),
+    )
+
+    # --- ANN brute-force top-5 for query ids (vec_id % 199 == 0)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = np.array(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    normed = mat / norms
+    q_mask = ids % 199 == 0
+    q_ids = ids[q_mask]
+    q_mat = normed[q_mask]
+    sims_all = q_mat.astype(np.float64) @ normed.T.astype(np.float64)
+    ann_rows: List[dict] = []
+    for qi, qid in enumerate(q_ids):
+        s = sims_all[qi]
+        order = sorted(range(len(ids)), key=lambda j: (-s[j], ids[j]))
+        rank = 0
+        for j in order:
+            if ids[j] == qid:
+                continue
+            rank += 1
+            ann_rows.append(
+                dict(query_id=int(qid), rank=rank, neighbor_id=int(ids[j]),
+                     sim=_round_half_up(float(s[j]), 4))
+            )
+            if rank == 5:
+                break
+    pq.write_table(
+        pa.Table.from_pylist(
+            ann_rows,
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("rank", pa.int32()),
+                 ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+            ),
+        ),
+        os.path.join(out_dir, "gold_ann_topk.parquet"),
+    )
+
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir

@@ -1,0 +1,241 @@
+# -*- coding: utf-8 -*-
+"""Single-node reference extractor → gold tables.
+
+This is the re-expression of the reference extraction chain
+(`NER.extract` / `extract_groups`, /root/reference/webstruct/model.py:40-50,
+139-160) run eagerly on one node over the synthetic corpus.  Its
+outputs are the parity targets the distributed Spark pipeline is
+graded against (triple P/R ≥ 0.95 per BASELINE.json — by construction
+the Spark pipeline should hit 1.0):
+
+* ``gold_extracted_mentions.parquet`` — tokenize → IOB2 encode →
+  decode → smart_join per turn,
+* ``gold_groups.parquet`` / ``gold_triples.parquet`` — per-conversation
+  gap-threshold grouping + triple assembly,
+* ``gold_nodes.parquet`` / ``gold_links.parquet`` — gazetteer linking +
+  connected-component canonicalization.
+
+The kernels it calls are pinned by the reference's own doctest goldens
+(tests/test_kernel_*.py), and the *injected* ``gold_mentions.parquet``
+from generation is independent of all of this — the chain
+injected == extracted == Spark output closes the loop end-to-end.
+"""
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Set, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..kernel.bilou import decode_mentions, encode_tokens
+from ..kernel.canon import (
+    connected_components,
+    link_edges,
+    norm_text,
+    surface_key,
+)
+from ..kernel.grouping import best_clustering, block_positions
+from ..kernel.smartjoin import smart_join
+from ..kernel.tokenize import default_segment_words
+from ..kernel.triples import assemble_triples
+
+DONT_PENALIZE: Set[str] = {"TEL", "FAX"}
+
+
+def extract_turn(text: str) -> List[Tuple[str, str]]:
+    """(token, iob2_tag) pairs for one marker-bearing turn — the
+    per-turn unit of encoding (state never crosses turns)."""
+    chars = [t[0] for t in default_segment_words(text or "")]
+    return [(chars[i], tag) for i, tag in encode_tokens(chars)]
+
+
+def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
+    """[(mention_text, entity_type)] in document order for one turn."""
+    pairs = extract_turn(text)
+    toks = [p[0] for p in pairs]
+    tags = [p[1] for p in pairs]
+    return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
+
+
+def build_gold(corpus_dir: str, force: bool = False) -> str:
+    """Run the single-node extractor over ``corpus_dir`` and write the
+    gold parquet tables next to the inputs. Idempotent."""
+    done = os.path.join(corpus_dir, "_GOLD_DONE")
+    if os.path.exists(done) and not force:
+        return corpus_dir
+
+    tbl = pq.read_table(os.path.join(corpus_dir, "transcripts.parquet"))
+    rows = tbl.to_pylist()
+    rows.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+
+    gaz = pq.read_table(os.path.join(corpus_dir, "gazetteer.parquet")).to_pylist()
+
+    mention_rows: List[dict] = []
+    per_conv: Dict[str, List[Tuple[str, int]]] = defaultdict(list)  # (tok, turn)
+    per_conv_tags: Dict[str, List[str]] = defaultdict(list)
+
+    for r in rows:
+        pairs = extract_turn(r["text"])
+        toks = [p[0] for p in pairs]
+        tags = [p[1] for p in pairs]
+        for mi, (items, etype) in enumerate(decode_mentions(toks, tags)):
+            mention_rows.append(
+                dict(
+                    conv_id=r["conv_id"],
+                    turn_idx=r["turn_idx"],
+                    mention_idx=mi,
+                    text=smart_join(items),
+                    entity_type=etype,
+                )
+            )
+        per_conv[r["conv_id"]].extend((t, r["turn_idx"]) for t in toks)
+        per_conv_tags[r["conv_id"]].extend(tags)
+
+    group_rows: List[dict] = []
+    triple_rows: List[dict] = []
+    for conv_id in sorted(per_conv):
+        infos = per_conv[conv_id]
+        tags = per_conv_tags[conv_id]
+        elems = [turn for _tok, turn in infos]
+        positions = block_positions(elems, elems)
+        _thr, _score, clusters = best_clustering(
+            infos, tags, positions, dont_penalize=DONT_PENALIZE
+        )
+        for gi, cluster in enumerate(clusters):
+            entities = [
+                (smart_join([tok for tok, _turn in item_infos]), etype)
+                for item_infos, etype, _dist in cluster
+            ]
+            entities = [(t, e) for t, e in entities if t]
+            if not entities:
+                continue
+            group_id = "%s:g%04d" % (conv_id, gi)
+            group_rows.append(
+                dict(
+                    conv_id=conv_id,
+                    group_id=group_id,
+                    threshold=int(_thr),
+                    n_entities=len(entities),
+                    first_turn=int(cluster[0][0][0][1]),
+                )
+            )
+            for si, (s, p, o) in enumerate(assemble_triples(entities)):
+                triple_rows.append(
+                    dict(
+                        conv_id=conv_id,
+                        group_id=group_id,
+                        triple_idx=si,
+                        subj=s,
+                        pred=p,
+                        obj=o,
+                    )
+                )
+
+    # linking + canonicalization
+    surfaces = sorted({(m["entity_type"], norm_text(m["text"])) for m in mention_rows})
+    mention_counts: Dict[Tuple[str, str], int] = defaultdict(int)
+    for m in mention_rows:
+        mention_counts[(m["entity_type"], norm_text(m["text"]))] += 1
+    edges = link_edges(surfaces, [(g["alias"], g["canonical_id"], g["entity_type"]) for g in gaz])
+    nodes = [surface_key(t, x) for t, x in surfaces]
+    comp = connected_components(nodes, edges)
+
+    link_rows: List[dict] = []
+    node_members: Dict[str, List[Tuple[str, str]]] = defaultdict(list)
+    for (etype, ntext) in surfaces:
+        skey = surface_key(etype, ntext)
+        node_id = comp[skey]
+        link_rows.append(
+            dict(entity_type=etype, norm_text=ntext, node_id=node_id)
+        )
+        node_members[node_id].append((etype, ntext))
+
+    node_rows: List[dict] = []
+    for node_id in sorted(node_members):
+        members = sorted(node_members[node_id])
+        node_rows.append(
+            dict(
+                node_id=node_id,
+                entity_type=members[0][0],
+                canonical_text=min(t for _e, t in members),
+                n_surfaces=len(members),
+                n_mentions=sum(mention_counts[m] for m in members),
+            )
+        )
+
+    def write(name: str, rows2: List[dict], schema: pa.Schema) -> None:
+        cols = {f.name: [r.get(f.name) for r in rows2] for f in schema}
+        pq.write_table(
+            pa.Table.from_pydict(cols, schema=schema),
+            os.path.join(corpus_dir, name),
+        )
+
+    write(
+        "gold_extracted_mentions.parquet",
+        mention_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("mention_idx", pa.int32()),
+                ("text", pa.string()),
+                ("entity_type", pa.string()),
+            ]
+        ),
+    )
+    write(
+        "gold_groups.parquet",
+        group_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("group_id", pa.string()),
+                ("threshold", pa.int32()),
+                ("n_entities", pa.int32()),
+                ("first_turn", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "gold_triples.parquet",
+        triple_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("group_id", pa.string()),
+                ("triple_idx", pa.int32()),
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("obj", pa.string()),
+            ]
+        ),
+    )
+    write(
+        "gold_links.parquet",
+        link_rows,
+        pa.schema(
+            [
+                ("entity_type", pa.string()),
+                ("norm_text", pa.string()),
+                ("node_id", pa.string()),
+            ]
+        ),
+    )
+    write(
+        "gold_nodes.parquet",
+        node_rows,
+        pa.schema(
+            [
+                ("node_id", pa.string()),
+                ("entity_type", pa.string()),
+                ("canonical_text", pa.string()),
+                ("n_surfaces", pa.int32()),
+                ("n_mentions", pa.int64()),
+            ]
+        ),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return corpus_dir
