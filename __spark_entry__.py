@@ -87,10 +87,10 @@ def _q_kg_mentions_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _group_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from webstruct_spark.operators.extract import with_extraction
+    from webstruct_spark.operators.extract import extract_rows
     from webstruct_spark.operators.grouping_op import group_entities
 
-    return group_entities(with_extraction(_transcripts(spark, sf_dir)))
+    return group_entities(extract_rows(_transcripts(spark, sf_dir)))
 
 
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,6 +142,32 @@ def _q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_surfaces").cast("int").alias("n_surfaces"),
         F.col("n_mentions").cast("bigint").alias("n_mentions"),
     )
+
+
+def _q_token_shape_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 feature over every clean token (JVM-side regex ladder),
+    aggregated — checked against the single-node shape distribution."""
+    from webstruct_spark.functions.token_features import token_shape
+    from webstruct_spark.operators.features_op import token_rows
+
+    toks = token_rows(_transcripts(spark, sf_dir))
+    return (
+        toks.select(token_shape(F.col("token")).alias("shape"))
+        .groupBy("shape")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+def _q_kg_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE acceptance metric as a query: triple-set P/R of the
+    distributed pipeline vs the single-node reference extractor."""
+    from webstruct_spark.operators.metrics import triple_prf
+    from webstruct_spark.operators.triples_op import triples
+
+    d = _corpus_for(_sf_of(sf_dir))
+    gold = spark.read.parquet(os.path.join(d, "gold_triples.parquet"))
+    pred = triples(_group_entities_df(spark, sf_dir))
+    return triple_prf(pred, gold)
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_groups": _q_kg_groups,
         "kg_links": _q_kg_links,
         "kg_nodes": _q_kg_nodes,
+        "kg_triple_prf": _q_kg_triple_prf,
+        "token_shape_dist": _q_token_shape_dist,
         "mode_event_type": _q_mode_event_type,
         "sessionize_events": _q_sessionize_events,
         "min_df_prune": _q_min_df_prune,
@@ -460,6 +488,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_id, entity_type, canonical_text, n_surfaces,
                    n_mentions
             FROM read_parquet('{g("gold_nodes.parquet")}')
+        """,
+        "kg_triple_prf": f"""
+            SELECT count(*) AS tp, count(*) AS n_pred, count(*) AS n_gold,
+                   1.0 AS precision, 1.0 AS recall, 1.0 AS f1
+            FROM (SELECT DISTINCT subj, pred, obj
+                  FROM read_parquet('{g("gold_triples.parquet")}'))
+        """,
+        "token_shape_dist": f"""
+            SELECT shape, n_tokens
+            FROM read_parquet('{g("gold_token_shapes.parquet")}')
         """,
         "mode_event_type": """
             SELECT user_id, top_event_type, n_events FROM (

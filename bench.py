@@ -34,7 +34,7 @@ def main() -> None:
         exact_duplicate_groups,
         minhash_lsh_pairs,
     )
-    from webstruct_spark.operators.extract import mentions, with_extraction
+    from webstruct_spark.operators.extract import extract_rows, mentions
     from webstruct_spark.operators.grouping_op import group_entities
     from webstruct_spark.operators.similarity import brute_force_topk
     from webstruct_spark.operators.triples_op import triples
@@ -64,7 +64,7 @@ def main() -> None:
 
     # q2: full KG chain -> triples
     def q2() -> int:
-        ge = group_entities(with_extraction(transcripts))
+        ge = group_entities(extract_rows(transcripts))
         return triples(ge).count()
 
     timed("q2_triples", q2)

@@ -36,12 +36,12 @@ def test_mentions_match_injected_gold(spark, corpus_dir, transcripts):
 
 
 def test_triples_match_reference_extractor(spark, corpus_dir, transcripts):
-    from webstruct_spark.operators.extract import with_extraction
+    from webstruct_spark.operators.extract import extract_rows
     from webstruct_spark.operators.grouping_op import group_entities
     from webstruct_spark.operators.triples_op import triples
 
     cols = ["conv_id", "group_id", "triple_idx", "subj", "pred", "obj"]
-    got = _rows(triples(group_entities(with_extraction(transcripts))), cols)
+    got = _rows(triples(group_entities(extract_rows(transcripts))), cols)
     want = _rows(_gold(spark, corpus_dir, "gold_triples.parquet"), cols)
     assert got == want
     # triple-set P/R (the BASELINE metric; equality implies 1.0/1.0)
@@ -74,13 +74,13 @@ def test_per_turn_text_equality_invariant(spark, transcripts):
 def test_grouping_stable_under_ordering(spark, transcripts):
     """Shuffling input row order must not change grouping output
     (stable (conv_id, turn_idx) semantics)."""
-    from webstruct_spark.operators.extract import with_extraction
+    from webstruct_spark.operators.extract import extract_rows
     from webstruct_spark.operators.grouping_op import group_entities
 
     cols = ["conv_id", "group_id", "entity_idx", "text", "entity_type"]
-    a = _rows(group_entities(with_extraction(transcripts)), cols)
+    a = _rows(group_entities(extract_rows(transcripts)), cols)
     shuffled = transcripts.orderBy(F.md5(F.concat("conv_id", "text")))
-    b = _rows(group_entities(with_extraction(shuffled)), cols)
+    b = _rows(group_entities(extract_rows(shuffled)), cols)
     assert a == b
 
 

@@ -1,0 +1,45 @@
+# -*- coding: utf-8 -*-
+"""Annotation-ingestion functions (S2/S3): convert externally-annotated
+text into the inline `` __START_X__ … __END_X__ `` marker format the
+extraction chain consumes.
+
+* :func:`gate_markers` — GATE-style ``<ORG>…</ORG>`` inline tags →
+  markers, the Column re-expression of ``GateLoader.loadbytes``
+  (/root/reference/webstruct/loaders.py:107-150): the reference
+  regex-replaces ``<TYPE>``/``</TYPE>`` with `` __START_TYPE__ `` /
+  `` __END_TYPE__ `` (spaces included) before any parsing.
+* :func:`wa_span_markers` — WebAnnotator-style
+  ``<span wa-type="X" …>…</span>`` runs → markers
+  (``WebAnnotatorLoader``, loaders.py:56-104, simplified to the flat
+  single-span case — transcripts have no DOM so nested/split spans
+  cannot arise).
+
+Both are pure ``regexp_replace`` chains: JVM-side, codegen'd, no
+Python.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def gate_markers(text: Column, tagset: Sequence[str]) -> Column:
+    """``<ORG>Acme</ORG>`` → `` __START_ORG__ Acme __END_ORG__ ``."""
+    alternation = "|".join(tagset)
+    out = F.regexp_replace(
+        text, r"<(%s)>" % alternation, r" __START_$1__ "
+    )
+    return F.regexp_replace(out, r"</(%s)>" % alternation, r" __END_$1__ ")
+
+
+def wa_span_markers(text: Column) -> Column:
+    """``<span wa-type="ORG" ...>Acme</span>`` →
+    `` __START_ORG__ Acme __END_ORG__ `` (flat spans)."""
+    out = F.regexp_replace(
+        text,
+        r'<span[^>]*wa-type="(\w+)"[^>]*>([^<]*)</span>',
+        r" __START_$1__ $2 __END_$1__ ",
+    )
+    return out

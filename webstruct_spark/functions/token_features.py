@@ -15,13 +15,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# T4 shape classes (token_features.py:107-121; NLTK-derived regexes)
-_SHAPE_NUMBER = r"^[-+]?[0-9]+(\.[0-9]*)?$|^[0-9]*\.[0-9]+$"
-_SHAPE_PUNCT = r"^\W+$"
+# T4 shape classes (token_features.py:107-121; NLTK-derived regexes).
+# Reference quirks preserved exactly: the number regex's `$` anchors
+# ONLY the second alternative (so '9am' is 'number'); (?U) gives
+# Java's \w/\W Python's unicode semantics.
+_SHAPE_NUMBER = r"^[-+]?[0-9]+(\.[0-9]*)?|^[0-9]*\.[0-9]+$"
+_SHAPE_PUNCT = r"(?U)^\W+$"
 _SHAPE_UPCASE = r"^[A-Z][a-z'`]+$"
 _SHAPE_CAPS = r"^[A-Z][A-Z'`]+$"
 _SHAPE_DOWN = r"^[a-z]+$"
-_SHAPE_MIXED = r"^\w+$"
+_SHAPE_MIXED = r"(?U)^\w+$"
 
 # T13 email regex (data_features.py:10-16), TLD whitelist intact
 _EMAIL_RE = (

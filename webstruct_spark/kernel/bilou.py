@@ -42,6 +42,13 @@ def encode_tokens(tokens: Sequence[str]) -> List[Tuple[int, str]]:
     out: List[Tuple[int, str]] = []
     tag = "O"
     for idx, token in enumerate(tokens):
+        if not token.startswith("__"):
+            # fast path: the marker regex is anchored at "__", so a
+            # non-"__" token is always ('token', ...)
+            out.append((idx, tag))
+            if tag[0] == "B":
+                tag = "I" + tag[1:]
+            continue
         kind, value = classify_token(token)
         if kind == "start":
             tag = "B-" + value

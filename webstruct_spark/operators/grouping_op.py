@@ -3,23 +3,23 @@
 
 Implements the reference grouping algorithm
 (/root/reference/webstruct/grouping.py:46-137) per conversation with
-ONE shuffle, and that shuffle carries only per-turn entity structs +
+ONE shuffle, and that shuffle carries only flat entity rows + per-turn
 token counts — never token arrays:
 
-1. narrow stage (extract.py) computes per turn: ``n_tokens`` and the
-   decoded entities with turn-local token spans;
-2. ``groupBy(conv_id).applyInPandas`` receives the per-turn rows,
-   reconstructs global token positions with the closed form
-   ``pos = 2*g + 3*k`` (g = clean tokens before, k = rank among
-   token-bearing turns — a turn that produced no tokens does not bump
-   the element counter, matching the reference's element-change rule),
-   then runs the pinned threshold-argmax kernel.
+1. narrow stage (extract.py) emits per-entity rows with turn-local
+   token spans and each turn's clean-token count (entity-less turns
+   contribute a single ``mention_idx = -1`` marker row);
+2. ``groupBy(conv_id).applyInPandas`` reconstructs global token
+   positions with the closed form ``pos = 2*g + 3*k`` (g = clean
+   tokens before, k = rank among token-bearing turns — a turn that
+   produced no tokens does not bump the element counter, matching the
+   reference's element-change rule), then runs the pinned
+   threshold-argmax kernel.
 
 Skew note: a mega-conversation is one group task; its cost is
-O(#entities²) in the worst case (threshold candidates × scan), which
-for 10^4 entities is still sub-second numpy/python work — the heavy
-token processing stayed in the narrow stage.  AQE coalesces the many
-small conversation partitions.
+O(#entities x #thresholds) worst case — numpy/python work on
+already-decoded entities; the heavy token processing stayed in the
+narrow stage.  AQE coalesces the many small conversation partitions.
 """
 from __future__ import annotations
 
@@ -39,78 +39,103 @@ GROUP_ENTITIES_SCHEMA = (
 DEFAULT_DONT_PENALIZE: Set[str] = {"TEL", "FAX"}
 
 
-def _make_grouper(dont_penalize: Optional[Set[str]]):
+def _group_one_conversation(conv_id, pdf: pd.DataFrame, dp: Set[str], out: dict):
+    """Grouping for one (already turn/mention-sorted) conversation;
+    appends member rows to ``out``."""
+    entities = []  # ((text, turn_idx), entity_type) kernel infos
+    spans = []
+    g = 0  # clean tokens so far in conversation
+    k = -1  # rank among token-bearing turns
+    prev_turn = None
+    prev_n_tok = 0
+    for turn_idx, mention_idx, text, etype, ts, te, n_tok in zip(
+        pdf["turn_idx"], pdf["mention_idx"], pdf["text"],
+        pdf["entity_type"], pdf["tok_start"], pdf["tok_end"],
+        pdf["n_tokens"],
+    ):
+        if turn_idx != prev_turn:
+            if prev_turn is not None:
+                g += prev_n_tok
+            prev_turn = turn_idx
+            prev_n_tok = int(n_tok)
+            if n_tok > 0:
+                k += 1
+        if mention_idx >= 0:
+            entities.append(((text, int(turn_idx)), etype))
+            spans.append(
+                (token_position(g + ts, k), token_position(g + te, k))
+            )
+    if not entities:
+        return
+    thr, score, clusters = best_clustering_entities(
+        entities, spans, dont_penalize=dp
+    )
+    for gi, cluster in enumerate(clusters):
+        members = [
+            (info[0], etype, info[1])
+            for info, etype, _dist in cluster
+            if info[0]  # _drop_empty parity
+        ]
+        if not members:
+            continue
+        group_id = "%s:g%04d" % (conv_id, gi)
+        for ei, (text, etype, turn_idx) in enumerate(members):
+            out["conv_id"].append(conv_id)
+            out["group_id"].append(group_id)
+            out["group_idx"].append(gi)
+            out["entity_idx"].append(ei)
+            out["text"].append(text)
+            out["entity_type"].append(etype)
+            out["turn_idx"].append(turn_idx)
+            out["threshold"].append(int(thr))
+            out["score"].append(int(score))
+            out["n_entities"].append(len(members))
+
+
+def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
     dp = set(dont_penalize or ())
 
-    def group_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
-        conv_id = pdf["conv_id"].iloc[0]
-        entities = []  # ((text, turn_idx), entity_type) kernel infos
-        spans = []
-        g = 0  # clean tokens so far in conversation
-        k = -1  # rank among token-bearing turns
-        for turn_idx, n_tok, ents in zip(
-            pdf["turn_idx"], pdf["n_tokens"], pdf["entities"]
-        ):
-            if n_tok and n_tok > 0:
-                k += 1
-            if ents is None:
-                ents = ()
-            for e in ents:
-                entities.append(((e["text"], int(turn_idx)), e["entity_type"]))
-                spans.append(
-                    (
-                        token_position(g + e["tok_start"], k),
-                        token_position(g + e["tok_end"], k),
-                    )
-                )
-            g += int(n_tok or 0)
-
+    def group_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         out = dict(
             conv_id=[], group_id=[], group_idx=[], entity_idx=[], text=[],
             entity_type=[], turn_idx=[], threshold=[], score=[], n_entities=[],
         )
-        if entities:
-            thr, score, clusters = best_clustering_entities(
-                entities, spans, dont_penalize=dp
-            )
-            for gi, cluster in enumerate(clusters):
-                members = [
-                    (info[0], etype, info[1])
-                    for info, etype, _dist in cluster
-                    if info[0]  # _drop_empty parity
-                ]
-                if not members:
-                    continue
-                group_id = "%s:g%04d" % (conv_id, gi)
-                for ei, (text, etype, turn_idx) in enumerate(members):
-                    out["conv_id"].append(conv_id)
-                    out["group_id"].append(group_id)
-                    out["group_idx"].append(gi)
-                    out["entity_idx"].append(ei)
-                    out["text"].append(text)
-                    out["entity_type"].append(etype)
-                    out["turn_idx"].append(turn_idx)
-                    out["threshold"].append(int(thr))
-                    out["score"].append(int(score))
-                    out["n_entities"].append(len(members))
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "mention_idx"])
+        for conv_id, sub in pdf.groupby("conv_id", sort=False):
+            _group_one_conversation(conv_id, sub, dp, out)
         return pd.DataFrame(out)
 
-    return group_conversation
+    return group_bucket
 
 
 def group_entities(
-    extracted_turns: DataFrame,
+    extraction_rows: DataFrame,
     dont_penalize: Optional[Iterable[str]] = DEFAULT_DONT_PENALIZE,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Per-conversation grouping.
 
-    Input: DataFrame with (conv_id, turn_idx, n_tokens, entities) from
-    :func:`webstruct_spark.operators.extract.with_extraction`.
+    Input: flat extraction rows from
+    :func:`webstruct_spark.operators.extract.extract_rows`.
     Output: one row per (group, member entity) —
     ``GROUP_ENTITIES_SCHEMA``.
+
+    Conversations are hashed into ``n_buckets`` salt buckets and each
+    bucket is ONE ``applyInPandas`` call that iterates its
+    conversations with a C-speed pandas groupby — per-group Arrow/
+    pandas setup cost is paid per bucket, not per conversation (20k
+    conversations = 20k tiny DataFrames was the scaling bottleneck).
+    Bucketing also evens out mega-conversation skew across tasks.
     """
-    slim = extracted_turns.select("conv_id", "turn_idx", "n_tokens", "entities")
-    return slim.groupBy("conv_id").applyInPandas(
-        _make_grouper(set(dont_penalize or ())), GROUP_ENTITIES_SCHEMA
+    from pyspark.sql import functions as F
+
+    slim = extraction_rows.select(
+        "conv_id", "turn_idx", "mention_idx", "text", "entity_type",
+        "tok_start", "tok_end", "n_tokens",
+    ).withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    )
+    return slim.groupBy("_bucket").applyInPandas(
+        _make_bucket_grouper(set(dont_penalize or ())),
+        GROUP_ENTITIES_SCHEMA,
     )

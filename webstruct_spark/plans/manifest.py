@@ -25,8 +25,9 @@ import pyarrow.parquet as pq
 
 
 class Manifest:
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, layout_version: str = "1"):
         self.out_dir = out_dir
+        self.layout_version = layout_version
         self.path = os.path.join(out_dir, "manifest.jsonl")
         os.makedirs(out_dir, exist_ok=True)
 
@@ -44,6 +45,10 @@ class Manifest:
     def is_committed(self, stage: str) -> bool:
         rec = self.committed().get(stage)
         if not rec:
+            return False
+        # a commit from an older table layout must not be resumed into
+        # — rebuild instead of silently serving stale-schema outputs
+        if rec.get("layout", "1") != self.layout_version:
             return False
         # the stage dir must still look committed on disk
         return os.path.exists(
@@ -71,6 +76,7 @@ class Manifest:
             total_bytes += nbytes
         rec = dict(
             stage=stage,
+            layout=self.layout_version,
             rows_out=rows,
             n_files=len(files),
             bytes=total_bytes,

@@ -29,13 +29,16 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.canon import canonicalize
-from ..operators.extract import mentions as mentions_op
-from ..operators.extract import with_extraction
+from ..operators.extract import extract_rows, mentions_from_rows
 from ..operators.grouping_op import DEFAULT_DONT_PENALIZE, group_entities
 from ..operators.triples_op import groups_summary, triples as triples_op
 from .manifest import Manifest
 
 from pyspark.sql import functions as F
+
+# bump when any stage table's schema/layout changes: resuming into an
+# older layout rebuilds instead of serving stale outputs
+LAYOUT_VERSION = "2-flat-rows"
 
 STAGES = [
     "extracted",
@@ -56,7 +59,7 @@ def build_kg(
     dont_penalize=DEFAULT_DONT_PENALIZE,
 ) -> Dict[str, str]:
     """Run (or resume) the staged build. Returns stage -> output path."""
-    man = Manifest(out_dir)
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
 
     def committed(stage: str) -> bool:
         return resume and man.is_committed(stage)
@@ -81,27 +84,13 @@ def build_kg(
     paths: Dict[str, str] = {}
 
     paths["extracted"] = run_stage(
-        "extracted", lambda: with_extraction(transcripts)
+        "extracted", lambda: extract_rows(transcripts)
     )
     extracted = spark.read.parquet(paths["extracted"])
 
-    def mentions_from_extracted() -> DataFrame:
-        e = extracted.select(
-            "conv_id", "turn_idx", F.explode("entities").alias("m")
-        )
-        return e.select(
-            "conv_id",
-            "turn_idx",
-            F.col("m.entity_idx").alias("mention_idx"),
-            F.col("m.text").alias("text"),
-            F.col("m.entity_type").alias("entity_type"),
-            F.col("m.tok_start").alias("tok_start"),
-            F.col("m.tok_end").alias("tok_end"),
-            F.col("m.first_char").alias("first_char"),
-            F.col("m.last_char").alias("last_char"),
-        )
-
-    paths["mentions"] = run_stage("mentions", mentions_from_extracted)
+    paths["mentions"] = run_stage(
+        "mentions", lambda: mentions_from_rows(extracted)
+    )
     mentions_df = spark.read.parquet(paths["mentions"])
 
     paths["group_entities"] = run_stage(

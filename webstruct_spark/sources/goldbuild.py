@@ -29,7 +29,10 @@ from typing import Dict, List, Optional, Set, Tuple
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from collections import Counter
+
 from ..kernel.bilou import decode_mentions, encode_tokens
+from ..kernel.features import shape_py
 from ..kernel.canon import (
     connected_components,
     link_edges,
@@ -59,12 +62,17 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
+GOLD_VERSION = "2"  # bump when gold tables/semantics change
+
+
 def build_gold(corpus_dir: str, force: bool = False) -> str:
     """Run the single-node extractor over ``corpus_dir`` and write the
-    gold parquet tables next to the inputs. Idempotent."""
+    gold parquet tables next to the inputs. Idempotent per version."""
     done = os.path.join(corpus_dir, "_GOLD_DONE")
-    if os.path.exists(done) and not force:
-        return corpus_dir
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == GOLD_VERSION:
+                return corpus_dir
 
     tbl = pq.read_table(os.path.join(corpus_dir, "transcripts.parquet"))
     rows = tbl.to_pylist()
@@ -75,11 +83,13 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     mention_rows: List[dict] = []
     per_conv: Dict[str, List[Tuple[str, int]]] = defaultdict(list)  # (tok, turn)
     per_conv_tags: Dict[str, List[str]] = defaultdict(list)
+    shape_counts: Counter = Counter()
 
     for r in rows:
         pairs = extract_turn(r["text"])
         toks = [p[0] for p in pairs]
         tags = [p[1] for p in pairs]
+        shape_counts.update(shape_py(t) for t in toks)
         for mi, (items, etype) in enumerate(decode_mentions(toks, tags)):
             mention_rows.append(
                 dict(
@@ -236,6 +246,12 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
             ]
         ),
     )
+    write(
+        "gold_token_shapes.parquet",
+        [dict(shape=s, n_tokens=c) for s, c in sorted(shape_counts.items())],
+        pa.schema([("shape", pa.string()), ("n_tokens", pa.int64())]),
+    )
+
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(GOLD_VERSION + "\n")
     return corpus_dir

@@ -54,15 +54,18 @@ def mention_type_counts(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Watermarked sliding-window mention counts per entity type."""
-    from ..operators.extract import extract_entities_udf
+    from ..operators.extract import extract_rows
 
-    with_ts = turn_stream.withWatermark("ts", watermark)
-    exploded = with_ts.select(
-        "ts", F.explode(extract_entities_udf("text").entities).alias("m")
+    # watermark AFTER the map: event-time metadata does not survive
+    # mapInPandas, the ts column does
+    rows = (
+        extract_rows(turn_stream, passthrough=["ts"])
+        .where(F.col("mention_idx") >= 0)
+        .withWatermark("ts", watermark)
     )
-    return exploded.groupBy(
+    return rows.groupBy(
         F.window("ts", window, slide).alias("w"),
-        F.col("m.entity_type").alias("entity_type"),
+        "entity_type",
     ).agg(F.count(F.lit(1)).alias("n_mentions"))
 
 
