@@ -144,6 +144,30 @@ def _q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_tagged_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 Viterbi tagger path on plain (marker-stripped) text with the
+    broadcast rule/gazetteer model — vs the single-node run of the
+    same model."""
+    from webstruct_spark.operators.tagger import tagged_mentions
+
+    return tagged_mentions(
+        _transcripts(spark, sf_dir), _gazetteer(spark, sf_dir)
+    ).select("conv_id", "turn_idx", "mention_idx", "text", "entity_type")
+
+
+def _q_kg_mention_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 segment metric as a query: tagger mentions vs gold injected
+    mentions on (conv, turn, text, type)."""
+    from webstruct_spark.operators.extract import mentions
+    from webstruct_spark.operators.metrics import set_prf
+    from webstruct_spark.operators.tagger import tagged_mentions
+
+    t = _transcripts(spark, sf_dir)
+    pred = tagged_mentions(t, _gazetteer(spark, sf_dir))
+    gold = mentions(t)
+    return set_prf(pred, gold, ["conv_id", "turn_idx", "text", "entity_type"])
+
+
 def _q_token_shape_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 feature over every clean token (JVM-side regex ladder),
     aggregated — checked against the single-node shape distribution."""
@@ -345,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": _q_kg_links,
         "kg_nodes": _q_kg_nodes,
         "kg_triple_prf": _q_kg_triple_prf,
+        "kg_tagged_mentions": _q_kg_tagged_mentions,
+        "kg_mention_prf": _q_kg_mention_prf,
         "token_shape_dist": _q_token_shape_dist,
         "mode_event_type": _q_mode_event_type,
         "sessionize_events": _q_sessionize_events,
@@ -491,9 +517,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triple_prf": f"""
             SELECT count(*) AS tp, count(*) AS n_pred, count(*) AS n_gold,
-                   1.0 AS precision, 1.0 AS recall, 1.0 AS f1
+                   1000000 AS precision_x1e6, 1000000 AS recall_x1e6,
+                   1000000 AS f1_x1e6
             FROM (SELECT DISTINCT subj, pred, obj
                   FROM read_parquet('{g("gold_triples.parquet")}'))
+        """,
+        "kg_tagged_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, text, entity_type
+            FROM read_parquet('{g("gold_tagged_mentions.parquet")}')
+        """,
+        "kg_mention_prf": f"""
+            WITH p AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_tagged_mentions.parquet")}')
+            ), gm AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_mentions.parquet")}')
+            ), c AS (
+                SELECT (SELECT count(*) FROM p JOIN gm
+                        USING (conv_id, turn_idx, text, entity_type)) AS tp,
+                       (SELECT count(*) FROM p) AS n_pred,
+                       (SELECT count(*) FROM gm) AS n_gold
+            )
+            SELECT tp, n_pred, n_gold,
+                   (1000000 * tp) // n_pred AS precision_x1e6,
+                   (1000000 * tp) // n_gold AS recall_x1e6,
+                   (2000000 * tp) // (n_pred + n_gold) AS f1_x1e6
+            FROM c
         """,
         "token_shape_dist": f"""
             SELECT shape, n_tokens

@@ -21,20 +21,24 @@ def _seg_keys(df: DataFrame, keys: List[str]) -> DataFrame:
 def set_prf(
     pred: DataFrame, gold: DataFrame, keys: List[str]
 ) -> DataFrame:
-    """One-row (tp, n_pred, n_gold, precision, recall, f1) comparing
-    two DataFrames as sets of ``keys`` tuples."""
+    """One-row (tp, n_pred, n_gold, precision_x1e6, recall_x1e6,
+    f1_x1e6) comparing two DataFrames as sets of ``keys`` tuples.
+
+    Ratios are integer-scaled floor values (exact integer arithmetic)
+    so any engine reproduces them bit-for-bit — float rounding at
+    decimal midpoints is not portable."""
     p = _seg_keys(pred, keys)
     g = _seg_keys(gold, keys)
     tp = p.join(g, keys, "inner").count()
     np_, ng = p.count(), g.count()
-    prec = tp / np_ if np_ else 0.0
-    rec = tp / ng if ng else 0.0
-    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    prec_x = (1_000_000 * tp) // np_ if np_ else 0
+    rec_x = (1_000_000 * tp) // ng if ng else 0
+    f1_x = (2_000_000 * tp) // (np_ + ng) if (np_ + ng) else 0
     spark = pred.sparkSession
     return spark.createDataFrame(
-        [(tp, np_, ng, round(prec, 6), round(rec, 6), round(f1, 6))],
-        "tp long, n_pred long, n_gold long, precision double, "
-        "recall double, f1 double",
+        [(tp, np_, ng, prec_x, rec_x, f1_x)],
+        "tp long, n_pred long, n_gold long, precision_x1e6 long, "
+        "recall_x1e6 long, f1_x1e6 long",
     )
 
 

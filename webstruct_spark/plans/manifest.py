@@ -58,7 +58,8 @@ class Manifest:
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.out_dir, stage)
 
-    def commit(self, stage: str, wall_sec: float) -> dict:
+    def commit(self, stage: str, wall_sec: float,
+               inputs: Optional[List[str]] = None) -> dict:
         """Collect lineage from the written parquet dir and append the
         commit record."""
         path = self.stage_path(stage)
@@ -77,6 +78,7 @@ class Manifest:
         rec = dict(
             stage=stage,
             layout=self.layout_version,
+            inputs=list(inputs or []),
             rows_out=rows,
             n_files=len(files),
             bytes=total_bytes,

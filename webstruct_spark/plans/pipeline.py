@@ -64,6 +64,16 @@ def build_kg(
     def committed(stage: str) -> bool:
         return resume and man.is_committed(stage)
 
+    STAGE_INPUTS = {
+        "extracted": ["transcripts"],
+        "mentions": ["extracted"],
+        "group_entities": ["extracted"],
+        "groups": ["group_entities"],
+        "triples": ["group_entities"],
+        "links": ["mentions", "gazetteer"],
+        "nodes": ["mentions", "gazetteer"],
+    }
+
     def run_stage(stage: str, df_builder) -> str:
         path = man.stage_path(stage)
         if committed(stage):
@@ -71,7 +81,7 @@ def build_kg(
         t0 = time.time()
         df = df_builder()
         df.write.mode("overwrite").parquet(path)
-        man.commit(stage, time.time() - t0)
+        man.commit(stage, time.time() - t0, inputs=STAGE_INPUTS.get(stage))
         return path
 
     transcripts = spark.read.parquet(
@@ -107,11 +117,13 @@ def build_kg(
         t0 = time.time()
         if not committed("links"):
             links_df.write.mode("overwrite").parquet(man.stage_path("links"))
-            man.commit("links", time.time() - t0)
+            man.commit("links", time.time() - t0,
+                       inputs=STAGE_INPUTS["links"])
         t0 = time.time()
         if not committed("nodes"):
             nodes_df.write.mode("overwrite").parquet(man.stage_path("nodes"))
-            man.commit("nodes", time.time() - t0)
+            man.commit("nodes", time.time() - t0,
+                       inputs=STAGE_INPUTS["nodes"])
     paths["links"] = man.stage_path("links")
     paths["nodes"] = man.stage_path("nodes")
     return paths

@@ -62,7 +62,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "2"  # bump when gold tables/semantics change
+GOLD_VERSION = "3"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -250,6 +250,47 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
         "gold_token_shapes.parquet",
         [dict(shape=s, n_tokens=c) for s, c in sorted(shape_counts.items())],
         pa.schema([("shape", pa.string()), ("n_tokens", pa.int64())]),
+    )
+
+    # single-node run of the Viterbi rule tagger over plain text — the
+    # distributed tagger (operators/tagger.py) must match it exactly
+    from ..kernel.viterbi import RuleModel
+    from ..operators.tagger import DEFAULT_TYPES, plain_tokens
+
+    alias_map: Dict[str, str] = {}
+    for e in gaz:
+        a = e["alias"]
+        if a not in alias_map or e["entity_type"] < alias_map[a]:
+            alias_map[a] = e["entity_type"]
+    model = RuleModel(alias_map, DEFAULT_TYPES)
+    tagged_rows: List[dict] = []
+    for r in rows:
+        toks = plain_tokens(r["text"])
+        tags = model.predict(toks)
+        mi = 0
+        for items, etype in decode_mentions(list(range(len(toks))), tags):
+            tagged_rows.append(
+                dict(
+                    conv_id=r["conv_id"],
+                    turn_idx=r["turn_idx"],
+                    mention_idx=mi,
+                    text=smart_join(toks[i] for i in items),
+                    entity_type=etype,
+                )
+            )
+            mi += 1
+    write(
+        "gold_tagged_mentions.parquet",
+        tagged_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("mention_idx", pa.int32()),
+                ("text", pa.string()),
+                ("entity_type", pa.string()),
+            ]
+        ),
     )
 
     with open(done, "w") as f:
