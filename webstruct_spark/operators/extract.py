@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..kernel.bilou import decode_mentions, encode_tokens
+from ..kernel.bilou import _MARKER_RE, decode_mentions, encode_tokens
 from ..kernel.smartjoin import smart_join
 from ..kernel.tokenize import default_segment_words
 
@@ -62,13 +62,11 @@ TOKENS_TYPE = T.StructType(
 )
 
 
-def extract_turn_entities(text: str) -> tuple:
-    """(n_clean_tokens, [entity dicts]) for one marker-bearing turn."""
+def _extract_turn_entities_twopass(text: str) -> tuple:
+    """Reference composition (encode → decode → join); kept as the
+    differential oracle for the fused single-pass version below."""
     text = text or ""
     toks = default_segment_words(text)
-    if "__" not in text:
-        # fast path: no markers possible -> every token is clean 'O'
-        return len(toks), []
     chars = [t[0] for t in toks]
     idx_tags = encode_tokens(chars)
     clean_chars = [chars[i] for i, _ in idx_tags]
@@ -92,6 +90,81 @@ def extract_turn_entities(text: str) -> tuple:
             )
         )
     return len(clean_chars), ents
+
+
+def extract_turn_entities(text: str) -> tuple:
+    """(n_clean_tokens, [entity dicts]) for one marker-bearing turn.
+
+    Single fused scan: entity spans are built directly while markers
+    are consumed (equivalent to encode→group for well-formed marker
+    streams — the only kind the encoder accepts; malformed close
+    markers raise exactly like the reference encoder).  Differentially
+    gated against the two-pass composition in tests.
+    """
+    text = text or ""
+    toks = default_segment_words(text)
+    if "__" not in text:
+        # fast path: no markers possible -> every token is clean 'O'
+        return len(toks), []
+    ents: List[dict] = []
+    clean_idx = 0
+    open_type = None  # entity type currently open
+    cur_tag = "O"  # reference-format tag for error messages
+    pieces: List[str] = []
+    tok_start = first_char = last_char = 0
+    prev_end = 0
+
+    def close_entity() -> None:
+        nonlocal pieces
+        if pieces:
+            joined = smart_join(pieces)
+            if joined:
+                ents.append(
+                    dict(
+                        entity_idx=len(ents),
+                        text=joined,
+                        entity_type=open_type,
+                        tok_start=tok_start,
+                        tok_end=clean_idx - 1,
+                        first_char=first_char,
+                        last_char=last_char,
+                    )
+                )
+        pieces = []
+
+    for chars, pos, ln in toks:
+        if chars.startswith("__"):
+            m = _MARKER_RE.match(chars)
+            if m is not None:
+                kind, value = m.group(1), m.group(2)
+                if kind == "START":
+                    if open_type is not None:
+                        close_entity()  # adjacent START: B- starts anew
+                    open_type = value
+                    cur_tag = "B-" + value
+                else:  # END
+                    if value != cur_tag[2:]:
+                        raise ValueError(
+                            "Invalid tag sequence: close tag %r doesn't "
+                            "match open tag %r." % (value, cur_tag)
+                        )
+                    close_entity()
+                    open_type = None
+                    cur_tag = "O"
+                continue
+        # clean token
+        if open_type is not None:
+            if not pieces:
+                tok_start = clean_idx
+                first_char = pos
+            pieces.append(chars)
+            last_char = pos + ln - 1
+            if cur_tag[0] == "B":
+                cur_tag = "I" + cur_tag[1:]
+        clean_idx += 1
+    if open_type is not None:
+        close_entity()  # unclosed marker at turn end: run ends with turn
+    return clean_idx, ents
 
 
 def extract_rows_schema(passthrough: Sequence[tuple] = ()) -> T.StructType:

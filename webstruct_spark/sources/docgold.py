@@ -37,10 +37,15 @@ def _round_half_up(x: float, n: int) -> float:
     return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
+DOC_GOLD_VERSION = "2-mersenne31"
+
+
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
     done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done) and not force:
-        return out_dir
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == DOC_GOLD_VERSION:
+                return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(
@@ -158,5 +163,5 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
     )
 
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(DOC_GOLD_VERSION + "\n")
     return out_dir
