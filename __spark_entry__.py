@@ -194,6 +194,36 @@ def _q_kg_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_prf(pred, gold)
 
 
+def _geonames_tsv() -> str:
+    from webstruct_spark.sources.geonames import materialize_sample_tsv
+
+    return materialize_sample_tsv(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "data", "geonames", "sample.tsv",
+        )
+    )
+
+
+def _q_geonames_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7: GeoNames TSV reader + alias explode (gazetteer
+    compile)."""
+    from webstruct_spark.sources.geonames import alias_rows, read_geonames
+
+    geo = read_geonames(spark, _geonames_tsv())
+    return alias_rows(geo).select("alias", "canonical_id", "entity_type")
+
+
+def _q_token_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: token-level confusion of the Viterbi tagger vs
+    marker-derived gold tags."""
+    from webstruct_spark.operators.tagger import token_confusion
+
+    return token_confusion(
+        _transcripts(spark, sf_dir), _gazetteer(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analog queries over the driver-provided tables
 # (SURVEY §2.8 A6/A8/A10, §2.2 P5)
@@ -377,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tagged_mentions": _q_kg_tagged_mentions,
         "kg_mention_prf": _q_kg_mention_prf,
         "token_shape_dist": _q_token_shape_dist,
+        "token_confusion": _q_token_confusion,
+        "geonames_aliases": _q_geonames_aliases,
         "mode_event_type": _q_mode_event_type,
         "sessionize_events": _q_sessionize_events,
         "min_df_prune": _q_min_df_prune,
@@ -553,6 +585,40 @@ def oracle_sql() -> dict[str, str]:
         "token_shape_dist": f"""
             SELECT shape, n_tokens
             FROM read_parquet('{g("gold_token_shapes.parquet")}')
+        """,
+        "token_confusion": f"""
+            SELECT tag_gold, tag_pred, n_tokens
+            FROM read_parquet('{g("gold_token_confusion.parquet")}')
+        """,
+        "geonames_aliases": f"""
+            WITH geo AS (
+                SELECT * FROM read_csv('{_geonames_tsv()}', delim='\t',
+                    header=false, quote='',
+                    columns={{'geonameid':'BIGINT','name':'VARCHAR',
+                        'asciiname':'VARCHAR','alternatenames':'VARCHAR',
+                        'latitude':'DOUBLE','longitude':'DOUBLE',
+                        'feature_class':'VARCHAR','feature_code':'VARCHAR',
+                        'country_code':'VARCHAR','cc2':'VARCHAR',
+                        'admin1_code':'VARCHAR','admin2_code':'VARCHAR',
+                        'admin3_code':'VARCHAR','admin4_code':'VARCHAR',
+                        'population':'BIGINT','elevation':'VARCHAR',
+                        'dem':'VARCHAR','timezone':'VARCHAR',
+                        'modification_date':'VARCHAR'}})
+            ), ex AS (
+                SELECT geonameid, feature_class,
+                       unnest(list_distinct(list_filter(
+                           list_concat([name, asciiname],
+                               string_split(coalesce(alternatenames, ''), ',')),
+                           x -> x IS NOT NULL AND length(trim(x)) > 0
+                       ))) AS alias
+                FROM geo
+            )
+            SELECT trim(alias) AS alias,
+                   'GEO:' || CAST(geonameid AS VARCHAR) AS canonical_id,
+                   CASE feature_class WHEN 'P' THEN 'CITY'
+                        WHEN 'A' THEN 'STATE' WHEN 'L' THEN 'COUNTRY'
+                        ELSE 'PLACE' END AS entity_type
+            FROM ex
         """,
         "mode_event_type": """
             SELECT user_id, top_event_type, n_events FROM (

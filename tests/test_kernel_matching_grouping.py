@@ -147,3 +147,23 @@ def test_entities_with_positions():
         (["Acme"], "ORG"),
     ]
     assert spans == [(2, 4), (8, 8)]
+
+
+def test_substrings_reference_goldens():
+    from webstruct_spark.kernel.utils import substrings
+
+    assert substrings("abc", 1, 100) == ["a", "ab", "abc", "b", "bc", "c"]
+    assert substrings("abc", 2, 100) == ["ab", "abc", "bc"]
+    assert substrings("abc", 1, 2) == ["a", "ab", "b", "bc", "c"]
+    assert substrings("abc", 1, 3, "$") == [
+        "$a", "a", "$ab", "ab", "$abc", "abc", "abc$",
+        "b", "bc", "bc$", "c", "c$",
+    ]
+
+
+def test_human_sorted():
+    from webstruct_spark.kernel.utils import human_sorted
+
+    assert human_sorted(["f10.html", "f2.html", "f1.html"]) == [
+        "f1.html", "f2.html", "f10.html",
+    ]

@@ -111,3 +111,58 @@ def tagged_mentions(
             F.col("m.tok_end").alias("tok_end"),
         )
     )
+
+
+def token_confusion(
+    turns: DataFrame,
+    gazetteer: DataFrame,
+    entity_types: Sequence[str] = DEFAULT_TYPES,
+    text_col: str = "text",
+) -> DataFrame:
+    """M8 analog (reference metrics.py:97-109): token-level
+    (gold_tag, pred_tag) confusion counts.  The marker-derived gold
+    tags and the model-predicted tags align token-for-token because
+    both tag the marker-free clean token stream."""
+    spark = turns.sparkSession
+    gaz_rows = gazetteer.select("alias", "entity_type").collect()
+    alias_map: Dict[str, str] = {}
+    for r in gaz_rows:
+        a = r["alias"]
+        if a not in alias_map or r["entity_type"] < alias_map[a]:
+            alias_map[a] = r["entity_type"]
+    bc = spark.sparkContext.broadcast((alias_map, tuple(entity_types)))
+
+    from ..kernel.bilou import encode_tokens
+    from ..kernel.tokenize import default_segment_words
+
+    pair_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("tag_gold", T.StringType()),
+                T.StructField("tag_pred", T.StringType()),
+            ]
+        )
+    )
+
+    @pandas_udf(pair_type)
+    def confusion_udf(texts: pd.Series) -> pd.Series:
+        amap, types = bc.value
+        model = RuleModel(amap, types)
+        out = []
+        for t in texts:
+            toks = default_segment_words(t or "")
+            chars = [x[0] for x in toks]
+            idx_tags = encode_tokens(chars)
+            clean = [chars[i] for i, _ in idx_tags]
+            gold = [tag for _, tag in idx_tags]
+            pred = model.predict(clean)
+            out.append(
+                [dict(tag_gold=g, tag_pred=p) for g, p in zip(gold, pred)]
+            )
+        return pd.Series(out)
+
+    pairs = turns.select(F.explode(confusion_udf(text_col)).alias("p"))
+    return pairs.groupBy(
+        F.col("p.tag_gold").alias("tag_gold"),
+        F.col("p.tag_pred").alias("tag_pred"),
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))

@@ -43,6 +43,41 @@ GEONAMES_SCHEMA = T.StructType(
 
 _CLASS_TO_TYPE = {"P": "CITY", "A": "STATE", "L": "COUNTRY"}
 
+_SAMPLE_NAMES = (
+    "Dallas Austin Boston Denver Seattle Portland Atlanta Chicago "
+    "Phoenix Tucson Omaha Boise Raleigh Memphis Nashville Tulsa "
+    "Fresno Oakland Anaheim Tampa Orlando Reno Spokane Lubbock"
+).split()
+
+
+def materialize_sample_tsv(path: str, n: int = 120) -> str:
+    """Deterministic GeoNames-format sample TSV (no external data):
+    n rows cycling through name stems with synthetic alternate names,
+    feature classes and populations."""
+    import os
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    classes = ["P", "A", "L", "H"]
+    lines = []
+    for i in range(n):
+        stem = _SAMPLE_NAMES[i % len(_SAMPLE_NAMES)]
+        name = "%s %d" % (stem, i) if i >= len(_SAMPLE_NAMES) else stem
+        alts = "%s City,Old %s" % (name, name) if i % 3 else ""
+        fclass = classes[i % 4]
+        pop = (i * 9173) % 1000000
+        cols = [
+            str(100000 + i), name, name, alts, "10.5", "-20.25",
+            fclass, "PPL", "US", "", "TX", "", "", "",
+            str(pop), "", "100", "America/Chicago", "2020-01-01",
+        ]
+        lines.append("\t".join(cols))
+    with open(path + ".tmp", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(path + ".tmp", path)
+    return path
+
 
 def read_geonames(spark: SparkSession, path: str) -> DataFrame:
     """Read a GeoNames-format TSV dump with the fixed schema."""

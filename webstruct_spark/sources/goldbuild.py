@@ -62,7 +62,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "3"  # bump when gold tables/semantics change
+GOLD_VERSION = "4"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -264,9 +264,14 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
             alias_map[a] = e["entity_type"]
     model = RuleModel(alias_map, DEFAULT_TYPES)
     tagged_rows: List[dict] = []
+    confusion: Counter = Counter()
     for r in rows:
         toks = plain_tokens(r["text"])
         tags = model.predict(toks)
+        # token-level confusion vs marker-derived gold tags (M8)
+        pairs = extract_turn(r["text"])
+        gold_tags = [p[1] for p in pairs]
+        confusion.update(zip(gold_tags, tags))
         mi = 0
         for items, etype in decode_mentions(list(range(len(toks))), tags):
             tagged_rows.append(
@@ -289,6 +294,21 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
                 ("mention_idx", pa.int32()),
                 ("text", pa.string()),
                 ("entity_type", pa.string()),
+            ]
+        ),
+    )
+
+    write(
+        "gold_token_confusion.parquet",
+        [
+            dict(tag_gold=g, tag_pred=p, n_tokens=c)
+            for (g, p), c in sorted(confusion.items())
+        ],
+        pa.schema(
+            [
+                ("tag_gold", pa.string()),
+                ("tag_pred", pa.string()),
+                ("n_tokens", pa.int64()),
             ]
         ),
     )
