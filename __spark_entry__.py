@@ -144,6 +144,19 @@ def _q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization: triple endpoints resolved to canonical
+    node ids (broadcast joins against the canonicalization links)."""
+    from webstruct_spark.operators.canon import canonicalize
+    from webstruct_spark.operators.extract import mentions
+    from webstruct_spark.operators.graph import materialize_edges
+    from webstruct_spark.operators.triples_op import triples
+
+    t = _transcripts(spark, sf_dir)
+    links, _nodes = canonicalize(mentions(t), _gazetteer(spark, sf_dir))
+    return materialize_edges(triples(_group_entities_df(spark, sf_dir)), links)
+
+
 def _q_kg_tagged_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 Viterbi tagger path on plain (marker-stripped) text with the
     broadcast rule/gazetteer model — vs the single-node run of the
@@ -403,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_groups": _q_kg_groups,
         "kg_links": _q_kg_links,
         "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
         "kg_triple_prf": _q_kg_triple_prf,
         "kg_tagged_mentions": _q_kg_tagged_mentions,
         "kg_mention_prf": _q_kg_mention_prf,
@@ -551,6 +565,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_id, entity_type, canonical_text, n_surfaces,
                    n_mentions
             FROM read_parquet('{g("gold_nodes.parquet")}')
+        """,
+        "kg_edges": f"""
+            SELECT subj_node, pred, obj_node, subj, obj, conv_id,
+                   group_id, triple_idx
+            FROM read_parquet('{g("gold_edges.parquet")}')
         """,
         "kg_triple_prf": f"""
             SELECT count(*) AS tp, count(*) AS n_pred, count(*) AS n_gold,

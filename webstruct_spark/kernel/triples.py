@@ -32,16 +32,23 @@ def subject_index(entities: Sequence[Entity]) -> int:
     return 0
 
 
-def assemble_triples(entities: Sequence[Entity]) -> List[Triple]:
-    """Triples for one entity group (possibly empty for singleton
-    groups)."""
+def assemble_triples_typed(
+    entities: Sequence[Entity],
+) -> List[Tuple[str, str, str, str, str]]:
+    """(subj, pred, obj, subj_type, obj_type) per triple."""
     if len(entities) < 2:
         return []
     si = subject_index(entities)
-    subj = entities[si][0]
-    out: List[Triple] = []
+    subj, subj_type = entities[si]
+    out: List[Tuple[str, str, str, str, str]] = []
     for i, (text, etype) in enumerate(entities):
         if i == si:
             continue
-        out.append((subj, "has_" + etype.lower(), text))
+        out.append((subj, "has_" + etype.lower(), text, subj_type, etype))
     return out
+
+
+def assemble_triples(entities: Sequence[Entity]) -> List[Triple]:
+    """Triples for one entity group (possibly empty for singleton
+    groups)."""
+    return [(s, p, o) for s, p, o, _st, _ot in assemble_triples_typed(entities)]

@@ -30,7 +30,7 @@ def triples(group_entities: DataFrame) -> DataFrame:
     )
     ge = ge.withColumn(
         "_subj",
-        F.min(F.struct("_prio", "entity_idx", "text")).over(w),
+        F.min(F.struct("_prio", "entity_idx", "text", "entity_type")).over(w),
     )
     members = ge.where(F.col("entity_idx") != F.col("_subj.entity_idx"))
     wo = Window.partitionBy("conv_id", "group_id").orderBy("entity_idx")
@@ -41,6 +41,8 @@ def triples(group_entities: DataFrame) -> DataFrame:
         F.col("_subj.text").alias("subj"),
         F.concat(F.lit("has_"), F.lower("entity_type")).alias("pred"),
         F.col("text").alias("obj"),
+        F.col("_subj.entity_type").alias("subj_type"),
+        F.col("entity_type").alias("obj_type"),
     )
 
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 # bump when any stage table's schema/layout changes: resuming into an
 # older layout rebuilds instead of serving stale outputs
-LAYOUT_VERSION = "2-flat-rows"
+LAYOUT_VERSION = "3-graph-edges"
 
 STAGES = [
     "extracted",
@@ -48,6 +48,7 @@ STAGES = [
     "triples",
     "links",
     "nodes",
+    "edges",
 ]
 
 
@@ -72,6 +73,7 @@ def build_kg(
         "triples": ["group_entities"],
         "links": ["mentions", "gazetteer"],
         "nodes": ["mentions", "gazetteer"],
+        "edges": ["triples", "links"],
     }
 
     def run_stage(stage: str, df_builder) -> str:
@@ -126,4 +128,14 @@ def build_kg(
                        inputs=STAGE_INPUTS["nodes"])
     paths["links"] = man.stage_path("links")
     paths["nodes"] = man.stage_path("nodes")
+
+    links_tbl = spark.read.parquet(paths["links"])
+    triples_tbl = spark.read.parquet(paths["triples"])
+
+    def edges_builder() -> DataFrame:
+        from ..operators.graph import materialize_edges
+
+        return materialize_edges(triples_tbl, links_tbl)
+
+    paths["edges"] = run_stage("edges", edges_builder)
     return paths

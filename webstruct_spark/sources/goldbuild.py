@@ -42,7 +42,7 @@ from ..kernel.canon import (
 from ..kernel.grouping import best_clustering, block_positions
 from ..kernel.smartjoin import smart_join
 from ..kernel.tokenize import default_segment_words
-from ..kernel.triples import assemble_triples
+from ..kernel.triples import assemble_triples_typed
 
 DONT_PENALIZE: Set[str] = {"TEL", "FAX"}
 
@@ -62,7 +62,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "4"  # bump when gold tables/semantics change
+GOLD_VERSION = "5"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -131,7 +131,9 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
                     first_turn=int(cluster[0][0][0][1]),
                 )
             )
-            for si, (s, p, o) in enumerate(assemble_triples(entities)):
+            for si, (s, p, o, st, ot) in enumerate(
+                assemble_triples_typed(entities)
+            ):
                 triple_rows.append(
                     dict(
                         conv_id=conv_id,
@@ -140,6 +142,8 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
                         subj=s,
                         pred=p,
                         obj=o,
+                        subj_type=st,
+                        obj_type=ot,
                     )
                 )
 
@@ -219,6 +223,41 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
                 ("subj", pa.string()),
                 ("pred", pa.string()),
                 ("obj", pa.string()),
+                ("subj_type", pa.string()),
+                ("obj_type", pa.string()),
+            ]
+        ),
+    )
+
+    # graph materialization gold: resolve endpoints to node ids
+    link_map = {(lr["entity_type"], lr["norm_text"]): lr["node_id"]
+                for lr in link_rows}
+    edge_rows: List[dict] = []
+    for t in triple_rows:
+        sn = link_map.get((t["subj_type"], norm_text(t["subj"])))
+        on = link_map.get((t["obj_type"], norm_text(t["obj"])))
+        if sn is None or on is None:
+            continue  # lossless in practice: every mention surface links
+        edge_rows.append(
+            dict(
+                subj_node=sn, pred=t["pred"], obj_node=on,
+                subj=t["subj"], obj=t["obj"], conv_id=t["conv_id"],
+                group_id=t["group_id"], triple_idx=t["triple_idx"],
+            )
+        )
+    write(
+        "gold_edges.parquet",
+        edge_rows,
+        pa.schema(
+            [
+                ("subj_node", pa.string()),
+                ("pred", pa.string()),
+                ("obj_node", pa.string()),
+                ("subj", pa.string()),
+                ("obj", pa.string()),
+                ("conv_id", pa.string()),
+                ("group_id", pa.string()),
+                ("triple_idx", pa.int32()),
             ]
         ),
     )
