@@ -140,3 +140,25 @@ def test_tagger_quality_gate(spark, corpus_dir):
         pred, gold, ["conv_id", "turn_idx", "text", "entity_type"]
     ).collect()[0]
     assert prf["f1_x1e6"] > 500_000, dict(prf.asDict())
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from webstruct_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(23)
+    centers = rng.randn(12, 16).astype(np.float32) * 3
+    mat = np.vstack(
+        [centers[i % 12] + rng.randn(16).astype(np.float32) * 0.3
+         for i in range(360)]
+    )
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(360)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = rows[:5]
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    a1 = ivf_topk(emb, queries, k=3, n_centroids=12, n_probe=3).collect()
+    a2 = ivf_topk(emb, queries, k=3, n_centroids=12, n_probe=3).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))  # deterministic
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in a1}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8

@@ -113,6 +113,118 @@ def brute_force_topk(
 
 
 # --------------------------------------------------------------------------
+# IVF variant: deterministic k-means coarse quantizer + cell probing
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a fixed sample (the ``sample``
+    smallest ids — order-free), driver-side numpy.  Centroid init =
+    evenly spaced rows of the id-sorted sample; empty cells re-seed
+    from the farthest point (deterministic argmax)."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    mat = _normalize_rows(
+        np.array([list(r[vec_col]) for r in rows], dtype=np.float32)
+    )
+    n = mat.shape[0]
+    k = min(n_centroids, n)
+    idx = np.linspace(0, n - 1, k).astype(int)
+    cent = mat[idx].copy()
+    for _ in range(iters):
+        sims = mat.astype(np.float64) @ cent.T.astype(np.float64)
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                cent[c] = (m / norm if norm else cent[c]).astype(np.float32)
+            else:
+                # deterministic re-seed: farthest point from its centroid
+                d = 1.0 - sims[np.arange(n), assign]
+                cent[c] = mat[int(np.argmax(d))]
+    return cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: List[Tuple[int, List[float]]],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF coarse quantizer: corpus
+    vectors are bucketed by nearest centroid; each query probes its
+    ``n_probe`` nearest cells and reranks exactly inside them.
+
+    recall/latency dial = (n_centroids, n_probe); recall gauged vs
+    brute force in tests."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = train_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize_rows(np.array([q[1] for q in queries], dtype=np.float32))
+    q_sims = q_mat.astype(np.float64) @ centroids.T.astype(np.float64)
+    n_probe = min(n_probe, centroids.shape[0])
+    probe: dict = {}
+    for qi in range(len(queries)):
+        cells = np.argsort(-q_sims[qi])[:n_probe]
+        for c in cells:
+            probe.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, centroids, probe))
+
+    src = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, cent, pr = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            corpus = _normalize_rows(np.vstack(pdf["vec"].to_numpy()))
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cells = np.argmax(
+                corpus.astype(np.float64) @ cent.T.astype(np.float64), axis=1
+            )
+            out_q, out_n, out_s = [], [], []
+            for j in range(corpus.shape[0]):
+                qis = pr.get(int(cells[j]))
+                if not qis:
+                    continue
+                sims = mat[qis].astype(np.float64) @ corpus[j].astype(np.float64)
+                for t, qi in enumerate(qis):
+                    if exclude_self and nids[j] == ids[qi]:
+                        continue
+                    out_q.append(ids[qi])
+                    out_n.append(nids[j])
+                    out_s.append(float(sims[t]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cands = src.mapInPandas(local, TOPK_SCHEMA)
+    return topk_merge(cands, k)
+
+
+# --------------------------------------------------------------------------
 # LSH variant
 
 
