@@ -59,10 +59,19 @@ _OPEN_QUOTE = re.compile(r'(^|[\s(\[{<])"')
 
 _DROPPED_STANDALONE = frozenset({",", ";"})
 
+# Fast-path safety: a whitespace-delimited word that contains none of
+# these triggers scans to itself as a single token in any context.
+# Rules 8 (final dot) and 10 ('-before-whitespace) are context
+# dependent and handled by the endswith checks in `_scan`; no trigger
+# pattern can span a whitespace gap, so word-local scanning with a
+# one-space boundary sentinel is exactly equivalent to the full-
+# segment scan (differential-fuzzed vs the reference implementation).
+_UNSAFE = re.compile(r'[“"”`…,;#$£%&|!?\[\](){}<>]')
+_WORD_RE = re.compile(r"\S+")
 
-def _scan(segment: str, base: int, out: List[Token]) -> None:
-    """Scan one quote-free segment, appending tokens with offsets
-    shifted by ``base``."""
+
+def _scan_core(segment: str, base: int, out: List[Token]) -> None:
+    """The rule scanner: single alternation pass over a segment."""
     last = 0
     for m in _SCANNER.finditer(segment):
         start = m.start()
@@ -75,6 +84,46 @@ def _scan(segment: str, base: int, out: List[Token]) -> None:
         last = m.end()
     if last < len(segment):
         out.append((segment[last:], base + last, len(segment) - last))
+
+
+def _scan(segment: str, base: int, out: List[Token]) -> None:
+    """Scan one quote-free segment, appending tokens with offsets
+    shifted by ``base``.
+
+    Words without rule-trigger characters bypass the scanner entirely;
+    unsafe words are scanned with a trailing-space sentinel when they
+    are not segment-final (so the $-anchored and whitespace-lookahead
+    rules see the same context as in the full-segment scan)."""
+    seglen = len(segment)
+    unsafe_search = _UNSAFE.search
+    append = out.append
+    for m in _WORD_RE.finditer(segment):
+        w = m.group()
+        end = m.end()
+        # `$` matches at segment end AND just before one final newline
+        # (Python re semantics) — a trailing dot is rule-8-splittable
+        # exactly when nothing but "" or "\n" follows the word.
+        at_dollar = end == seglen or (
+            end == seglen - 1 and segment[seglen - 1] == "\n"
+        )
+        if (
+            unsafe_search(w) is None
+            and "--" not in w
+            and "..." not in w
+            and "''" not in w
+            and not w.endswith("'")
+            and not (at_dollar and w.endswith("."))
+        ):
+            append((w, base + m.start(), len(w)))
+        elif end == seglen:
+            _scan_core(w, base + m.start(), out)
+        elif at_dollar:
+            # followed by the segment-final newline: sentinel "\n"
+            # preserves both rule 8 ($ before final newline) and the
+            # whitespace lookahead of rule 10
+            _scan_core(w + "\n", base + m.start(), out)
+        else:
+            _scan_core(w + " ", base + m.start(), out)
 
 
 def segment_words(text: str) -> List[Token]:
