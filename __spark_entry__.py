@@ -181,6 +181,21 @@ def _q_kg_mention_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_prf(pred, gold, ["conv_id", "turn_idx", "text", "entity_type"])
 
 
+def _q_kg_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: per-conversation F1 of the tagger vs injected gold,
+    macro-averaged (integer-exact: macro = sum_f1_x1e6/(1e6·n_docs))."""
+    from webstruct_spark.operators.extract import mentions
+    from webstruct_spark.operators.metrics import macro_avg_f1
+    from webstruct_spark.operators.tagger import tagged_mentions
+
+    t = _transcripts(spark, sf_dir)
+    pred = tagged_mentions(t, _gazetteer(spark, sf_dir))
+    gold = mentions(t)
+    return macro_avg_f1(
+        pred, gold, keys=["conv_id", "turn_idx", "text", "entity_type"]
+    )
+
+
 def _q_token_shape_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 feature over every clean token (JVM-side regex ladder),
     aggregated — checked against the single-node shape distribution."""
@@ -420,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_prf": _q_kg_triple_prf,
         "kg_tagged_mentions": _q_kg_tagged_mentions,
         "kg_mention_prf": _q_kg_mention_prf,
+        "kg_macro_f1": _q_kg_macro_f1,
         "token_shape_dist": _q_token_shape_dist,
         "token_confusion": _q_token_confusion,
         "geonames_aliases": _q_geonames_aliases,
@@ -581,6 +597,35 @@ def oracle_sql() -> dict[str, str]:
         "kg_tagged_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, text, entity_type
             FROM read_parquet('{g("gold_tagged_mentions.parquet")}')
+        """,
+        "kg_macro_f1": f"""
+            WITH p AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_tagged_mentions.parquet")}')
+            ), gm AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_mentions.parquet")}')
+            ), tp AS (
+                SELECT conv_id, count(*) AS tp FROM p
+                JOIN gm USING (conv_id, turn_idx, text, entity_type)
+                GROUP BY conv_id
+            ), np AS (
+                SELECT conv_id, count(*) AS n_pred FROM p GROUP BY conv_id
+            ), ng AS (
+                SELECT conv_id, count(*) AS n_gold FROM gm GROUP BY conv_id
+            ), per AS (
+                SELECT coalesce(ng.conv_id, np.conv_id) AS conv_id,
+                       coalesce(tp.tp, 0) AS tp,
+                       coalesce(np.n_pred, 0) AS n_pred,
+                       coalesce(ng.n_gold, 0) AS n_gold
+                FROM ng FULL OUTER JOIN np USING (conv_id)
+                LEFT JOIN tp ON tp.conv_id = coalesce(ng.conv_id, np.conv_id)
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n_pred + n_gold > 0
+                        THEN CAST(floor(2000000 * tp / (n_pred + n_gold)) AS BIGINT)
+                        ELSE 1000000 END) AS BIGINT) AS sum_f1_x1e6
+            FROM per
         """,
         "kg_mention_prf": f"""
             WITH p AS (

@@ -57,10 +57,16 @@ def macro_avg_f1(
     pred_mentions: DataFrame,
     gold_mentions: DataFrame,
     doc_col: str = "conv_id",
+    keys: Optional[List[str]] = None,
 ) -> DataFrame:
     """Per-document F1 then unweighted mean (reference
-    avg_bio_f1_score, metrics.py:83-94)."""
-    keys = [doc_col, "turn_idx", "tok_start", "tok_end", "entity_type"]
+    avg_bio_f1_score, metrics.py:83-94).
+
+    Output is engine-exact integers: (n_docs, sum_f1_x1e6) with
+    per-doc f1_x1e6 = floor(2e6·tp/(n_pred+n_gold)); macro F1 =
+    sum_f1_x1e6 / (1e6·n_docs), computed by the reader."""
+    keys = keys or [doc_col, "turn_idx", "tok_start", "tok_end",
+                    "entity_type"]
     p = pred_mentions.select(*keys).distinct()
     g = gold_mentions.select(*keys).distinct()
     tp = (
@@ -75,11 +81,17 @@ def macro_avg_f1(
         .join(tp, doc_col, "left")
         .fillna(0, ["tp", "n_pred", "n_gold"])
         .withColumn(
-            "f1",
+            "f1_x1e6",
             F.when(
                 (F.col("n_pred") + F.col("n_gold")) > 0,
-                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_gold")),
-            ).otherwise(F.lit(1.0)),
+                F.floor(
+                    F.lit(2_000_000) * F.col("tp")
+                    / (F.col("n_pred") + F.col("n_gold"))
+                ),
+            ).otherwise(F.lit(1_000_000)).cast("bigint"),
         )
     )
-    return per_doc.agg(F.round(F.avg("f1"), 6).alias("macro_f1"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f1_x1e6").alias("sum_f1_x1e6"),
+    )
