@@ -518,7 +518,7 @@ def _ngram_jaccard_oracle() -> str:
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
     """
 
 

@@ -23,8 +23,7 @@ STOPWORDS = (
 ).split()
 
 
-def norm_text_col(c: Column) -> Column:
-    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+from ..operators.linking import norm_text_col  # shared definition
 
 
 def words_col(c: Column) -> Column:

@@ -45,20 +45,22 @@ DIRECTIONS = (
     "northeast southeast southwest northwest"
 ).split()
 
-# T16 month/weekday alternations (features/datetime_format.py:6-53,
-# EN + NL lists)
+# T16 month/weekday sets: the exact flattened EN+NL unions from the
+# reference (features/datetime_format.py:6-53), lowercased — the
+# reference regex is ^(...)$ with IGNORECASE, so case-insensitive set
+# membership is equivalent.
 MONTHS = (
-    "january february march april may june july august september "
-    "october november december jan feb mar apr jun jul aug sep sept "
-    "oct nov dec jan. feb. mar. apr. jun. jul. aug. sep. sept. oct. "
-    "nov. dec. januari februari maart mei juni juli augustus "
-    "oktober". split()
+    "jan january januari jan. feb february februari feb. "
+    "mar mrt maart march mrt. maa. maa apr april apr. may mei "
+    "jun june juni jun. jul july juli jul. aug august augustus aug. "
+    "sep september sep. okt oct october oktober okt. nov november "
+    "nov. dec december dec.".split()
 )
 WEEKDAYS = (
-    "monday tuesday wednesday thursday friday saturday sunday mon tue "
-    "wed thu fri sat sun mon. tue. wed. thu. fri. sat. sun. maandag "
-    "dinsdag woensdag donderdag vrijdag zaterdag zondag ma di wo do "
-    "vr za zo".split()
+    "mon monday maandag ma. ma tue tuesday dinsdag di. di "
+    "wed wednesday woensdag wo. wo thu thursday donderdag do. do "
+    "fri friday vrijdag vr. vr sat saturday zaterdag za. za "
+    "sun sunday zondag zo. zo".split()
 )
 
 RANGES = "t/m - van tot from to".split()

@@ -52,8 +52,22 @@ class LongestMatcher:
     def _candidates(self, tokens: Sequence[str]) -> List[Range]:
         res: List[Range] = []
         n = len(tokens)
+        known = self._known
+        if any(" " in t for t in tokens):
+            # tokens containing whitespace defeat the first-token index
+            # (joined lookups no longer start at token boundaries) —
+            # use the reference's exact length loop for the whole call
+            for i in range(n):
+                max_len = min(self.max_length, n - i)
+                for length in range(max_len, 0, -1):
+                    lookup = " ".join(tokens[i : i + length])
+                    if lookup in known:
+                        res.append((i, i + length, lookup))
+                        break
+            return res
         for i in range(n):
-            lens = self._first.get(tokens[i])
+            tok = tokens[i]
+            lens = self._first.get(tok)
             if not lens:
                 continue
             remaining = n - i
@@ -61,7 +75,7 @@ class LongestMatcher:
                 if length > remaining or length > self.max_length:
                     continue
                 lookup = " ".join(tokens[i : i + length])
-                if lookup in self._known:
+                if lookup in known:
                     res.append((i, i + length, lookup))
                     break  # longest-at-position wins; move to next i
         return res

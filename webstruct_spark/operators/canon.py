@@ -26,7 +26,7 @@ def surface_key_col(entity_type, norm_text):
 def connected_components_df(
     vertices: DataFrame,
     edges: DataFrame,
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """vertices: (node); edges: (src, dst).  Returns (node, label) with
     label = min member key of the node's component.
@@ -68,8 +68,11 @@ def connected_components_df(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        "connected_components_df did not converge within %d iterations "
+        "(component diameter too large) — raise max_iter" % max_iter
+    )
 
 
 def fuzzy_edges(

@@ -39,8 +39,7 @@ from ..kernel.dedup import (
 )
 
 
-def norm_text_col(c):
-    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+from .linking import norm_text_col  # single shared definition
 
 
 def exact_duplicate_groups(
@@ -218,7 +217,6 @@ def ngram_jaccard_pairs(
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .where(jac >= threshold)  # threshold the exact value, round for output
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

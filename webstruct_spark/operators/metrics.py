@@ -64,7 +64,14 @@ def macro_avg_f1(
 
     Output is engine-exact integers: (n_docs, sum_f1_x1e6) with
     per-doc f1_x1e6 = floor(2e6·tp/(n_pred+n_gold)); macro F1 =
-    sum_f1_x1e6 / (1e6·n_docs), computed by the reader."""
+    sum_f1_x1e6 / (1e6·n_docs), computed by the reader.
+
+    Divergence from the reference: the document universe here is the
+    docs appearing in EITHER mention table — documents with zero gold
+    and zero predicted mentions are invisible to mention-level inputs
+    and are not counted (the reference averages over its explicit doc
+    list, scoring such docs 0.0).  Pass a pre-joined frame that
+    includes empty docs if the reference denominator is required."""
     keys = keys or [doc_col, "turn_idx", "tok_start", "tok_end",
                     "entity_type"]
     p = pred_mentions.select(*keys).distinct()

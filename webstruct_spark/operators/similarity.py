@@ -94,11 +94,14 @@ def brute_force_topk(
             # +1 slot when excluding self: the query's own vector may
             # occupy one local top-k slot
             kk = min(k + (1 if exclude_self else 0), sims.shape[1])
-            # local per-query top-k by partial sort
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s = [], [], []
             for qi in range(sims.shape[0]):
-                for j in idx[qi]:
+                # deterministic local cut: (sim desc, neighbor_id asc)
+                # tie-break — a bare argpartition drops arbitrary
+                # members of a tie straddling the kk boundary, which
+                # would make results depend on batch shape
+                order = np.lexsort((nids, -sims[qi]))[:kk]
+                for j in order:
                     if exclude_self and nids[j] == ids[qi]:
                         continue
                     out_q.append(ids[qi])
@@ -268,14 +271,21 @@ def lsh_topk(
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = _normalize_rows(np.array([q[1] for q in queries], dtype=np.float32))
     q_buckets = _bucket_of(q_mat, planes)
-    # probe set per query: own bucket + single-bit flips (multiprobe=1)
+    # probe set per query: own bucket + all buckets within `multiprobe`
+    # bit flips
+    from itertools import combinations
+
+    flip_masks = [0]
+    for r in range(1, max(0, multiprobe) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flip_masks.append(m)
     probe: dict = {}
     for qi, b in enumerate(q_buckets):
-        probes = {int(b)}
-        if multiprobe >= 1:
-            probes |= {int(b) ^ (1 << j) for j in range(n_planes)}
-        for pb in probes:
-            probe.setdefault(pb, []).append(qi)
+        for m in flip_masks:
+            probe.setdefault(int(b) ^ m, []).append(qi)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, planes, probe))
 
     src = embeddings.select(

@@ -21,19 +21,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, key: str, n_salts: int = 16,
+def with_salt(df: DataFrame, n_salts: int = 16,
               salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from the row content hash (stable
-    across retries, unlike rand())."""
+    """Row-position salt: spreads even byte-identical duplicate rows
+    of a hot key across reducers (a content hash would give every
+    duplicate the same salt and re-create the skew).  The salt value
+    never reaches results — only row distribution — so the
+    partition-dependence of monotonically_increasing_id is harmless."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        salt_col,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
     )
 
 
 def salted_count(df: DataFrame, key_cols: list, n_salts: int = 16) -> DataFrame:
     """Two-stage exact count per key: partial count per (key, salt) →
     final sum per key."""
-    salted = with_salt(df, key_cols[0], n_salts)
+    salted = with_salt(df, n_salts)
     partial = salted.groupBy(*key_cols, "_salt").agg(
         F.count(F.lit(1)).alias("_partial")
     )

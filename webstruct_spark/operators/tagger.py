@@ -42,6 +42,22 @@ DEFAULT_TYPES = (
 )
 
 
+# worker-level model cache: RuleModel compilation (LongestMatcher
+# prefilter over the whole gazetteer) happens once per executor per
+# broadcast, not once per Arrow batch
+_MODEL_CACHE: Dict[int, RuleModel] = {}
+
+
+def _model_for(bc, key) -> RuleModel:
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        amap, types = bc.value
+        model = RuleModel(amap, types)
+        _MODEL_CACHE.clear()  # old broadcasts are dead weight
+        _MODEL_CACHE[key] = model
+    return model
+
+
 def plain_tokens(text: str) -> List[str]:
     """Marker-free token stream (what an unlabeled turn looks like)."""
     out = []
@@ -72,11 +88,13 @@ def tagged_mentions(
         if a not in alias_map or r["entity_type"] < alias_map[a]:
             alias_map[a] = r["entity_type"]
     bc = spark.sparkContext.broadcast((alias_map, tuple(entity_types)))
+    # driver-side cache key, stable for this broadcast's lifetime
+    cache_key = "tag-%d-%d-%d" % (id(alias_map), len(alias_map),
+                                  len(entity_types))
 
     @pandas_udf(PRED_MENTION_TYPE)
     def predict_udf(texts: pd.Series) -> pd.Series:
-        amap, types = bc.value
-        model = RuleModel(amap, types)
+        model = _model_for(bc, cache_key)
         out = []
         for t in texts:
             toks = plain_tokens(t)
@@ -131,6 +149,8 @@ def token_confusion(
         if a not in alias_map or r["entity_type"] < alias_map[a]:
             alias_map[a] = r["entity_type"]
     bc = spark.sparkContext.broadcast((alias_map, tuple(entity_types)))
+    cache_key = "conf-%d-%d-%d" % (id(alias_map), len(alias_map),
+                                   len(entity_types))
 
     from ..kernel.bilou import encode_tokens
     from ..kernel.tokenize import default_segment_words
@@ -146,8 +166,7 @@ def token_confusion(
 
     @pandas_udf(pair_type)
     def confusion_udf(texts: pd.Series) -> pd.Series:
-        amap, types = bc.value
-        model = RuleModel(amap, types)
+        model = _model_for(bc, cache_key)
         out = []
         for t in texts:
             toks = default_segment_words(t or "")
