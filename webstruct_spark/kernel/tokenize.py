@@ -126,9 +126,10 @@ def _scan(segment: str, base: int, out: List[Token]) -> None:
             _scan_core(w + " ", base + m.start(), out)
 
 
-def segment_words(text: str) -> List[Token]:
+def segment_words_py(text: str) -> List[Token]:
     """WordTokenizer-parity segmentation: list of (chars, position,
-    length) covering ``text``."""
+    length) covering ``text``.  Pure-Python path; also the
+    differential oracle for the native kernel."""
     out: List[Token] = []
     start = 0
     for q in _OPEN_QUOTE.finditer(text):
@@ -140,11 +141,30 @@ def segment_words(text: str) -> List[Token]:
     return out
 
 
-def default_segment_words(text: str) -> List[Token]:
+def default_segment_words_py(text: str) -> List[Token]:
     """DefaultTokenizer parity: ``segment_words`` minus standalone
     ``,`` / ``;`` tokens (reference drops them because they break tag
     sets, ``text_tokenizers.py:201-214``)."""
-    return [t for t in segment_words(text) if t[0] not in _DROPPED_STANDALONE]
+    return [
+        t for t in segment_words_py(text) if t[0] not in _DROPPED_STANDALONE
+    ]
+
+
+# Native C kernel (gcc-compiled on first use; tests/test_ctok_differential.py
+# fuzzes it against the Python oracle above).  Falls back transparently.
+try:
+    from ._ctok_build import load as _load_ctok
+
+    ctok = _load_ctok()
+except Exception:  # pragma: no cover - build environment without gcc
+    ctok = None
+
+if ctok is not None:
+    segment_words = ctok.segment_words
+    default_segment_words = ctok.default_segment_words
+else:  # pragma: no cover
+    segment_words = segment_words_py
+    default_segment_words = default_segment_words_py
 
 
 def tokenize_batch(
