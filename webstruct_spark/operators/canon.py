@@ -1,15 +1,14 @@
 # -*- coding: utf-8 -*-
 """Canonicalization: connected components over the surface↔canonical
-edge list, as iterative DataFrame joins (min-label propagation — the
-DataFrame form of small-star/large-star), with periodic
-localCheckpoint to cut lineage.
+edge list via alternating large-star/small-star DataFrame rounds,
+with per-round localCheckpoint to cut lineage.
 
 Component id = lexicographic min member key, identical to the
 single-node union-find in ``webstruct_spark.kernel.canon`` (gold
 builder + fixed-point tests).  On the alias graph components are
-stars (diameter ≤ 2) so this converges in 2 iterations, but the
-operator is general: near-duplicate or blocking-key edges from the
-dedup operators plug into the same loop.
+stars (diameter ≤ 2, 1-2 rounds), but the operator is general and
+O(log n)-round on arbitrary graphs: near-duplicate or blocking-key
+edges from the dedup operators plug into the same loop.
 """
 from __future__ import annotations
 
@@ -23,56 +22,104 @@ def surface_key_col(entity_type, norm_text):
     return F.concat(F.lit("t:"), entity_type, F.lit(":"), norm_text)
 
 
+def _edge_signature(e: DataFrame):
+    """One-row fingerprint of a (checkpointed) canonical edge set:
+    (count, sum of xxhash64(u, v)).  Computed as a single tiny
+    aggregation job — this IS the convergence check; there is no
+    old-vs-new join and no lineage re-execution."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components_df(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 50,
-) -> DataFrame:
+    return_rounds: bool = False,
+):
     """vertices: (node); edges: (src, dst).  Returns (node, label) with
-    label = min member key of the node's component.
+    label = min member key of the node's component (ties in the
+    single-node union-find gold builder resolve the same way).
 
-    Every iteration materializes via localCheckpoint — the convergence
-    check re-reads the checkpointed labels instead of re-executing the
-    whole join lineage (without this the loop is quadratic in work).
+    Alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14):
+    converges in O(log n) rounds on ANY graph — including long
+    near-duplicate chains from :func:`fuzzy_edges` — where plain
+    min-label propagation needs O(diameter) rounds.  Each round is two
+    aggregate+join stages over the canonical ``u < v`` edge list; no
+    ``collect_set`` adjacency (hub nodes of a 10^12-turn graph never
+    materialize a neighbor list in one task).
+
+    * large-star: every node connects its *larger* neighbors to the
+      minimum of its closed neighborhood — long chains halve.
+    * small-star: every node connects its *smaller-or-equal* neighbors
+      (and itself) to that minimum — stars flatten onto the root.
+
+    Convergence = the edge-set fingerprint (count + hash sum, one-row
+    aggregate on the round's checkpointed output) repeating.  The
+    checkpoint bounds lineage; the fingerprint job reads cached blocks.
     """
-    bidir = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    bidir = bidir.localCheckpoint(eager=True)
-    labels = vertices.select(
-        F.col("node"), F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
-    for _i in range(max_iter):
-        nbr_min = (
-            bidir.join(labels, bidir["src"] == labels["node"])
-            .select(bidir["dst"].alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_label"))
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_signature(e)
+    rounds = 0
+    for _i in range(max_iter):
+        # ---- large-star: center c, neighbors n (both directions) ----
+        adj = e.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        cmin = adj.groupBy("c").agg(
+            F.least(F.min("n"), F.first("c")).alias("m")
+        )
+        e = (
+            adj.where(F.col("n") > F.col("c"))
+            .join(cmin, "c")
+            .select(F.col("m").alias("u"), F.col("n").alias("v"))
+            .distinct()
+        )
+        # ---- small-star: center = larger endpoint v ----
+        vmin = e.groupBy("v").agg(F.min("u").alias("m"))
+        leaf_edges = (
+            e.join(vmin, "v")
+            .where(F.col("u") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("u").alias("v"))
+        )
+        root_edges = vmin.select(F.col("m").alias("u"), F.col("v"))
+        e = (
+            leaf_edges.union(root_edges)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        rounds += 1
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            "connected_components_df did not converge within %d rounds"
+            % max_iter
         )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        "connected_components_df did not converge within %d iterations "
-        "(component diameter too large) — raise max_iter" % max_iter
-    )
+    # fixed point: every edge is (component_root, member)
+    star = e.groupBy("v").agg(F.min("u").alias("label"))
+    labels = vertices.join(
+        star, vertices["node"] == star["v"], "left"
+    ).select("node", F.coalesce("label", "node").alias("label"))
+    if return_rounds:
+        return labels, rounds
+    return labels
 
 
 def fuzzy_edges(
