@@ -105,6 +105,7 @@ class RuleModel:
         self.transitions = iob2_transitions(self.tags)
         self.matcher = LongestMatcher(gazetteer) if gazetteer else None
         self.gaz_types = dict(gazetteer or {})
+        self._feat_cache: Dict[str, tuple] = {}
 
     def emissions(self, tokens: Sequence[str], prev_lower: str = "") -> np.ndarray:
         n = len(tokens)
@@ -167,6 +168,228 @@ class RuleModel:
         em = self.emissions(tokens)
         idx = viterbi_decode(em, self.transitions)
         return [self.tags[i] for i in idx]
+
+    # -- batched path (bit-identical; q9 hot path) ----------------------
+
+    _FAX_WORDS = frozenset(("fax:", "fax", "f:"))
+    _STREET_WORDS = frozenset(
+        (
+            "lane", "road", "street", "avenue", "boulevard",
+            "drive", "court", "place", "parkway", "circle",
+        )
+    )
+
+    def _token_feats(self, tok: str) -> tuple:
+        """Context-free per-token features, memoized for the worker's
+        lifetime (token frequency is Zipfian — the cache hit rate on
+        real text is >95%).  Returns (base_row_or_None, is_phone,
+        init_upper, digit34, is_faxword).  base_row holds the
+        context-free emission contributions (excluding the 'O' prior,
+        applied vectorized)."""
+        cached = self._feat_cache.get(tok)
+        if cached is not None:
+            return cached
+        T = len(self.tags)
+        idx = self.tag_index
+        digits = sum(ch.isdigit() for ch in tok)
+        ratio = digits / len(tok) if tok else 0.0
+        mask = "".join("X" if ch.isdigit() else ch for ch in tok)
+        lower = tok.lower()
+        init_upper = tok[:1].isupper()
+        base: Optional[np.ndarray] = None
+
+        def add(tag: str, v: float) -> None:
+            nonlocal base
+            j = idx.get(tag)
+            if j is None:
+                return
+            if base is None:
+                base = np.zeros(T, dtype=np.float64)
+            base[j] += v
+
+        if len(tok) == 5 and digits == 5:
+            add("B-ZIPCODE", 6.0)
+        if "@" in tok and "." in tok.split("@")[-1]:
+            add("B-EMAIL", 9.0)
+        if lower in self._STREET_WORDS:
+            add("I-STREET", 6.0)
+        if init_upper and ratio == 0.0:
+            add("B-PER", 0.2)
+            add("I-ORG", 0.2)
+        feats = (
+            base,
+            mask in _PHONE_PAT,
+            init_upper,
+            tok.isdigit() and 3 <= len(tok) <= 4,
+            lower in self._FAX_WORDS,
+        )
+        if len(self._feat_cache) < 1_000_000:  # bound worker memory
+            self._feat_cache[tok] = feats
+        return feats
+
+    def emissions_batch(
+        self, token_lists: Sequence[Sequence[str]]
+    ) -> List[np.ndarray]:
+        """Vectorized :meth:`emissions` over many turns at once.
+
+        Flattens the batch, applies context-free contributions from the
+        per-token cache, then the context rules (phone/fax, street
+        number, capitalized-after-first) as boolean-mask adds with
+        turn boundaries masked.  Per-cell sums are the same addend
+        sets as the scalar path (all dyadic or two-addend), so the
+        result is float-exact — asserted by tests/test_viterbi_batch.py.
+        """
+        T = len(self.tags)
+        idx = self.tag_index
+        lens = [len(t) for t in token_lists]
+        N = sum(lens)
+        em = np.zeros((N, T), dtype=np.float64)
+        if N == 0:
+            return [em[0:0] for _ in token_lists]
+        em[:, 0] = 1.0  # 'O' prior
+        feats = self._token_feats
+        is_phone = np.zeros(N, dtype=bool)
+        upper = np.zeros(N, dtype=bool)
+        digit34 = np.zeros(N, dtype=bool)
+        faxword = np.zeros(N, dtype=bool)
+        first = np.zeros(N, dtype=bool)
+        last = np.zeros(N, dtype=bool)
+        p = 0
+        for toks in token_lists:
+            if not toks:
+                continue
+            first[p] = True
+            for tok in toks:
+                base, ph, up, d34, fx = feats(tok)
+                if base is not None:
+                    em[p] += base
+                is_phone[p] = ph
+                upper[p] = up
+                digit34[p] = d34
+                faxword[p] = fx
+                p += 1
+            last[p - 1] = True
+        # I-STREET: capitalized token not at turn start (+2)
+        j = idx.get("I-STREET")
+        if j is not None:
+            em[upper & ~first, j] += 2.0
+        # phone shape: B-FAX after a fax word, else B-TEL
+        prev_fax = np.zeros(N, dtype=bool)
+        prev_fax[1:] = faxword[:-1]
+        prev_fax &= ~first  # prev_lower is '' at turn start
+        jf, jt = idx.get("B-FAX"), idx.get("B-TEL")
+        if jf is not None:
+            em[is_phone & prev_fax, jf] += 9.0
+        if jt is not None:
+            em[is_phone & ~prev_fax, jt] += 7.0
+        # B-STREET: 3-4 digit house number before a capitalized token
+        next_up = np.zeros(N, dtype=bool)
+        next_up[:-1] = upper[1:]
+        js = idx.get("B-STREET")
+        if js is not None:
+            em[digit34 & ~last & next_up, js] += 5.0
+        # gazetteer longest-match evidence (per turn; matcher is the
+        # parity-pinned reference algorithm)
+        out: List[np.ndarray] = []
+        p = 0
+        matcher = self.matcher
+        gaz_types = self.gaz_types
+        for toks, L in zip(token_lists, lens):
+            sub = em[p : p + L]
+            if matcher is not None and L:
+                for start, end, text in matcher.find_ranges(list(toks)):
+                    etype = gaz_types.get(text)
+                    if etype is None:
+                        continue
+                    jb = idx.get("B-" + etype)
+                    if jb is not None:
+                        sub[start, jb] += 8.0
+                    ji = idx.get("I-" + etype)
+                    if ji is not None and end > start + 1:
+                        sub[start + 1 : end, ji] += 8.0
+            out.append(sub)
+            p += L
+        return out
+
+    def predict_batch(
+        self, token_lists: Sequence[Sequence[str]]
+    ) -> List[List[str]]:
+        ems = self.emissions_batch(token_lists)
+        paths = viterbi_decode_batch(ems, self.transitions)
+        tags = self.tags
+        return [[tags[i] for i in path] for path in paths]
+
+
+def _default_init(T: int) -> np.ndarray:
+    init = np.zeros(T)
+    init[1:] = np.array([NEG if i % 2 == 0 else 0.0 for i in range(1, T)])
+    return init
+
+
+def viterbi_decode_batch(
+    ems: Sequence[np.ndarray],
+    transitions: np.ndarray,
+    init: Optional[np.ndarray] = None,
+    chunk: int = 512,
+) -> List[List[int]]:
+    """Batched Viterbi: decode many sequences in one padded numpy DP.
+
+    Bit-identical to per-sequence :func:`viterbi_decode` (same
+    element-wise float ops, same first-index argmax tie-break —
+    asserted by tests/test_viterbi_batch.py).  Sequences are sorted by
+    length and processed in chunks so a mega-turn does not pad the
+    whole batch; the DP runs (chunk, T, T) argmax steps instead of a
+    per-turn Python loop — the q9 hot path.
+    """
+    T = transitions.shape[0]
+    if init is None:
+        init = _default_init(T)
+    lens_all = np.array([e.shape[0] for e in ems], dtype=np.int64)
+    order = np.argsort(lens_all, kind="stable")
+    results: List[Optional[List[int]]] = [None] * len(ems)
+    for c0 in range(0, len(order), chunk):
+        idxs = order[c0 : c0 + chunk]
+        lens = lens_all[idxs]
+        B = len(idxs)
+        nmax = int(lens.max()) if B else 0
+        if nmax == 0:
+            for i in idxs:
+                results[i] = []
+            continue
+        E = np.zeros((nmax, B, T), dtype=np.float64)
+        for b, i in enumerate(idxs):
+            L = lens[b]
+            if L:
+                E[:L, b, :] = ems[i]
+        score = init[None, :] + E[0]  # (B, T)
+        back = np.zeros((nmax, B, T), dtype=np.int16)
+        final_tag = np.zeros(B, dtype=np.int64)
+        at0 = lens == 1
+        if at0.any():
+            final_tag[at0] = np.argmax(score[at0], axis=1)
+        for t in range(1, nmax):
+            cand = score[:, :, None] + transitions[None, :, :]  # (B,prev,cur)
+            bt = np.argmax(cand, axis=1)  # first index wins ties, as
+            back[t] = bt  # in the per-turn decode
+            score = (
+                np.take_along_axis(cand, bt[:, None, :], axis=1)[:, 0, :]
+                + E[t]
+            )
+            ended = lens == t + 1
+            if ended.any():
+                final_tag[ended] = np.argmax(score[ended], axis=1)
+        for b, i in enumerate(idxs):
+            L = int(lens[b])
+            if L == 0:
+                results[i] = []
+                continue
+            path = np.empty(L, dtype=np.int64)
+            path[L - 1] = final_tag[b]
+            bcol = back[:, b, :]
+            for t in range(L - 1, 0, -1):
+                path[t - 1] = bcol[t, path[t]]
+            results[i] = path.tolist()
+    return results  # type: ignore[return-value]
 
 
 def merge_top_n(chains: Sequence[Sequence[str]]) -> List[str]:

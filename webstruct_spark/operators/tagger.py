@@ -8,47 +8,65 @@ The marker path (operators/extract.py) is the parity tagger; this path
 exists for unlabeled data and is gated by segment F1 against gold
 (like the reference CI gate, tests/test_crfsuite.py:46-60) rather than
 exact parity.
+
+Scale design: the whole chain is narrow (scan → mapInPandas → done);
+the decode runs the batched padded-numpy Viterbi
+(kernel/viterbi.py:viterbi_decode_batch) instead of a per-turn DP
+loop, emission features come from a worker-lifetime token cache, and
+the UDF emits FLAT primitive rows (the 3x-cheaper Arrow shape) —
+token_confusion even pre-aggregates (gold, pred) counts inside the
+worker so only per-batch partial counts shuffle.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+import uuid
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
-from ..kernel.bilou import classify_token, decode_mentions
+from ..kernel.bilou import classify_token, decode_mentions, encode_tokens
 from ..kernel.smartjoin import smart_join
 from ..kernel.tokenize import default_segment_words
 from ..kernel.viterbi import RuleModel
-
-PRED_MENTION_TYPE = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("mention_idx", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("entity_type", T.StringType()),
-            T.StructField("tok_start", T.IntegerType()),
-            T.StructField("tok_end", T.IntegerType()),
-        ]
-    )
-)
 
 DEFAULT_TYPES = (
     "ORG", "PER", "CITY", "STATE", "ZIPCODE", "COUNTRY",
     "STREET", "TEL", "FAX", "EMAIL",
 )
 
+TAGGED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("mention_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("tok_start", T.IntegerType()),
+        T.StructField("tok_end", T.IntegerType()),
+    ]
+)
+
+CONFUSION_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("tag_gold", T.StringType()),
+        T.StructField("tag_pred", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
 
 # worker-level model cache: RuleModel compilation (LongestMatcher
 # prefilter over the whole gazetteer) happens once per executor per
-# broadcast, not once per Arrow batch
-_MODEL_CACHE: Dict[int, RuleModel] = {}
+# broadcast, not once per Arrow batch.  Keyed by a driver-side uuid
+# minted per broadcast — NOT id(): CPython reuses object ids after GC,
+# which could silently serve a stale model for a different gazetteer.
+_MODEL_CACHE: Dict[str, RuleModel] = {}
 
 
-def _model_for(bc, key) -> RuleModel:
+def _model_for(bc, key: str) -> RuleModel:
     model = _MODEL_CACHE.get(key)
     if model is None:
         amap, types = bc.value
@@ -56,6 +74,22 @@ def _model_for(bc, key) -> RuleModel:
         _MODEL_CACHE.clear()  # old broadcasts are dead weight
         _MODEL_CACHE[key] = model
     return model
+
+
+def _broadcast_model(
+    turns: DataFrame, gazetteer: DataFrame, entity_types: Sequence[str]
+) -> Tuple[object, str]:
+    """Collect the (small) gazetteer, broadcast (alias_map, types),
+    return (broadcast, worker-cache key)."""
+    spark = turns.sparkSession
+    alias_map: Dict[str, str] = {}
+    for r in gazetteer.select("alias", "entity_type").collect():
+        # deterministic on collisions: keep lexicographically smaller type
+        a = r["alias"]
+        if a not in alias_map or r["entity_type"] < alias_map[a]:
+            alias_map[a] = r["entity_type"]
+    bc = spark.sparkContext.broadcast((alias_map, tuple(entity_types)))
+    return bc, uuid.uuid4().hex
 
 
 def plain_tokens(text: str) -> List[str]:
@@ -79,56 +113,54 @@ def tagged_mentions(
     Output: (conv_id, turn_idx, mention_idx, text, entity_type,
     tok_start, tok_end).
     """
-    spark = turns.sparkSession
-    gaz_rows = gazetteer.select("alias", "entity_type").collect()
-    alias_map: Dict[str, str] = {}
-    for r in gaz_rows:
-        # deterministic on collisions: keep lexicographically smaller type
-        a = r["alias"]
-        if a not in alias_map or r["entity_type"] < alias_map[a]:
-            alias_map[a] = r["entity_type"]
-    bc = spark.sparkContext.broadcast((alias_map, tuple(entity_types)))
-    # driver-side cache key, stable for this broadcast's lifetime
-    cache_key = "tag-%d-%d-%d" % (id(alias_map), len(alias_map),
-                                  len(entity_types))
+    bc, cache_key = _broadcast_model(turns, gazetteer, entity_types)
 
-    @pandas_udf(PRED_MENTION_TYPE)
-    def predict_udf(texts: pd.Series) -> pd.Series:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _model_for(bc, cache_key)
-        out = []
-        for t in texts:
-            toks = plain_tokens(t)
-            tags = model.predict(toks)
-            ments = []
-            for items, etype in decode_mentions(
-                list(range(len(toks))), tags
+        for pdf in batches:
+            tok_lists = [plain_tokens(t) for t in pdf["text"].tolist()]
+            tag_lists = model.predict_batch(tok_lists)
+            o_cid: list = []
+            o_ti: list = []
+            o_mi: list = []
+            o_text: list = []
+            o_type: list = []
+            o_ts: list = []
+            o_te: list = []
+            for cid, ti, toks, tags in zip(
+                pdf["conv_id"].tolist(),
+                pdf["turn_idx"].tolist(),
+                tok_lists,
+                tag_lists,
             ):
-                ments.append(
-                    dict(
-                        mention_idx=len(ments),
-                        text=smart_join(toks[i] for i in items),
-                        entity_type=etype,
-                        tok_start=items[0],
-                        tok_end=items[-1],
-                    )
-                )
-            out.append(ments)
-        return pd.Series(out)
+                mi = 0
+                for items, etype in decode_mentions(
+                    list(range(len(toks))), tags
+                ):
+                    o_cid.append(cid)
+                    o_ti.append(ti)
+                    o_mi.append(mi)
+                    o_text.append(smart_join(toks[i] for i in items))
+                    o_type.append(etype)
+                    o_ts.append(items[0])
+                    o_te.append(items[-1])
+                    mi += 1
+            yield pd.DataFrame(
+                {
+                    "conv_id": o_cid,
+                    "turn_idx": o_ti,
+                    "mention_idx": o_mi,
+                    "text": o_text,
+                    "entity_type": o_type,
+                    "tok_start": o_ts,
+                    "tok_end": o_te,
+                }
+            )
 
-    return (
-        turns.select(
-            "conv_id", "turn_idx", F.explode(predict_udf(text_col)).alias("m")
-        )
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("m.mention_idx").alias("mention_idx"),
-            F.col("m.text").alias("text"),
-            F.col("m.entity_type").alias("entity_type"),
-            F.col("m.tok_start").alias("tok_start"),
-            F.col("m.tok_end").alias("tok_end"),
-        )
+    src = turns.select(
+        "conv_id", "turn_idx", F.col(text_col).alias("text")
     )
+    return src.mapInPandas(run, TAGGED_SCHEMA)
 
 
 def token_confusion(
@@ -140,48 +172,40 @@ def token_confusion(
     """M8 analog (reference metrics.py:97-109): token-level
     (gold_tag, pred_tag) confusion counts.  The marker-derived gold
     tags and the model-predicted tags align token-for-token because
-    both tag the marker-free clean token stream."""
-    spark = turns.sparkSession
-    gaz_rows = gazetteer.select("alias", "entity_type").collect()
-    alias_map: Dict[str, str] = {}
-    for r in gaz_rows:
-        a = r["alias"]
-        if a not in alias_map or r["entity_type"] < alias_map[a]:
-            alias_map[a] = r["entity_type"]
-    bc = spark.sparkContext.broadcast((alias_map, tuple(entity_types)))
-    cache_key = "conf-%d-%d-%d" % (id(alias_map), len(alias_map),
-                                   len(entity_types))
+    both tag the marker-free clean token stream.
 
-    from ..kernel.bilou import encode_tokens
-    from ..kernel.tokenize import default_segment_words
+    Counts are pre-aggregated inside the worker (one partial row per
+    (gold, pred) per batch) — only ~tagset² rows ever shuffle, not one
+    row per token."""
+    bc, cache_key = _broadcast_model(turns, gazetteer, entity_types)
 
-    pair_type = T.ArrayType(
-        T.StructType(
-            [
-                T.StructField("tag_gold", T.StringType()),
-                T.StructField("tag_pred", T.StringType()),
-            ]
-        )
-    )
-
-    @pandas_udf(pair_type)
-    def confusion_udf(texts: pd.Series) -> pd.Series:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _model_for(bc, cache_key)
-        out = []
-        for t in texts:
-            toks = default_segment_words(t or "")
-            chars = [x[0] for x in toks]
-            idx_tags = encode_tokens(chars)
-            clean = [chars[i] for i, _ in idx_tags]
-            gold = [tag for _, tag in idx_tags]
-            pred = model.predict(clean)
-            out.append(
-                [dict(tag_gold=g, tag_pred=p) for g, p in zip(gold, pred)]
+        for pdf in batches:
+            counts: Dict[Tuple[str, str], int] = {}
+            tok_lists = []
+            gold_lists = []
+            for t in pdf["text"].tolist():
+                toks = default_segment_words(t or "")
+                chars = [x[0] for x in toks]
+                idx_tags = encode_tokens(chars)
+                tok_lists.append([chars[i] for i, _ in idx_tags])
+                gold_lists.append([tag for _, tag in idx_tags])
+            pred_lists = model.predict_batch(tok_lists)
+            for gold, pred in zip(gold_lists, pred_lists):
+                for g, p in zip(gold, pred):
+                    key = (g, p)
+                    counts[key] = counts.get(key, 0) + 1
+            yield pd.DataFrame(
+                {
+                    "tag_gold": [k[0] for k in counts],
+                    "tag_pred": [k[1] for k in counts],
+                    "n": list(counts.values()),
+                }
             )
-        return pd.Series(out)
 
-    pairs = turns.select(F.explode(confusion_udf(text_col)).alias("p"))
-    return pairs.groupBy(
-        F.col("p.tag_gold").alias("tag_gold"),
-        F.col("p.tag_pred").alias("tag_pred"),
-    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+    src = turns.select(F.col(text_col).alias("text"))
+    partial = src.mapInPandas(run, CONFUSION_PARTIAL_SCHEMA)
+    return partial.groupBy("tag_gold", "tag_pred").agg(
+        F.sum("n").alias("n_tokens")
+    )
