@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernel.dedup import (
+    _h64,
     hamming64,
     jaccard,
     lsh_band_keys,
@@ -55,11 +56,30 @@ def exact_duplicate_groups(
     return keyed.withColumn("canonical_doc_id", F.min("doc_id").over(w))
 
 
-@pandas_udf(T.ArrayType(T.StringType()))
-def _minhash_bands_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(
-        lambda t: lsh_band_keys(minhash_signature(word_shingles(t)))
-    )
+_SKETCH_TYPE = T.StructType(
+    [
+        T.StructField("bands", T.ArrayType(T.StringType())),
+        T.StructField("sh", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _to_signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+@pandas_udf(_SKETCH_TYPE)
+def _minhash_sketch_udf(texts: pd.Series) -> pd.DataFrame:
+    """ONE pass over the text: LSH band keys + the 64-bit-hashed
+    distinct shingle set.  Raw text never leaves this UDF — candidate
+    verification joins ship only the (much smaller) hash arrays, and
+    shingling never runs twice."""
+    bands, hashes = [], []
+    for t in texts:
+        sh = word_shingles(t)
+        bands.append(lsh_band_keys(minhash_signature(sh)))
+        hashes.append([_to_signed64(_h64(s)) for s in sh])
+    return pd.DataFrame({"bands": bands, "sh": hashes})
 
 
 @pandas_udf(T.DoubleType())
@@ -92,23 +112,38 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-duplicate pairs: MinHash/LSH
-    candidates verified by exact word-3-gram Jaccard >= threshold."""
+    candidates verified by exact word-3-gram Jaccard >= threshold.
+
+    Scale shape: the sketch UDF runs ONCE per doc (persisted), band
+    keys explode into the bucket self-join, and verification joins
+    carry only 64-bit hashed shingle arrays — no raw text past the
+    scan, no re-shingling.  The exact Jaccard is JVM-side
+    (array_intersect), identical to the string-set value barring
+    64-bit hash collisions."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    banded = base.select(
-        "doc_id", F.explode(_minhash_bands_udf("text")).alias("bucket")
-    )
+    sketch = base.select(
+        "doc_id", _minhash_sketch_udf("text").alias("s")
+    ).select(
+        "doc_id", F.col("s.bands").alias("bands"), F.col("s.sh").alias("sh")
+    ).persist()
+    banded = sketch.select("doc_id", F.explode("bands").alias("bucket"))
     pairs = _candidate_pairs(banded)
-    texts = base  # (doc_id, text)
+    sh = sketch.select("doc_id", "sh")
     joined = (
-        pairs.join(texts.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("text", "text_a"), "doc_a")
-        .join(texts.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("text", "text_b"), "doc_b")
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union
     )
     return (
-        joined.withColumn("jaccard", _jaccard_udf("text_a", "text_b"))
+        joined.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
