@@ -1,0 +1,115 @@
+# -*- coding: utf-8 -*-
+"""Bucket-partitioned ANN index: probe results equal the in-flight
+LSH/IVF variants, and the probe read actually prunes partitions."""
+import numpy as np
+from pyspark.sql import functions as F
+
+from webstruct_spark.operators.similarity import (
+    ann_index_topk,
+    ivf_topk,
+    lsh_topk,
+    write_ann_index,
+)
+
+
+def _embeddings(spark, n=400, dim=16):
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _queries(emb, every=37):
+    rows = emb.where(F.col("vec_id") % every == 0).collect()
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def _as_set(df):
+    return {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in df.collect()
+    }
+
+
+def test_lsh_index_equals_inflight(spark, tmp_path):
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    path = str(tmp_path / "lsh_idx")
+    write_ann_index(emb, path, kind="lsh", n_planes=6)
+    got = ann_index_topk(spark, path, qs, k=5, multiprobe=1)
+    want = lsh_topk(emb, qs, k=5, n_planes=6, multiprobe=1)
+    assert _as_set(got) == _as_set(want)
+
+
+def test_ivf_index_equals_inflight(spark, tmp_path):
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    path = str(tmp_path / "ivf_idx")
+    write_ann_index(emb, path, kind="ivf", n_centroids=8)
+    got = ann_index_topk(spark, path, qs, k=5, n_probe=3)
+    # in-flight variant with the same centroids (reread from the index)
+    cent = (
+        spark.read.parquet(path + "/_ann_centroids.parquet")
+        .orderBy("cell")
+        .collect()
+    )
+    centroids = np.array(
+        [list(r["centroid"]) for r in cent], dtype=np.float32
+    )
+    want = ivf_topk(emb, qs, k=5, n_probe=3, centroids=centroids)
+    assert _as_set(got) == _as_set(want)
+
+
+def test_probe_reads_only_probed_partitions(spark, tmp_path):
+    """The 100-TB property: files outside the probed buckets are never
+    opened."""
+    emb = _embeddings(spark)
+    qs = _queries(emb, every=97)  # few queries -> few probed buckets
+    path = str(tmp_path / "lsh_idx2")
+    write_ann_index(emb, path, kind="lsh", n_planes=6)
+
+    # reproduce the probe set (bucket dirs the query is allowed to read)
+    from webstruct_spark.operators.similarity import (
+        _bucket_of,
+        _normalize_rows,
+        _planes,
+    )
+    from itertools import combinations
+
+    planes = _planes(6, 16)
+    q_mat = _normalize_rows(
+        np.array([q[1] for q in qs], dtype=np.float32)
+    )
+    allowed = set()
+    for b in _bucket_of(q_mat, planes):
+        allowed.add(int(b))
+        for r in range(1, 2):
+            for bits in combinations(range(6), r):
+                m = 0
+                for bb in bits:
+                    m |= 1 << bb
+                allowed.add(int(b) ^ m)
+
+    n_total_buckets = (
+        spark.read.parquet(path).select("bucket").distinct().count()
+    )
+    probed = spark.read.parquet(path).where(
+        F.col("bucket").isin(sorted(allowed))
+    )
+    files = {
+        r[0]
+        for r in probed.select(F.input_file_name()).distinct().collect()
+    }
+    # every opened file lives under an allowed bucket directory
+    for f in files:
+        assert "/bucket=" in f
+        b = int(f.split("/bucket=")[1].split("/")[0])
+        assert b in allowed, f
+    # and pruning is real: fewer bucket dirs read than exist
+    read_buckets = {
+        int(f.split("/bucket=")[1].split("/")[0]) for f in files
+    }
+    assert len(read_buckets) < n_total_buckets
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -228,6 +228,195 @@ def ivf_topk(
 
 
 # --------------------------------------------------------------------------
+# Persistent bucket-partitioned index: the 100-TB path.  The in-flight
+# lsh_topk/ivf_topk variants above filter executor-side but still SCAN
+# the whole corpus; at scale the scan dominates.  write_ann_index
+# materializes the embeddings parquet PARTITIONED BY bucket (LSH
+# bucket or IVF cell), and ann_index_topk probes with a partition
+# filter, so only the probed buckets' files are ever read
+# (PartitionFilters in the plan — see PLANS.md).
+
+
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    kind: str = "lsh",
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize a bucket-partitioned ANN index at ``path``.
+
+    ``kind='lsh'``: deterministic hyperplane buckets (reproducible
+    from n_planes+dim, no stored state).  ``kind='ivf'``: k-means
+    cells; centroids are stored beside the data as
+    ``_ann_centroids.parquet`` (underscore-prefixed → invisible to
+    parquet discovery).  Returns the metadata dict (also written as
+    ``_ann_meta.json``)."""
+    import json
+    import os
+
+    spark = embeddings.sparkSession
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    if kind == "lsh":
+        planes = _planes(n_planes, dim)
+        state = planes
+        meta = {"kind": "lsh", "n_planes": n_planes, "dim": dim}
+    elif kind == "ivf":
+        centroids = train_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+        state = centroids
+        meta = {"kind": "ivf", "n_centroids": int(centroids.shape[0]),
+                "dim": dim}
+    else:
+        raise ValueError("kind must be 'lsh' or 'ivf'")
+    bc = spark.sparkContext.broadcast((kind, state))
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        knd, st = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize_rows(np.vstack(pdf["vec"].to_numpy()))
+            if knd == "lsh":
+                buckets = _bucket_of(mat, st)
+            else:
+                buckets = np.argmax(
+                    mat.astype(np.float64) @ st.T.astype(np.float64), axis=1
+                ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": pdf["vec"],
+                    "bucket": buckets,
+                }
+            )
+
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("vec", src.schema["vec"].dataType),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    (
+        src.mapInPandas(bucketize, out_schema)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    if kind == "ivf":
+        cent_rows = [
+            (int(i), [float(x) for x in row])
+            for i, row in enumerate(state)
+        ]
+        spark.createDataFrame(
+            cent_rows, "cell int, centroid array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "_ann_centroids.parquet")
+        )
+    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: List[Tuple[int, List[float]]],
+    k: int = 5,
+    multiprobe: int = 1,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k probe over a :func:`write_ann_index` index.  Reads ONLY
+    the probed bucket partitions (partition pruning at the source) and
+    reranks exactly inside them — same results as lsh_topk/ivf_topk
+    with the same probe settings, without the full-corpus scan."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize_rows(
+        np.array([q[1] for q in queries], dtype=np.float32)
+    )
+    probe: dict = {}
+    if meta["kind"] == "lsh":
+        planes = _planes(meta["n_planes"], meta["dim"])
+        q_buckets = _bucket_of(q_mat, planes)
+        from itertools import combinations
+
+        flip_masks = [0]
+        for r in range(1, max(0, multiprobe) + 1):
+            for bits in combinations(range(meta["n_planes"]), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                flip_masks.append(m)
+        for qi, b in enumerate(q_buckets):
+            for m in flip_masks:
+                probe.setdefault(int(b) ^ m, []).append(qi)
+    else:
+        cent_rows = (
+            spark.read.parquet(os.path.join(path, "_ann_centroids.parquet"))
+            .orderBy("cell")
+            .collect()
+        )
+        centroids = np.array(
+            [list(r["centroid"]) for r in cent_rows], dtype=np.float32
+        )
+        q_sims = q_mat.astype(np.float64) @ centroids.T.astype(np.float64)
+        npb = min(n_probe, centroids.shape[0])
+        for qi in range(len(queries)):
+            for c in np.argsort(-q_sims[qi])[:npb]:
+                probe.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, probe))
+
+    buckets = sorted(probe.keys())
+    # partition filter -> only probed bucket directories are scanned
+    src = spark.read.parquet(path).where(F.col("bucket").isin(buckets))
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, pr = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            corpus = _normalize_rows(np.vstack(pdf["vec"].to_numpy()))
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bks = pdf["bucket"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            for j in range(corpus.shape[0]):
+                qis = pr.get(int(bks[j]))
+                if not qis:
+                    continue
+                sims = mat[qis].astype(np.float64) @ corpus[j].astype(
+                    np.float64
+                )
+                for t, qi in enumerate(qis):
+                    if exclude_self and nids[j] == ids[qi]:
+                        continue
+                    out_q.append(ids[qi])
+                    out_n.append(nids[j])
+                    out_s.append(float(sims[t]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cands = src.select("vec_id", "vec", "bucket").mapInPandas(
+        local, TOPK_SCHEMA
+    )
+    return topk_merge(cands, k)
+
+
+# --------------------------------------------------------------------------
 # LSH variant
 
 
