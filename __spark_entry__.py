@@ -168,6 +168,41 @@ def _q_kg_tagged_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "mention_idx", "text", "entity_type")
 
 
+def _q_kg_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 trained-model path: deterministic driver-side CRF fit
+    (averaged structured perceptron on the first 1500 labeled turns),
+    broadcast weights, distributed batched-Viterbi inference — vs the
+    single-node fit+predict of the same sample in the gold builder."""
+    from webstruct_spark.operators.trained import (
+        crf_tagged_mentions,
+        train_crf,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    model = train_crf(t)
+    return crf_tagged_mentions(t, model).select(
+        "conv_id", "turn_idx", "mention_idx", "text", "entity_type"
+    )
+
+
+def _q_kg_trained_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment P/R/F1 of the TRAINED model vs injected gold mentions —
+    the reference CI's post-training quality gate
+    (tests/test_crfsuite.py:46-60, F1 > 0.3) as a driver query."""
+    from webstruct_spark.operators.extract import mentions
+    from webstruct_spark.operators.metrics import set_prf
+    from webstruct_spark.operators.trained import (
+        crf_tagged_mentions,
+        train_crf,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    model = train_crf(t)
+    pred = crf_tagged_mentions(t, model)
+    gold = mentions(t)
+    return set_prf(pred, gold, ["conv_id", "turn_idx", "text", "entity_type"])
+
+
 def _q_kg_mention_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 segment metric as a query: tagger mentions vs gold injected
     mentions on (conv, turn, text, type)."""
@@ -434,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_triple_prf": _q_kg_triple_prf,
         "kg_tagged_mentions": _q_kg_tagged_mentions,
+        "kg_trained_mentions": _q_kg_trained_mentions,
+        "kg_trained_prf": _q_kg_trained_prf,
         "kg_mention_prf": _q_kg_mention_prf,
         "kg_macro_f1": _q_kg_macro_f1,
         "token_shape_dist": _q_token_shape_dist,
@@ -626,6 +663,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(floor(2000000 * tp / (n_pred + n_gold)) AS BIGINT)
                         ELSE 1000000 END) AS BIGINT) AS sum_f1_x1e6
             FROM per
+        """,
+        "kg_trained_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, text, entity_type
+            FROM read_parquet('{g("gold_trained_mentions.parquet")}')
+        """,
+        "kg_trained_prf": f"""
+            WITH p AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_trained_mentions.parquet")}')
+            ), gm AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_mentions.parquet")}')
+            ), c AS (
+                SELECT (SELECT count(*) FROM p JOIN gm
+                        USING (conv_id, turn_idx, text, entity_type)) AS tp,
+                       (SELECT count(*) FROM p) AS n_pred,
+                       (SELECT count(*) FROM gm) AS n_gold
+            )
+            SELECT tp, n_pred, n_gold,
+                   (1000000 * tp) // n_pred AS precision_x1e6,
+                   (1000000 * tp) // n_gold AS recall_x1e6,
+                   (2000000 * tp) // (n_pred + n_gold) AS f1_x1e6
+            FROM c
         """,
         "kg_mention_prf": f"""
             WITH p AS (

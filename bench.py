@@ -130,6 +130,19 @@ def main() -> None:
         lambda: entry._q_text_profile(spark, sf_dir).count(),
     )
 
+    # q11: trained-model path — deterministic CRF fit on a 1500-turn
+    # sample + distributed batched-Viterbi inference over the corpus
+    from webstruct_spark.operators.trained import (
+        crf_tagged_mentions,
+        train_crf,
+    )
+
+    def q11() -> int:
+        model = train_crf(transcripts)
+        return crf_tagged_mentions(transcripts, model).count()
+
+    timed("q11_crf_tagger", q11)
+
     total = round(sum(timings.values()), 3)
     extract_sec = timings["q1_mentions"]
     print(

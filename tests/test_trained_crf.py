@@ -1,0 +1,109 @@
+# -*- coding: utf-8 -*-
+"""Trained-model path (M1): deterministic fit, distributed ==
+single-node inference, and the reference CI quality gate (F1 > 0.3
+after training — /root/reference/webstruct/tests/test_crfsuite.py:46-60)."""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from webstruct_spark.kernel.crf import CRFTagger
+from webstruct_spark.operators.trained import (
+    crf_tagged_mentions,
+    labeled_sequences,
+    train_crf,
+    train_crf_local,
+)
+
+CORPUS = "/root/repo/data/transcripts/sf0.001/transcripts.parquet"
+
+
+def _texts():
+    return [
+        r[0]
+        for r in duckdb.sql(
+            "select text from read_parquet('%s') "
+            "order by conv_id, turn_idx" % CORPUS
+        ).fetchall()
+    ]
+
+
+def test_fit_is_deterministic():
+    texts = _texts()
+    m1 = train_crf_local(texts, sample=120, epochs=3)
+    m2 = train_crf_local(texts, sample=120, epochs=3)
+    assert m1.export() == m2.export()
+
+
+def test_f1_gate_exceeds_reference_ci():
+    """Reference CI trains and asserts F1 > 0.3; same gate here,
+    segment-level vs marker-derived gold on held-out turns."""
+    texts = _texts()
+    m = train_crf_local(texts, sample=120, epochs=3)
+    tp = fp = fn = 0
+    from webstruct_spark.kernel.bilou import decode_mentions
+    from webstruct_spark.kernel.smartjoin import smart_join
+
+    held_out = texts[120:400]
+    toks_all, gold_all = [], []
+    for t in held_out:
+        toks, gtags = labeled_sequences(t)
+        toks_all.append(toks)
+        gold_all.append(gtags)
+    pred_all = m.predict_batch(toks_all)
+    for toks, gt, pt in zip(toks_all, gold_all, pred_all):
+        g = {
+            (smart_join(toks[i] for i in it), ty)
+            for it, ty in decode_mentions(list(range(len(toks))), gt)
+        }
+        p = {
+            (smart_join(toks[i] for i in it), ty)
+            for it, ty in decode_mentions(list(range(len(toks))), pt)
+        }
+        tp += len(g & p)
+        fp += len(p - g)
+        fn += len(g - p)
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert f1 > 0.3, f1  # reference gate; in practice ~0.99 here
+
+
+def test_distributed_equals_single_node(spark):
+    turns = spark.read.parquet(CORPUS)
+    model = train_crf(turns, sample=120, epochs=3)
+    # identical weights from the single-node twin
+    local = train_crf_local(_texts(), sample=120, epochs=3)
+    assert model.export() == local.export()
+    got = {
+        (
+            r["conv_id"], r["turn_idx"], r["mention_idx"],
+            r["text"], r["entity_type"],
+        )
+        for r in crf_tagged_mentions(turns, model).collect()
+    }
+    # single-node predict over every turn
+    from webstruct_spark.kernel.bilou import decode_mentions
+    from webstruct_spark.kernel.smartjoin import smart_join
+    from webstruct_spark.operators.tagger import plain_tokens
+
+    rows = duckdb.sql(
+        "select conv_id, turn_idx, text from read_parquet('%s') "
+        "order by conv_id, turn_idx" % CORPUS
+    ).fetchall()
+    want = set()
+    toks_all = [plain_tokens(t) for _c, _i, t in rows]
+    tags_all = local.predict_batch(toks_all)
+    for (cid, ti, _t), toks, tags in zip(rows, toks_all, tags_all):
+        mi = 0
+        for items, etype in decode_mentions(list(range(len(toks))), tags):
+            want.add(
+                (cid, ti, mi, smart_join(toks[i] for i in items), etype)
+            )
+            mi += 1
+    assert got == want
+
+
+def test_export_roundtrip():
+    texts = _texts()
+    m = train_crf_local(texts, sample=60, epochs=2)
+    m2 = CRFTagger.from_export(m.export())
+    toks = [labeled_sequences(t)[0] for t in texts[:50]]
+    assert m2.predict_batch(toks) == m.predict_batch(toks)

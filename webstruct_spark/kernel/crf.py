@@ -1,0 +1,263 @@
+# -*- coding: utf-8 -*-
+"""Trainable linear-chain sequence tagger (averaged structured
+perceptron) — the from-scratch replacement for the reference's
+external-CRF train→predict workflow
+(/root/reference/webstruct/crfsuite.py:49-97 ``create_crfsuite_pipeline``
+and /root/reference/webstruct/wapiti.py:178-246 ``WapitiCRF.fit``; CI
+quality gate /root/reference/webstruct/tests/test_crfsuite.py:31-60
+asserts F1 > 0.3 after training).
+
+No external CRF binary and no sklearn exist in this environment, so
+the learner is implemented directly: an averaged structured
+perceptron (Collins 2002) over CRF-template-style lexical features,
+with Viterbi decoding shared with the rule model
+(:func:`webstruct_spark.kernel.viterbi.viterbi_decode_batch`).
+
+Determinism is load-bearing: training iterates sequences in input
+order with no RNG, so the driver-side fit in the Spark path and the
+single-node fit in the gold builder produce byte-identical weights —
+which is what lets the driver oracle hash-compare distributed vs
+single-node inference of the *trained* model.
+
+Feature templates mirror the reference's token feature set
+(/root/reference/webstruct/features/token.py and
+block_features: token identity, shape, prefix/suffix, digit/upper
+flags, neighbor identities) — see :func:`token_features`.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .viterbi import build_tagset, viterbi_decode_batch
+
+NEG = -1e9
+
+
+def _shape(tok: str) -> str:
+    out = []
+    for ch in tok[:12]:
+        if ch.isdigit():
+            out.append("9")
+        elif ch.isupper():
+            out.append("A")
+        elif ch.islower():
+            out.append("a")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def token_features(tokens: Sequence[str], i: int) -> List[str]:
+    """CRF-template features for position ``i`` (reference token
+    feature set re-expressed as feature strings)."""
+    tok = tokens[i]
+    low = tok.lower()
+    feats = [
+        "b",  # bias
+        "w=" + low,
+        "sh=" + _shape(tok),
+        "sfx=" + low[-3:],
+        "pfx=" + low[:2],
+    ]
+    if tok.isdigit():
+        feats.append("dig:%d" % min(len(tok), 6))
+    if tok[:1].isupper():
+        feats.append("up")
+    if "@" in tok:
+        feats.append("at")
+    if i == 0:
+        feats.append("bos")
+    else:
+        feats.append("p=" + tokens[i - 1].lower())
+    if i + 1 == len(tokens):
+        feats.append("eos")
+    else:
+        feats.append("n=" + tokens[i + 1].lower())
+    return feats
+
+
+def _context_free(tok: str) -> List[str]:
+    """The subset of :func:`token_features` that depends only on the
+    token string (memoized at predict time)."""
+    low = tok.lower()
+    feats = [
+        "b",
+        "w=" + low,
+        "sh=" + _shape(tok),
+        "sfx=" + low[-3:],
+        "pfx=" + low[:2],
+    ]
+    if tok.isdigit():
+        feats.append("dig:%d" % min(len(tok), 6))
+    if tok[:1].isupper():
+        feats.append("up")
+    if "@" in tok:
+        feats.append("at")
+    return feats
+
+
+class CRFTagger:
+    """Averaged structured perceptron with Viterbi inference.
+
+    Weights: ``w[feat] -> np.ndarray(T)`` emissions, ``trans (T, T)``
+    transitions, ``init (T,)`` start scores.  ``fit`` is driver-side
+    (the labeled sample is small); inference is distributed via
+    broadcast of ``export()``.
+    """
+
+    def __init__(self, entity_types: Sequence[str]):
+        self.tags = build_tagset(entity_types)
+        self.tag_index = {t: i for i, t in enumerate(self.tags)}
+        T = len(self.tags)
+        self.w: Dict[str, np.ndarray] = {}
+        self.trans = np.zeros((T, T), dtype=np.float64)
+        self.init = np.zeros(T, dtype=np.float64)
+        self._feat_cache: Dict[str, List[str]] = {}
+
+    # -- inference ------------------------------------------------------
+
+    def _emissions(self, tokens: Sequence[str]) -> np.ndarray:
+        T = len(self.tags)
+        em = np.zeros((len(tokens), T), dtype=np.float64)
+        w = self.w
+        cache = self._feat_cache
+        n = len(tokens)
+        for i, tok in enumerate(tokens):
+            feats = cache.get(tok)
+            if feats is None:
+                feats = _context_free(tok)
+                if len(cache) < 1_000_000:
+                    cache[tok] = feats
+            row = em[i]
+            for f in feats:
+                v = w.get(f)
+                if v is not None:
+                    row += v
+            ctx = "bos" if i == 0 else "p=" + tokens[i - 1].lower()
+            v = w.get(ctx)
+            if v is not None:
+                row += v
+            ctx = "eos" if i + 1 == n else "n=" + tokens[i + 1].lower()
+            v = w.get(ctx)
+            if v is not None:
+                row += v
+        return em
+
+    def predict_batch(
+        self, token_lists: Sequence[Sequence[str]]
+    ) -> List[List[str]]:
+        ems = [self._emissions(t) for t in token_lists]
+        paths = viterbi_decode_batch(ems, self.trans, init=self.init)
+        tags = self.tags
+        return [[tags[i] for i in p] for p in paths]
+
+    def predict(self, tokens: Sequence[str]) -> List[str]:
+        return self.predict_batch([tokens])[0]
+
+    # -- training -------------------------------------------------------
+
+    def fit(
+        self,
+        sequences: Sequence[Tuple[Sequence[str], Sequence[str]]],
+        epochs: int = 5,
+    ) -> "CRFTagger":
+        """Averaged perceptron over (tokens, iob2_tags) sequences.
+        Deterministic: input order, no RNG; unknown gold tags raise."""
+        T = len(self.tags)
+        tag_index = self.tag_index
+        # accumulators for averaging (Daumé's trick: w_avg = w - u/c)
+        u: Dict[str, np.ndarray] = {}
+        ut = np.zeros((T, T), dtype=np.float64)
+        ui = np.zeros(T, dtype=np.float64)
+        c = 1.0
+        feats_per_seq = [
+            [token_features(toks, i) for i in range(len(toks))]
+            for toks, _tags in sequences
+        ]
+        gold_per_seq = [
+            [tag_index[t] for t in tags] for _toks, tags in sequences
+        ]
+        for _ep in range(epochs):
+            for (toks, _t), feats, gold in zip(
+                sequences, feats_per_seq, gold_per_seq
+            ):
+                n = len(toks)
+                if n == 0:
+                    continue
+                pred = viterbi_decode_batch(
+                    [self._emissions_train(feats, n)], self.trans,
+                    init=self.init,
+                )[0]
+                if pred != gold:
+                    for i in range(n):
+                        g, p = gold[i], pred[i]
+                        if g != p:
+                            for f in feats[i]:
+                                v = self.w.get(f)
+                                if v is None:
+                                    v = np.zeros(T, dtype=np.float64)
+                                    self.w[f] = v
+                                    u[f] = np.zeros(T, dtype=np.float64)
+                                v[g] += 1.0
+                                v[p] -= 1.0
+                                u[f][g] += c
+                                u[f][p] -= c
+                        if i == 0:
+                            if g != p:
+                                self.init[g] += 1.0
+                                self.init[p] -= 1.0
+                                ui[g] += c
+                                ui[p] -= c
+                        else:
+                            pg, pp = gold[i - 1], pred[i - 1]
+                            if (pg, g) != (pp, p):
+                                self.trans[pg, g] += 1.0
+                                self.trans[pp, p] -= 1.0
+                                ut[pg, g] += c
+                                ut[pp, p] -= c
+                c += 1.0
+        # average
+        for f, v in self.w.items():
+            v -= u[f] / c
+        self.trans -= ut / c
+        self.init -= ui / c
+        self._feat_cache.clear()
+        return self
+
+    def _emissions_train(
+        self, feats: Sequence[Sequence[str]], n: int
+    ) -> np.ndarray:
+        T = len(self.tags)
+        em = np.zeros((n, T), dtype=np.float64)
+        w = self.w
+        for i in range(n):
+            row = em[i]
+            for f in feats[i]:
+                v = w.get(f)
+                if v is not None:
+                    row += v
+        return em
+
+    # -- (de)serialization for broadcast --------------------------------
+
+    def export(self) -> tuple:
+        return (
+            tuple(self.tags),
+            {f: v.tolist() for f, v in self.w.items()},
+            self.trans.tolist(),
+            self.init.tolist(),
+        )
+
+    @classmethod
+    def from_export(cls, blob: tuple) -> "CRFTagger":
+        tags, w, trans, init = blob
+        model = cls.__new__(cls)
+        model.tags = list(tags)
+        model.tag_index = {t: i for i, t in enumerate(model.tags)}
+        model.w = {f: np.array(v, dtype=np.float64) for f, v in w.items()}
+        model.trans = np.array(trans, dtype=np.float64)
+        model.init = np.array(init, dtype=np.float64)
+        model._feat_cache = {}
+        return model

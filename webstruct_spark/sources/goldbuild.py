@@ -62,7 +62,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "5"  # bump when gold tables/semantics change
+GOLD_VERSION = "6-crf"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -326,6 +326,44 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     write(
         "gold_tagged_mentions.parquet",
         tagged_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("mention_idx", pa.int32()),
+                ("text", pa.string()),
+                ("entity_type", pa.string()),
+            ]
+        ),
+    )
+
+    # single-node run of the TRAINED model (M1 path): fit the averaged-
+    # perceptron CRF on the first N turns in (conv_id, turn_idx) order
+    # — the identical deterministic fit the distributed train_crf
+    # performs — then predict over every turn.  The distributed
+    # crf_tagged_mentions must match this exactly.
+    from ..operators.trained import train_crf_local
+
+    crf = train_crf_local(r["text"] for r in rows)
+    crf_rows: List[dict] = []
+    all_toks = [plain_tokens(r["text"]) for r in rows]
+    all_tags = crf.predict_batch(all_toks)
+    for r, toks, tags in zip(rows, all_toks, all_tags):
+        mi = 0
+        for items, etype in decode_mentions(list(range(len(toks))), tags):
+            crf_rows.append(
+                dict(
+                    conv_id=r["conv_id"],
+                    turn_idx=r["turn_idx"],
+                    mention_idx=mi,
+                    text=smart_join(toks[i] for i in items),
+                    entity_type=etype,
+                )
+            )
+            mi += 1
+    write(
+        "gold_trained_mentions.parquet",
+        crf_rows,
         pa.schema(
             [
                 ("conv_id", pa.string()),
