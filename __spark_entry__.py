@@ -231,6 +231,23 @@ def _q_kg_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_pages_path(sf: float) -> str:
+    from webstruct_spark.sources.html_pages import ensure_html_pages
+
+    d = _corpus_for(sf)
+    return ensure_html_pages(d, n_pages=max(60, int(5000 * sf)))
+
+
+def _q_infer_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11: most-likely domain per page — base-href short-circuit,
+    blacklist-filtered href mode vote, sorted-first tie-break
+    (reference infer_domain.py:22-74), pure Column exprs."""
+    from webstruct_spark.operators.domains import infer_domain
+
+    path = _html_pages_path(_sf_of(sf_dir))
+    return infer_domain(spark.read.parquet(path))
+
+
 def _q_token_shape_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 feature over every clean token (JVM-side regex ladder),
     aggregated — checked against the single-node shape distribution."""
@@ -474,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_prf": _q_kg_mention_prf,
         "kg_macro_f1": _q_kg_macro_f1,
         "token_shape_dist": _q_token_shape_dist,
+        "infer_domain": _q_infer_domain,
         "token_confusion": _q_token_confusion,
         "geonames_aliases": _q_geonames_aliases,
         "mode_event_type": _q_mode_event_type,
@@ -566,7 +584,12 @@ def oracle_sql() -> dict[str, str]:
     def g(name: str) -> str:
         return os.path.join(d, name)
 
+    from webstruct_spark.operators.domains import infer_domain_oracle_sql
+
     return {
+        "infer_domain": infer_domain_oracle_sql(
+            _html_pages_path(0.01)
+        ),
         "text_profile": _text_profile_oracle(),
         "lang_id": f"""
             SELECT doc_id, lang_pred

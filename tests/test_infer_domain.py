@@ -1,0 +1,75 @@
+# -*- coding: utf-8 -*-
+"""infer_domain (A10/A11): base-href short-circuit, commented base,
+blacklist-filtered mode vote with sorted-first tie-break, registered-
+domain extraction incl. multi-part TLDs."""
+from pyspark.sql import functions as F
+
+from webstruct_spark.operators.domains import (
+    infer_domain,
+    registered_domain_col,
+)
+
+
+def _domains(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["d"]
+        for r in df.select(registered_domain_col(F.col("url")).alias("d"))
+        .collect()
+    ]
+
+
+def test_registered_domain_reference_doctests(spark):
+    # /root/reference/webstruct/utils.py:315-324 goldens
+    assert _domains(
+        spark,
+        [
+            "http://example.com/path",
+            "https://hello.example.com/foo/bar",
+            "http://hello.example.co.uk/foo?bar=1",
+            "https://www.data.gov.uk:8080/x",
+            "not a url",
+            "http://localhost/x",
+        ],
+    ) == ["example.com", "example.com", "example.co.uk", "data.gov.uk",
+          "", ""]
+
+
+def _infer(spark, pages):
+    df = spark.createDataFrame(pages, "page_id long, html string")
+    return {r["page_id"]: r["domain"] for r in infer_domain(df).collect()}
+
+
+def test_base_href_short_circuits(spark):
+    got = _infer(
+        spark,
+        [
+            (1, '<base href="http://a.example.com/x">'
+                '<a href="http://other.org/1"><a href="http://other.org/2">'),
+            (2, '<!-- <base href="https://commented.co.uk/y"> -->'
+                '<a href="http://other.org/1">'),
+        ],
+    )
+    assert got[1] == "example.com"
+    assert got[2] == "commented.co.uk"
+
+
+def test_mode_vote_blacklist_and_tie(spark):
+    got = _infer(
+        spark,
+        [
+            # google.com is blacklisted even though most common
+            (1, '<a href="http://google.com/1"><a href="http://google.com/2">'
+                '<a href="http://acme.com/1">'),
+            # 2-2 tie -> lexicographically smallest wins
+            (2, '<a href="http://zeta.org/1"><a href="http://zeta.org/2">'
+                '<a href="http://alpha.org/1"><a href="http://alpha.org/2">'),
+            # nothing usable -> ''
+            (3, '<a href="http://google.com/only"> plain text'),
+            (4, "no links at all"),
+        ],
+    )
+    assert got[1] == "acme.com"
+    assert got[2] == "alpha.org"
+    assert got[3] == ""
+    assert got[4] == ""

@@ -34,9 +34,22 @@ def gate_markers(text: Column, tagset: Sequence[str]) -> Column:
     return F.regexp_replace(out, r"</(%s)>" % alternation, r" __END_$1__ ")
 
 
-def wa_span_markers(text: Column) -> Column:
+def wa_span_markers(text: Column, known_entities=None) -> Column:
     """``<span wa-type="ORG" ...>Acme</span>`` →
-    `` __START_ORG__ Acme __END_ORG__ `` (flat spans)."""
+    `` __START_ORG__ Acme __END_ORG__ `` (flat spans).
+
+    ``known_entities`` applies the P4 projection first: spans of any
+    OTHER wa-type are unwrapped to their inner text (the reference's
+    ``_prune_tags``/``drop_tag``, loaders.py:81-85) before conversion.
+    """
+    if known_entities is not None:
+        alternation = "|".join(known_entities)
+        text = F.regexp_replace(
+            text,
+            r'<span[^>]*wa-type="(?!(?:%s)")\w+"[^>]*>([^<]*)</span>'
+            % alternation,
+            r"$1",
+        )
     out = F.regexp_replace(
         text,
         r'<span[^>]*wa-type="(\w+)"[^>]*>([^<]*)</span>',

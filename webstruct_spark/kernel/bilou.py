@@ -32,6 +32,27 @@ def classify_token(token: str) -> Tuple[str, str]:
     return "token", token
 
 
+def limit_tags(tokens: Sequence, tagset, chars_of=lambda t: t) -> List:
+    """Tagset projection (P3): drop ``__START_X__``/``__END_X__``
+    marker tokens whose type is NOT in ``tagset``, keeping every text
+    token (positions untouched) — reference ``_limit_tags``
+    (/root/reference/webstruct/html_tokenizer.py:323-332).
+
+    ``tokens`` may be raw strings or (chars, pos, len) tuples via
+    ``chars_of``.  ``tagset=None`` is the identity.
+    """
+    if tagset is None:
+        return list(tokens)
+    keep = set(tagset)
+    out = []
+    for tok in tokens:
+        kind, value = classify_token(chars_of(tok))
+        if kind in ("start", "end") and value not in keep:
+            continue
+        out.append(tok)
+    return out
+
+
 def encode_tokens(tokens: Sequence[str]) -> List[Tuple[int, str]]:
     """Stateful IOB2 encode of a marker-bearing token stream.
 

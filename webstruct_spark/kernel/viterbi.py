@@ -169,6 +169,19 @@ class RuleModel:
         idx = viterbi_decode(em, self.transitions)
         return [self.tags[i] for i in idx]
 
+    def predict_top_n(
+        self, tokens: Sequence[str], n: int = 2, merge: bool = True
+    ):
+        """N-best decode; ``merge=True`` overlays lower-ranked chains
+        into 'O' slots of the best one (reference top_n workflow,
+        wapiti.py:249-276 + merge_top_n)."""
+        em = self.emissions(tokens)
+        chains = [
+            [self.tags[i] for i in p]
+            for p in viterbi_decode_nbest(em, self.transitions, n=n)
+        ]
+        return merge_top_n(chains) if merge else chains
+
     # -- batched path (bit-identical; q9 hot path) ----------------------
 
     _FAX_WORDS = frozenset(("fax:", "fax", "f:"))
@@ -395,17 +408,83 @@ def viterbi_decode_batch(
 def merge_top_n(chains: Sequence[Sequence[str]]) -> List[str]:
     """Merge N-best tag chains: start from chain 1; overlay entities
     from lower-ranked chains when they fit entirely into 'O' slots
-    (reference wapiti.py:77-123 semantics)."""
+    (reference wapiti.py:77-123 semantics).
+
+    Overlaid positions copy the chain's RAW tags (``ret[item] =
+    chain[item]``), exactly like the reference — a chain whose group
+    starts with a dangling ``I-X`` overlays that ``I-X`` verbatim (the
+    repair, if any, happens downstream in ``group_tags``)."""
     if not chains:
         return []
     merged = list(chains[0])
     for chain in chains[1:]:
-        pos = 0
         for items, tag in group_tags(list(zip(range(len(chain)), chain))):
             idxs = list(items)
             if tag != "O" and all(merged[i] == "O" for i in idxs):
-                merged[idxs[0]] = "B-" + tag
-                for i in idxs[1:]:
-                    merged[i] = "I-" + tag
-            pos += len(idxs)
+                for i in idxs:
+                    merged[i] = chain[i]
     return merged
+
+
+def viterbi_decode_nbest(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    n: int = 2,
+    init: Optional[np.ndarray] = None,
+) -> List[List[int]]:
+    """N-best Viterbi (k-best list DP): up to ``n`` highest-scoring
+    tag paths, best first — the upstream the reference's ``top_n``
+    chains come from (wapiti.py:249-276 requests nbest from the CRF
+    and merges with merge_top_n).
+
+    Rank-1 equals :func:`viterbi_decode` exactly (same float ops,
+    ties resolved toward lower tag index / lower predecessor rank).
+    """
+    n_pos, T = emissions.shape
+    if n_pos == 0:
+        return [[]]
+    if init is None:
+        init = _default_init(T)
+    # beams[tag] = list of (score, backptr) where backptr =
+    # (prev_tag, prev_rank) or None at t=0; list index = rank
+    beams: List[List[tuple]] = [
+        [(float(init[j] + emissions[0, j]), None)] for j in range(T)
+    ]
+    history: List[List[List[tuple]]] = [beams]
+    for t in range(1, n_pos):
+        nxt: List[List[tuple]] = []
+        for j in range(T):
+            cands = []
+            em = float(emissions[t, j])
+            for i in range(T):
+                tr = float(transitions[i, j])
+                for r, (s, _bp) in enumerate(beams[i]):
+                    # (-score, prev_tag, prev_rank): ties prefer the
+                    # lowest predecessor index, matching np.argmax
+                    cands.append((-(s + tr + em), i, r))
+            cands.sort()
+            nxt.append(
+                [(-ns, (i, r)) for ns, i, r in cands[:n]]
+            )
+        beams = nxt
+        history.append(beams)
+    finals = []
+    for j in range(T):
+        for r, (s, _bp) in enumerate(beams[j]):
+            finals.append((-s, j, r))
+    finals.sort()
+    paths: List[List[int]] = []
+    for ns, j, r in finals[:n]:
+        path = []
+        t = n_pos - 1
+        tag, rank = j, r
+        while True:
+            path.append(tag)
+            _s, bp = history[t][tag][rank]
+            if bp is None:
+                break
+            tag, rank = bp
+            t -= 1
+        path.reverse()
+        paths.append(path)
+    return paths

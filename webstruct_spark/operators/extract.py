@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..kernel.bilou import _MARKER_RE, decode_mentions, encode_tokens
+from ..kernel.bilou import (
+    _MARKER_RE,
+    decode_mentions,
+    encode_tokens,
+    limit_tags,
+)
 from ..kernel.smartjoin import smart_join
 from ..kernel.tokenize import default_segment_words
 
@@ -62,15 +67,18 @@ TOKENS_TYPE = T.StructType(
 )
 
 
-def _extract_turn_entities_twopass(text: str) -> tuple:
+def _extract_turn_entities_twopass(text: str, tagset=None) -> tuple:
     """Reference composition (encode → decode → join); kept as the
     differential oracle for the fused single-pass version below.
 
     Returns ``(n_clean_tokens, [(text, entity_type, tok_start,
     tok_end, first_char, last_char), ...])`` — entity_idx is the list
-    position."""
+    position.  ``tagset`` applies the P3 projection (markers of other
+    types dropped pre-encode, text kept)."""
     text = text or ""
     toks = default_segment_words(text)
+    if tagset is not None:
+        toks = limit_tags(toks, tagset, chars_of=lambda t: t[0])
     chars = [t[0] for t in toks]
     idx_tags = encode_tokens(chars)
     clean_chars = [chars[i] for i, _ in idx_tags]
@@ -95,7 +103,7 @@ def _extract_turn_entities_twopass(text: str) -> tuple:
     return len(clean_chars), ents
 
 
-def extract_turn_entities_py(text: str) -> tuple:
+def extract_turn_entities_py(text: str, tagset=None) -> tuple:
     """(n_clean_tokens, [entity dicts]) for one marker-bearing turn.
 
     Single fused scan: entity spans are built directly while markers
@@ -139,6 +147,8 @@ def extract_turn_entities_py(text: str) -> tuple:
             m = _MARKER_RE.match(chars)
             if m is not None:
                 kind, value = m.group(1), m.group(2)
+                if tagset is not None and value not in tagset:
+                    continue  # P3 projection: drop the marker entirely
                 if kind == "START":
                     if open_type is not None:
                         close_entity()  # adjacent START: B- starts anew
@@ -188,8 +198,16 @@ def extract_rows_schema(passthrough: Sequence[tuple] = ()) -> T.StructType:
     )
 
 
-def _flat_mapper(passthrough_cols: Sequence[str]):
-    cols = [n for n, _t in EXTRACT_ROWS_FIELDS] + list(passthrough_cols)
+def _flat_mapper(passthrough_cols: Sequence[str], tagset=None):
+    if tagset is None:
+        extract = extract_turn_entities
+    else:
+        # P3 projection goes through the Python kernel (the native
+        # kernel has no tagset support; projection use is opt-in/rare)
+        frozen = frozenset(tagset)
+
+        def extract(tx):
+            return extract_turn_entities_py(tx, tagset=frozen)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,7 +221,7 @@ def _flat_mapper(passthrough_cols: Sequence[str]):
                 zip(pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
                     pdf["text"].tolist())
             ):
-                n_tok, ents = extract_turn_entities(tx)
+                n_tok, ents = extract(tx)
                 n_emit = len(ents) if ents else 1
                 o_cid.extend([cid] * n_emit)
                 o_ti.extend([ti] * n_emit)
@@ -246,12 +264,15 @@ def extract_rows(
     turns: DataFrame,
     text_col: str = "text",
     passthrough: Sequence[str] = (),
+    tagset=None,
 ) -> DataFrame:
     """Flat extraction rows (narrow, no shuffle): one row per entity +
     one marker row (mention_idx = -1) per entity-less turn.
 
     ``passthrough`` carries extra input columns (e.g. ``ts`` for
-    streaming windows) onto every emitted row.
+    streaming windows) onto every emitted row.  ``tagset`` applies the
+    P3 tagset projection (out-of-tagset markers dropped, text kept —
+    reference html_tokenizer.py:323-332).
     """
     src = turns.select(
         "conv_id", "turn_idx", F.col(text_col).alias("text"), *passthrough
@@ -260,18 +281,21 @@ def extract_rows(
         (c, turns.schema[c].dataType) for c in passthrough
     ]
     return src.mapInPandas(
-        _flat_mapper(list(passthrough)), extract_rows_schema(pass_fields)
+        _flat_mapper(list(passthrough), tagset=tagset),
+        extract_rows_schema(pass_fields),
     )
 
 
-def mentions(turns: DataFrame, text_col: str = "text") -> DataFrame:
+def mentions(
+    turns: DataFrame, text_col: str = "text", tagset=None
+) -> DataFrame:
     """Mentions table: one row per extracted entity occurrence.
 
     Columns: conv_id, turn_idx, mention_idx, text, entity_type,
     tok_start, tok_end, first_char, last_char.
     """
     return (
-        extract_rows(turns, text_col)
+        extract_rows(turns, text_col, tagset=tagset)
         .where(F.col("mention_idx") >= 0)
         .drop("n_tokens")
     )
