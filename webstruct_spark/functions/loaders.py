@@ -19,10 +19,13 @@ Python.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence, Set
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def gate_markers(text: Column, tagset: Sequence[str]) -> Column:
@@ -56,3 +59,21 @@ def wa_span_markers(text: Column, known_entities=None) -> Column:
         r" __START_$1__ $2 __END_$1__ ",
     )
     return out
+
+
+def wa_markers_nested(text: Column, known_entities=None) -> Column:
+    """Full WebAnnotator ingestion including NESTED / overlapping /
+    split same-wa-id spans (kernel/wadom.py — exact
+    ``WebAnnotatorLoader`` semantics, reference loaders.py:56-104,
+    gated by the reference's nested-fragment golden).  Pandas UDF;
+    use :func:`wa_span_markers` (pure Column regex) when the input is
+    known to be flat single spans."""
+    from ..kernel.wadom import wa_to_markers
+
+    known = None if known_entities is None else set(known_entities)
+
+    @pandas_udf(T.StringType())
+    def _udf(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: wa_to_markers(h or "", known))
+
+    return _udf(text)

@@ -102,6 +102,10 @@ def pattern_column(
     ``?``, missing feature values ``_NA_``; the feature is omitted
     (null here) when ALL values are out-of-range.
     """
+    if not lookups:
+        raise ValueError(
+            "pattern requires at least one (offset, key) lookup"
+        )
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("tok_idx")
     keys: List[str] = []
     vals: List[Column] = []
