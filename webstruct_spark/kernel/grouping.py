@@ -160,6 +160,71 @@ def best_clustering(
     )
 
 
+import numpy as _np
+
+
+def best_clustering_ids(
+    tag_ids,
+    distances,
+    exempt_mask,
+) -> Tuple[int, int, "_np.ndarray"]:
+    """Vectorized threshold argmax (exact integer parity with
+    :func:`best_clustering_entities`, fuzz-gated): given per-entity
+    ``tag_ids`` (int array), ``distances`` (int array, first measured
+    from 0) and a per-tag-id ``exempt_mask`` (dont_penalize), return
+    ``(threshold, score, cluster_ids)``.
+
+    All thresholds are evaluated in ONE (T, E) numpy pass: cluster ids
+    by cumsum of boundary flags, scores by a single flat bincount over
+    (threshold, cluster, tag) — no per-threshold Python loops.  Scan
+    order (thresholds descending, first max wins) is preserved via
+    ``argmax``.
+    """
+    tag_ids = _np.asarray(tag_ids, dtype=_np.int64)
+    distances = _np.asarray(distances, dtype=_np.int64)
+    E = tag_ids.shape[0]
+    if E == 0:
+        return 0, 0, _np.zeros(0, dtype=_np.int64)
+    n_tags = int(exempt_mask.shape[0])
+    thresholds = _np.unique(distances[1:])[::-1]  # descending
+    if thresholds.shape[0] == 0:
+        return 0, 0, _np.zeros(E, dtype=_np.int64)
+    T = thresholds.shape[0]
+    scores = _np.empty(T, dtype=_np.int64)
+    # chunk thresholds so a mega-conversation (large E AND large T)
+    # bounds the (chunk, clusters, tags) bincount to a few MB
+    chunk = max(1, min(T, 4_000_000 // max(1, E * n_tags)))
+    tag_row = tag_ids[None, :]
+    for c0 in range(0, T, chunk):
+        thr = thresholds[c0 : c0 + chunk]
+        tc = thr.shape[0]
+        # (tc, E) cluster ids: boundary when dist > thr (never at e=0)
+        bounds = distances[None, 1:] > thr[:, None]
+        cids = _np.zeros((tc, E), dtype=_np.int64)
+        _np.cumsum(bounds, axis=1, out=cids[:, 1:])
+        n_clusters = cids[:, -1] + 1
+        cmax = int(n_clusters.max())
+        stride_t = cmax * n_tags
+        flat = (
+            _np.arange(tc, dtype=_np.int64)[:, None] * stride_t
+            + cids * n_tags
+            + tag_row
+        )
+        counts = _np.bincount(flat.ravel(), minlength=tc * stride_t)
+        tags_flat = _np.tile(_np.arange(n_tags, dtype=_np.int64), tc * cmax)
+        sign = _np.where(
+            (counts == 1) | exempt_mask[tags_flat], counts, -counts
+        )
+        scores[c0 : c0 + tc] = (
+            sign.reshape(tc, stride_t).sum(axis=1) - n_clusters
+        )
+    best = int(_np.argmax(scores))  # first max = largest threshold
+    thr_best = int(thresholds[best])
+    best_cids = _np.zeros(E, dtype=_np.int64)
+    _np.cumsum(distances[1:] > thr_best, out=best_cids[1:])
+    return thr_best, int(scores[best]), best_cids
+
+
 def token_position(global_token_index: int, turn_rank: int) -> int:
     """Closed form of :func:`block_positions` for transcripts where
     parent == elem == the turn: position = 2*g + 3*k with g = tokens

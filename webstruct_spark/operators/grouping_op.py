@@ -92,7 +92,9 @@ def _group_one_conversation(conv_id, pdf: pd.DataFrame, dp: Set[str], out: dict)
             out["n_entities"].append(len(members))
 
 
-def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
+def _make_bucket_grouper_scalar(dont_penalize: Optional[Set[str]]):
+    """Per-conversation Python path — kept as the differential oracle
+    for the vectorized bucket grouper below."""
     dp = set(dont_penalize or ())
 
     def group_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -104,6 +106,116 @@ def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
         for conv_id, sub in pdf.groupby("conv_id", sort=False):
             _group_one_conversation(conv_id, sub, dp, out)
         return pd.DataFrame(out)
+
+    return group_bucket
+
+
+def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
+    """Vectorized bucket grouper: position reconstruction (the
+    ``pos = 2g + 3k`` closed form) runs as cumulative sums over the
+    whole bucket; the threshold argmax is the numpy kernel
+    (kernel/grouping.py:best_clustering_ids).  Python touches each
+    conversation only to slice arrays and format group ids.  Exact
+    integer parity with the scalar path (fuzz-gated)."""
+    import numpy as np
+
+    dp = set(dont_penalize or ())
+
+    def group_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.grouping import best_clustering_ids
+
+        empty = dict(
+            conv_id=[], group_id=[], group_idx=[], entity_idx=[], text=[],
+            entity_type=[], turn_idx=[], threshold=[], score=[],
+            n_entities=[],
+        )
+        if len(pdf) == 0:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "mention_idx"])
+        conv = pdf["conv_id"].to_numpy()
+        turn = pdf["turn_idx"].to_numpy(dtype=np.int64)
+        mi = pdf["mention_idx"].to_numpy(dtype=np.int64)
+        ts = pdf["tok_start"].to_numpy(dtype=np.int64)
+        te = pdf["tok_end"].to_numpy(dtype=np.int64)
+        n_tok = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        n = conv.shape[0]
+        new_conv = np.ones(n, dtype=bool)
+        new_conv[1:] = conv[1:] != conv[:-1]
+        new_turn = new_conv.copy()
+        new_turn[1:] |= turn[1:] != turn[:-1]
+        rows = np.arange(n, dtype=np.int64)
+        # tokens before the current turn within the conversation:
+        # C = inclusive per-turn cumsum; conv_base = C just before the
+        # conversation started (forward-filled from each conv head)
+        tok_inc = np.where(new_turn, n_tok, 0)
+        C = np.cumsum(tok_inc)
+        head = np.where(new_conv, rows, 0)
+        head = np.maximum.accumulate(head)
+        conv_base = (C - n_tok)[head]
+        g = C - n_tok - conv_base
+        # rank among token-bearing turns (k)
+        k_inc = (new_turn & (n_tok > 0)).astype(np.int64)
+        K = np.cumsum(k_inc)
+        k_base = (K - k_inc)[head]
+        k = K - 1 - k_base
+        # entity rows only
+        m = mi >= 0
+        if not m.any():
+            return pd.DataFrame(empty)
+        start_pos = 2 * (g[m] + ts[m]) + 3 * k[m]
+        end_pos = 2 * (g[m] + te[m]) + 3 * k[m]
+        conv_m = conv[m]
+        turn_m = turn[m]
+        text_m = pdf["text"].to_numpy()[m]
+        etype_m = pdf["entity_type"].to_numpy()[m]
+        tag_codes, tag_uniques = pd.factorize(etype_m)
+        exempt = np.array([t in dp for t in tag_uniques], dtype=bool)
+        new_conv_m = np.ones(conv_m.shape[0], dtype=bool)
+        new_conv_m[1:] = conv_m[1:] != conv_m[:-1]
+        seg_starts = np.flatnonzero(new_conv_m)
+        seg_ends = np.append(seg_starts[1:], conv_m.shape[0])
+        o_conv, o_gid, o_gidx, o_eidx = [], [], [], []
+        o_text, o_type, o_turn = [], [], []
+        o_thr, o_score, o_nent = [], [], []
+        for s, e in zip(seg_starts, seg_ends):
+            E = e - s
+            d = np.empty(E, dtype=np.int64)
+            d[0] = start_pos[s]
+            d[1:] = start_pos[s + 1 : e] - end_pos[s : e - 1]
+            thr, score, cids = best_clustering_ids(
+                tag_codes[s:e], d, exempt
+            )
+            gstarts = np.flatnonzero(
+                np.diff(cids, prepend=np.int64(-1))
+            )
+            sizes = np.diff(gstarts, append=np.int64(E))
+            cid = conv_m[s]
+            o_conv.append(np.repeat(cid, E))
+            o_gid.extend(
+                "%s:g%04d" % (cid, gi) for gi in cids
+            )
+            o_gidx.append(cids)
+            o_eidx.append(np.arange(E) - np.repeat(gstarts, sizes))
+            o_text.append(text_m[s:e])
+            o_type.append(etype_m[s:e])
+            o_turn.append(turn_m[s:e])
+            o_thr.append(np.repeat(np.int64(thr), E))
+            o_score.append(np.repeat(np.int64(score), E))
+            o_nent.append(np.repeat(sizes, sizes))
+        return pd.DataFrame(
+            dict(
+                conv_id=np.concatenate(o_conv),
+                group_id=o_gid,
+                group_idx=np.concatenate(o_gidx).astype("int32"),
+                entity_idx=np.concatenate(o_eidx).astype("int32"),
+                text=np.concatenate(o_text),
+                entity_type=np.concatenate(o_type),
+                turn_idx=np.concatenate(o_turn).astype("int32"),
+                threshold=np.concatenate(o_thr).astype("int32"),
+                score=np.concatenate(o_score).astype("int32"),
+                n_entities=np.concatenate(o_nent).astype("int32"),
+            )
+        )
 
     return group_bucket
 
