@@ -463,6 +463,16 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
 
 
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded hyperplane-LSH
+    candidates + exact float64 verify — vs the single-node run of the
+    same banding (recall vs brute force is gauged in pytest)."""
+    from webstruct_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(emb, threshold=0.35)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webstruct_spark.operators.similarity import brute_force_topk
 
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
+        "emb_neardup": _q_emb_neardup,
     }
 
 
@@ -616,6 +627,10 @@ def oracle_sql() -> dict[str, str]:
                 '{os.path.join(dg, "gold_simhash_pairs.parquet")}')
         """,
         "ngram_jaccard": _ngram_jaccard_oracle(),
+        "emb_neardup": f"""
+            SELECT vec_a, vec_b, sim FROM read_parquet(
+                '{os.path.join(dg, "gold_emb_neardup.parquet")}')
+        """,
         "ann_topk": f"""
             SELECT query_id, rank, neighbor_id, sim FROM read_parquet(
                 '{os.path.join(dg, "gold_ann_topk.parquet")}')

@@ -113,3 +113,40 @@ def test_probe_reads_only_probed_partitions(spark, tmp_path):
     assert len(read_buckets) < n_total_buckets
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_embedding_neardup_recall(spark):
+    """Candidates from banded hyperplane LSH must recover most true
+    high-cosine pairs; found pairs are exact (verified cosine)."""
+    import numpy as np
+    from webstruct_spark.operators.similarity import (
+        _pair_cosine,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(21)
+    dim, n = 16, 150
+    base = rng.randn(n, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    # plant 30 true near-dups: slightly perturbed copies
+    for j in range(30):
+        v = base[j] + 0.05 * rng.randn(dim).astype(np.float32)
+        rows.append((1000 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    # ground truth via brute force
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float32)
+    truth = set()
+    for i in range(len(ids)):
+        sims = _pair_cosine(np.repeat(mat[i][None], len(ids), 0), mat)
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and round(sims[j], 4) >= 0.9:
+                truth.add((int(ids[i]), int(ids[j])))
+    assert truth, "test setup must plant true pairs"
+    assert got <= truth  # verified pairs are never false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall

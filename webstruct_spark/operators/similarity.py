@@ -417,6 +417,135 @@ def ann_index_topk(
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the dense-vector analog of
+# minhash_lsh_pairs): banded hyperplane-LSH candidates + exact float64
+# verification of candidates only — never an n² cartesian.
+
+
+def _normalize_f32(mat: np.ndarray) -> np.ndarray:
+    return _normalize_rows(mat)
+
+
+def _emb_band_keys(
+    normed: np.ndarray, planes: np.ndarray, n_bands: int, n_planes: int
+) -> List[List[str]]:
+    """Per-row list of band-key strings ('band:hexcode')."""
+    bits = (normed @ planes.T) >= 0  # (n, n_bands*n_planes)
+    keys: List[List[str]] = []
+    for r in range(normed.shape[0]):
+        row = []
+        for b in range(n_bands):
+            code = 0
+            for p in range(n_planes):
+                if bits[r, b * n_planes + p]:
+                    code |= 1 << p
+            row.append("%d:%x" % (b, code))
+        keys.append(row)
+    return keys
+
+
+def _pair_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two already-f32 matrices: normalize f32,
+    multiply-sum in float64 — the single shared definition used by the
+    distributed verify UDF AND the single-node gold builder, so both
+    paths run bit-identical math."""
+    an = _normalize_rows(a).astype(np.float64)
+    bn = _normalize_rows(b).astype(np.float64)
+    return np.einsum("ij,ij->i", an, bn)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 8,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim) pairs with cosine >= threshold.
+
+    Scale shape mirrors minhash_lsh_pairs: one narrow pass emits
+    deterministic hyperplane band keys, candidates come from the
+    banded self-join (AQE skew-join splits hot buckets), and the exact
+    cosine runs only on candidate pairs.  Approximate: recall < 1 by
+    design (gauged vs brute force in tests); the driver query checks
+    distributed == single-node of the same banding."""
+    import pandas as pd_  # local alias; module already imports pandas
+
+    spark = embeddings.sparkSession
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    planes = _planes(n_bands * n_planes, dim)
+    bc = spark.sparkContext.broadcast((planes, n_bands, n_planes))
+
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+
+    def bandize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl, nb, npl = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            normed = _normalize_rows(np.vstack(pdf["vec"].to_numpy()))
+            yield pd_.DataFrame(
+                {
+                    "doc_id": pdf["vec_id"],
+                    "bucket_list": _emb_band_keys(normed, pl, nb, npl),
+                }
+            )
+
+    band_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bucket_list", T.ArrayType(T.StringType())),
+        ]
+    )
+    banded = src.mapInPandas(bandize, band_schema).select(
+        "doc_id", F.explode("bucket_list").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("vec_a"),
+            F.col("b.doc_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    vecs = src
+    joined = (
+        pairs.join(
+            vecs.withColumnRenamed("vec_id", "vec_a")
+            .withColumnRenamed("vec", "va"),
+            "vec_a",
+        ).join(
+            vecs.withColumnRenamed("vec_id", "vec_b")
+            .withColumnRenamed("vec", "vb"),
+            "vec_b",
+        )
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def _cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd_.Series([], dtype="float64")
+        ma = np.vstack(va.to_numpy()).astype(np.float32)
+        mb = np.vstack(vb.to_numpy()).astype(np.float32)
+        return pd_.Series(_pair_cosine(ma, mb))
+
+    return (
+        joined.withColumn("sim", F.round(_cosine_udf("va", "vb"), 4))
+        .where(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH variant
 
 

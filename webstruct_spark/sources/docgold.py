@@ -37,7 +37,7 @@ def _round_half_up(x: float, n: int) -> float:
     return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
-DOC_GOLD_VERSION = "2-mersenne31"
+DOC_GOLD_VERSION = "3-embdedup"
 
 
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
@@ -160,6 +160,55 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
             ),
         ),
         os.path.join(out_dir, "gold_ann_topk.parquet"),
+    )
+
+    # --- embedding-cosine near-dup pairs: SAME banding + SAME cosine
+    # helper as the distributed operator (shared functions), single node
+    from ..operators.similarity import (
+        _emb_band_keys,
+        _normalize_rows,
+        _pair_cosine,
+        _planes,
+    )
+
+    n_bands, n_planes, thr = 8, 4, 0.35
+    planes = _planes(n_bands * n_planes, mat.shape[1])
+    normed32 = normed.astype(np.float32)
+    keys = _emb_band_keys(normed32, planes, n_bands, n_planes)
+    buckets: dict = {}
+    for r, row in enumerate(keys):
+        for kk in row:
+            buckets.setdefault(kk, []).append(r)
+    cand = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                if ids[i] < ids[j]:
+                    cand.add((i, j))
+                elif ids[j] < ids[i]:
+                    cand.add((j, i))
+    nd_rows: List[dict] = []
+    if cand:
+        cl = sorted(cand)
+        ai = np.array([c[0] for c in cl])
+        bi = np.array([c[1] for c in cl])
+        sims = _pair_cosine(mat[ai], mat[bi])
+        for (i, j), s in zip(cl, sims):
+            s4 = _round_half_up(float(s), 4)
+            if s4 >= thr:
+                nd_rows.append(
+                    dict(vec_a=int(ids[i]), vec_b=int(ids[j]), sim=s4)
+                )
+    pq.write_table(
+        pa.Table.from_pylist(
+            nd_rows,
+            schema=pa.schema(
+                [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                 ("sim", pa.float64())]
+            ),
+        ),
+        os.path.join(out_dir, "gold_emb_neardup.parquet"),
     )
 
     with open(done, "w") as f:
