@@ -77,3 +77,33 @@ def wa_markers_nested(text: Column, known_entities=None) -> Column:
         return html.map(lambda h: wa_to_markers(h or "", known))
 
     return _udf(text)
+
+
+def to_webannotator(text: Column, entity_types=()) -> Column:
+    """K2 export: marker-bearing text → WebAnnotator span HTML with a
+    per-turn <wa-color> legend appended (kernel/wadom.py
+    markers_to_webannotator; reference webannotator.py:376-434).
+    Colors are assigned from a shared deterministic map pre-seeded
+    with ``entity_types`` (pass the tagset for stable colors across
+    turns); wa-ids restart at 1 per turn (turns are independent rows —
+    the reference numbers per page)."""
+    from ..kernel.wadom import (
+        EntityColors,
+        markers_to_webannotator,
+        wa_color_legend,
+    )
+
+    seed_types = tuple(entity_types)
+
+    @pandas_udf(T.StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        colors = EntityColors()
+        for t in seed_types:
+            colors[t]
+        out = []
+        for t in texts:
+            html, colors, _nid = markers_to_webannotator(t or "", colors, 1)
+            out.append(html + wa_color_legend(colors))
+        return pd.Series(out)
+
+    return _udf(text)

@@ -148,4 +148,125 @@ def wa_to_markers(html: str, known_entities: Optional[Set[str]] = None) -> str:
             drop.add(id(el))
     out: List[str] = []
     _doc_text(tree, out, drop)
-    return "".join(out)
+    import html as _html
+
+    # lxml exposes DOM text unescaped; mirror that
+    return _html.unescape("".join(out))
+
+
+# ---------------------------------------------------------------------------
+# K2: to_webannotator export — the inverse direction.  The reference
+# (/root/reference/webstruct/webannotator.py:376-434) spends its
+# complexity on splitting annotations across DOM element boundaries;
+# transcript turns are flat text, so the export reduces to marker-run →
+# <span> conversion plus the color legend.  Colors follow the
+# reference's published DEFAULT_COLORS table
+# (webannotator.py:21-39); past 16 entity types the reference picks
+# random colors — here they are blake2b-derived instead so the export
+# is deterministic (documented divergence).
+
+import hashlib as _hashlib
+
+_MARKER = re.compile(r"__(START|END)_(\w+?)__")
+
+DEFAULT_COLORS = [
+    ("#000000", "#33CCFF"), ("#000000", "#FF0000"),
+    ("#000000", "#33FF33"), ("#000000", "#CC66CC"),
+    ("#000000", "#FF9900"), ("#000000", "#99FFFF"),
+    ("#000000", "#FF6666"), ("#000000", "#66FF99"),
+    ("#FFFFFF", "#3333FF"), ("#FFFFFF", "#660000"),
+    ("#FFFFFF", "#006600"), ("#FFFFFF", "#663366"),
+    ("#FFFFFF", "#993300"), ("#FFFFFF", "#336666"),
+    ("#FFFFFF", "#666600"), ("#FFFFFF", "#009900"),
+]
+
+
+class EntityColors(dict):
+    """{'type': (fg, bg, entity_index)}, generating entries on first
+    access (reference EntityColors, webannotator.py:50-62)."""
+
+    def __missing__(self, key):
+        idx = len(self)
+        if idx < len(DEFAULT_COLORS):
+            fg, bg = DEFAULT_COLORS[idx]
+        else:  # deterministic overflow colors (reference uses random)
+            h = _hashlib.blake2b(key.encode("utf-8"), digest_size=4)
+            fg = "#000000"
+            bg = "#%06X" % (int.from_bytes(h.digest(), "big") & 0xFFFFFF)
+        self[key] = (fg, bg, idx)
+        return self[key]
+
+
+def entity_colors_from_html(html: str) -> EntityColors:
+    """Reference EntityColors.from_htmlbytes: recover the color map
+    from <wa-color> legend elements."""
+    colors = EntityColors()
+    for el in _iter_dfs(parse_html(html)):
+        if el.tag == "wa-color":
+            idx = int(el.attrs["id"][len("WA-color-"):])
+            colors[el.attrs["type"]] = (
+                el.attrs.get("fg", ""), el.attrs.get("bg", ""), idx,
+            )
+    return colors
+
+
+def _escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def markers_to_webannotator(
+    text: str,
+    entity_colors: Optional[EntityColors] = None,
+    next_wa_id: int = 1,
+):
+    """Marker-bearing text → WebAnnotator 'save format' HTML fragment.
+
+    Returns ``(html, entity_colors, next_wa_id)`` so a caller can
+    thread a shared color map / id counter across turns of a document.
+    Raises ValueError on a close marker that does not match the open
+    type (encoder parity); an unclosed entity closes at text end.
+    """
+    colors = entity_colors if entity_colors is not None else EntityColors()
+    out: List[str] = []
+    open_type: Optional[str] = None
+    pos = 0
+    for m in _MARKER.finditer(text):
+        chunk = _escape(text[pos : m.start()])
+        pos = m.end()
+        kind, value = m.group(1), m.group(2)
+        if kind == "START":
+            out.append(chunk)
+            if open_type is not None:
+                out.append("</span>")
+            fg, bg, _idx = colors[value]
+            out.append(
+                '<span style="color: %s; background-color: %s;" '
+                'wa-subtypes="" wa-id="%d" wa-type="%s" '
+                'class="WebAnnotator_%s">' % (fg, bg, next_wa_id, value, value)
+            )
+            next_wa_id += 1
+            open_type = value
+        else:
+            if value != (open_type or ""):
+                raise ValueError(
+                    "Invalid tag sequence: close tag %r doesn't match "
+                    "open tag %r." % (value, open_type or "O")
+                )
+            out.append(chunk)
+            out.append("</span>")
+            open_type = None
+    out.append(_escape(text[pos:]))
+    if open_type is not None:
+        out.append("</span>")
+    return "".join(out), colors, next_wa_id
+
+
+def wa_color_legend(colors: EntityColors) -> str:
+    """<wa-color> legend elements (reference _add_wacolor_elements)."""
+    return "".join(
+        '<wa-color id="WA-color-%d" bg="%s" fg="%s" class="WebAnnotator_'
+        'color_%s" type="%s"></wa-color>' % (idx, bg, fg, typ, typ)
+        for typ, (fg, bg, idx) in sorted(
+            colors.items(), key=lambda kv: kv[1][2]
+        )
+    )
