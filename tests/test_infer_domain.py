@@ -73,3 +73,20 @@ def test_mode_vote_blacklist_and_tie(spark):
     assert got[2] == "alpha.org"
     assert got[3] == ""
     assert got[4] == ""
+
+
+def test_commented_links_and_single_quotes(spark):
+    """Reference lxml never sees comment content as hrefs; attributes
+    may use single quotes."""
+    got = _infer(
+        spark,
+        [
+            # commented-out links must NOT vote
+            (1, '<!-- <a href="http://stale.org/1"><a href="http://stale.org/2"> -->'
+                '<a href="http://real.com/1">'),
+            # single-quoted href must vote
+            (2, "<a href='http://single.org/x'>"),
+        ],
+    )
+    assert got[1] == "real.com"
+    assert got[2] == "single.org"

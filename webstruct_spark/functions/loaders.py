@@ -83,10 +83,14 @@ def to_webannotator(text: Column, entity_types=()) -> Column:
     """K2 export: marker-bearing text → WebAnnotator span HTML with a
     per-turn <wa-color> legend appended (kernel/wadom.py
     markers_to_webannotator; reference webannotator.py:376-434).
-    Colors are assigned from a shared deterministic map pre-seeded
-    with ``entity_types`` (pass the tagset for stable colors across
-    turns); wa-ids restart at 1 per turn (turns are independent rows —
-    the reference numbers per page)."""
+    The color map is rebuilt PER ROW, pre-seeded with ``entity_types``
+    in the given order — so output is a pure function of the row
+    (batch/partition layout cannot change colors or leak other rows'
+    types into a turn's legend).  Pass the full tagset for stable
+    colors across turns; an unseeded type gets its color from
+    first-appearance order within its own turn.  wa-ids restart at 1
+    per turn (turns are independent rows — the reference numbers per
+    page)."""
     from ..kernel.wadom import (
         EntityColors,
         markers_to_webannotator,
@@ -97,11 +101,11 @@ def to_webannotator(text: Column, entity_types=()) -> Column:
 
     @pandas_udf(T.StringType())
     def _udf(texts: pd.Series) -> pd.Series:
-        colors = EntityColors()
-        for t in seed_types:
-            colors[t]
         out = []
         for t in texts:
+            colors = EntityColors()
+            for st in seed_types:
+                colors[st]
             html, colors, _nid = markers_to_webannotator(t or "", colors, 1)
             out.append(html + wa_color_legend(colors))
         return pd.Series(out)

@@ -459,12 +459,15 @@ def viterbi_decode_nbest(
             for i in range(T):
                 tr = float(transitions[i, j])
                 for r, (s, _bp) in enumerate(beams[i]):
-                    # (-score, prev_tag, prev_rank): ties prefer the
-                    # lowest predecessor index, matching np.argmax
-                    cands.append((-(s + tr + em), i, r))
+                    # rank on the PRE-emission score (-(s+tr), i, r),
+                    # exactly like viterbi_decode's argmax over
+                    # score+transitions — adding em before comparing
+                    # could collapse two distinct pre-emission scores
+                    # into a rounded tie and flip the rank-1 path
+                    cands.append((-(s + tr), i, r))
             cands.sort()
             nxt.append(
-                [(-ns, (i, r)) for ns, i, r in cands[:n]]
+                [(-ns + em, (i, r)) for ns, i, r in cands[:n]]
             )
         beams = nxt
         history.append(beams)

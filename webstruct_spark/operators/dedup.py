@@ -30,12 +30,9 @@ from pyspark.sql.functions import pandas_udf
 
 from ..kernel.dedup import (
     _h64,
-    hamming64,
-    jaccard,
     lsh_band_keys,
     minhash_signature,
     simhash64,
-    simhash_band_keys,
     word_shingles,
 )
 
@@ -80,13 +77,6 @@ def _minhash_sketch_udf(texts: pd.Series) -> pd.DataFrame:
         bands.append(lsh_band_keys(minhash_signature(sh)))
         hashes.append([_to_signed64(_h64(s)) for s in sh])
     return pd.DataFrame({"bands": bands, "sh": hashes})
-
-
-@pandas_udf(T.DoubleType())
-def _jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [jaccard(word_shingles(x), word_shingles(y)) for x, y in zip(a, b)]
-    )
 
 
 def _candidate_pairs(banded: DataFrame) -> DataFrame:

@@ -40,8 +40,13 @@ MULTI_TLD = (
 )
 
 _HOST_RE = r'^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)'
+# matches a direct OR commented-out base tag — exactly the reference's
+# _find_base_href regex behavior (it searches comment text too)
 _BASE_RE = r'base\s+href="([^"]*)"'
-_HREF_RE = r'href="([^"]*)"'
+# vote hrefs: comments are stripped FIRST (the reference's lxml
+# //*/@href never sees comment content), both quote styles accepted
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_HREF_RE = r"href=[\"']([^\"']*)[\"']"
 
 
 def registered_domain_col(url):
@@ -87,7 +92,11 @@ def infer_domain(
     hrefs = with_base.where(F.col("base_href") == "").select(
         "page_id",
         F.explode(
-            F.expr("regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)")
+            F.regexp_extract_all(
+                F.regexp_replace(F.col("html"), _COMMENT_RE, ""),
+                F.lit(_HREF_RE),
+                F.lit(1),
+            )
         ).alias("href"),
     )
     voted = (
@@ -143,8 +152,9 @@ def infer_domain_oracle_sql(parquet_path: str) -> str:
                 )
             )
         ), hrefs AS (
-            SELECT page_id, unnest(regexp_extract_all(html,
-                'href="([^"]*)"', 1)) AS href
+            SELECT page_id, unnest(regexp_extract_all(
+                regexp_replace(html, '<!--.*?-->', '', 'gs'),
+                'href=["'']([^"'']*)["'']', 1)) AS href
             FROM dom WHERE base_href = ''
         ), hdom AS (
             SELECT page_id, CASE

@@ -259,6 +259,8 @@ def write_ann_index(
 
     spark = embeddings.sparkSession
     first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot build an ANN index over an empty table")
     dim = len(first[vec_col])
     if kind == "lsh":
         planes = _planes(n_planes, dim)
@@ -422,10 +424,6 @@ def ann_index_topk(
 # verification of candidates only — never an n² cartesian.
 
 
-def _normalize_f32(mat: np.ndarray) -> np.ndarray:
-    return _normalize_rows(mat)
-
-
 def _emb_band_keys(
     normed: np.ndarray, planes: np.ndarray, n_bands: int, n_planes: int
 ) -> List[List[str]]:
@@ -474,6 +472,10 @@ def embedding_neardup_pairs(
 
     spark = embeddings.sparkSession
     first = embeddings.select(vec_col).first()
+    if first is None:  # empty corpus -> no pairs, correct schema
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
     dim = len(first[vec_col])
     planes = _planes(n_bands * n_planes, dim)
     bc = spark.sparkContext.broadcast((planes, n_bands, n_planes))

@@ -26,7 +26,10 @@ def get_spark(
     # restores it (132k -> 251k turns/s at 32 cores on the 4.4M-turn
     # corpus).  On a real cluster this maps to local NVMe scratch —
     # the standard executor configuration — so it does not flatter the
-    # scaling story.  Override with SPARK_LOCAL_DIRS.
+    # scaling story.  Trade-off: a shuffle larger than free tmpfs
+    # fails with ENOSPC instead of spilling slowly to disk — at this
+    # sandbox's scale factors spill is <1% of the 126 GB tmpfs; for
+    # bigger-than-memory runs set SPARK_LOCAL_DIRS to a disk path.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/webstruct-spark-local"
