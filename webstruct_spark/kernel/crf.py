@@ -119,22 +119,29 @@ class CRFTagger:
     # -- inference ------------------------------------------------------
 
     def _emissions(self, tokens: Sequence[str]) -> np.ndarray:
+        """Predict-time emissions.  The summed context-free feature
+        vector is memoized PER TOKEN STRING for the model's lifetime
+        (sum order inside matches :func:`token_features` order, and
+        the two context adds follow — float-identical to summing the
+        full feature list)."""
         T = len(self.tags)
         em = np.zeros((len(tokens), T), dtype=np.float64)
         w = self.w
         cache = self._feat_cache
         n = len(tokens)
         for i, tok in enumerate(tokens):
-            feats = cache.get(tok)
-            if feats is None:
-                feats = _context_free(tok)
+            base = cache.get(tok, False)
+            if base is False:
+                base = None
+                for f in _context_free(tok):
+                    v = w.get(f)
+                    if v is not None:
+                        base = v.copy() if base is None else base + v
                 if len(cache) < 1_000_000:
-                    cache[tok] = feats
+                    cache[tok] = base
             row = em[i]
-            for f in feats:
-                v = w.get(f)
-                if v is not None:
-                    row += v
+            if base is not None:
+                row += base
             ctx = "bos" if i == 0 else "p=" + tokens[i - 1].lower()
             v = w.get(ctx)
             if v is not None:
