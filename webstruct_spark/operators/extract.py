@@ -198,16 +198,99 @@ def extract_rows_schema(passthrough: Sequence[tuple] = ()) -> T.StructType:
     )
 
 
-def _flat_mapper(passthrough_cols: Sequence[str], tagset=None):
+def _kernel_for(tagset):
     if tagset is None:
-        extract = extract_turn_entities
-    else:
-        # P3 projection goes through the Python kernel (the native
-        # kernel has no tagset support; projection use is opt-in/rare)
-        frozen = frozenset(tagset)
+        return extract_turn_entities
+    # P3 projection goes through the Python kernel (the native
+    # kernel has no tagset support; projection use is opt-in/rare)
+    frozen = frozenset(tagset)
 
-        def extract(tx):
-            return extract_turn_entities_py(tx, tagset=frozen)
+    def extract(tx):
+        return extract_turn_entities_py(tx, tagset=frozen)
+
+    return extract
+
+
+def _arrow_flat_mapper(passthrough_cols: Sequence[str], tagset=None):
+    """mapInArrow form of the extraction pass: with the C kernel the
+    stage is Arrow-transfer-bound, and skipping the pandas round-trip
+    (RecordBatch.to_pylist in, pa.array out) is ~1.5x at 32 cores."""
+    import pyarrow as pa
+
+    extract = _kernel_for(tagset)
+    names = [n for n, _t in EXTRACT_ROWS_FIELDS] + list(passthrough_cols)
+
+    def run(batches):
+        for batch in batches:
+            cids = batch.column(0).to_pylist()
+            tis = batch.column(1).to_pylist()
+            txts = batch.column(2).to_pylist()
+            o_cid: list = []
+            o_ti: list = []
+            o_mi: list = []
+            o_text: list = []
+            o_type: list = []
+            o_ts: list = []
+            o_te: list = []
+            o_fc: list = []
+            o_lc: list = []
+            o_nt: list = []
+            extra_src = [
+                batch.column(3 + j).to_pylist()
+                for j in range(len(passthrough_cols))
+            ]
+            extra_out: list = [[] for _ in passthrough_cols]
+            for i, (cid, ti, tx) in enumerate(zip(cids, tis, txts)):
+                n_tok, ents = extract(tx)
+                n_emit = len(ents) if ents else 1
+                o_cid.extend([cid] * n_emit)
+                o_ti.extend([ti] * n_emit)
+                o_nt.extend([n_tok] * n_emit)
+                for j, srcl in enumerate(extra_src):
+                    extra_out[j].extend([srcl[i]] * n_emit)
+                if not ents:
+                    o_mi.append(-1)
+                    o_text.append(None)
+                    o_type.append(None)
+                    o_ts.append(-1)
+                    o_te.append(-1)
+                    o_fc.append(-1)
+                    o_lc.append(-1)
+                else:
+                    for mi, (txt, etype, ts_, te_, fc_, lc_) in enumerate(
+                        ents
+                    ):
+                        o_mi.append(mi)
+                        o_text.append(txt)
+                        o_type.append(etype)
+                        o_ts.append(ts_)
+                        o_te.append(te_)
+                        o_fc.append(fc_)
+                        o_lc.append(lc_)
+            arrays = [
+                pa.array(o_cid, pa.string()),
+                pa.array(o_ti, pa.int32()),
+                pa.array(o_mi, pa.int32()),
+                pa.array(o_text, pa.string()),
+                pa.array(o_type, pa.string()),
+                pa.array(o_ts, pa.int32()),
+                pa.array(o_te, pa.int32()),
+                pa.array(o_fc, pa.int32()),
+                pa.array(o_lc, pa.int32()),
+                pa.array(o_nt, pa.int32()),
+            ]
+            for j, col in enumerate(extra_out):
+                arrays.append(
+                    pa.array(col, batch.schema.field(3 + j).type)
+                )
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return run
+
+
+def _flat_mapper(passthrough_cols: Sequence[str], tagset=None):
+    """pandas form (kept for the streaming lift + as a fallback)."""
+    extract = _kernel_for(tagset)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -280,9 +363,14 @@ def extract_rows(
     pass_fields = [
         (c, turns.schema[c].dataType) for c in passthrough
     ]
-    return src.mapInPandas(
-        _flat_mapper(list(passthrough), tagset=tagset),
-        extract_rows_schema(pass_fields),
+    schema = extract_rows_schema(pass_fields)
+    if turns.isStreaming:
+        # mapInArrow has no streaming lift; the pandas form does
+        return src.mapInPandas(
+            _flat_mapper(list(passthrough), tagset=tagset), schema
+        )
+    return src.mapInArrow(
+        _arrow_flat_mapper(list(passthrough), tagset=tagset), schema
     )
 
 
