@@ -115,52 +115,79 @@ def tagged_mentions(
     """
     bc, cache_key = _broadcast_model(turns, gazetteer, entity_types)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _model_for(bc, cache_key)
-        for pdf in batches:
-            tok_lists = [plain_tokens(t) for t in pdf["text"].tolist()]
-            tag_lists = model.predict_batch(tok_lists)
-            o_cid: list = []
-            o_ti: list = []
-            o_mi: list = []
-            o_text: list = []
-            o_type: list = []
-            o_ts: list = []
-            o_te: list = []
-            for cid, ti, toks, tags in zip(
-                pdf["conv_id"].tolist(),
-                pdf["turn_idx"].tolist(),
-                tok_lists,
-                tag_lists,
-            ):
-                mi = 0
-                for items, etype in decode_mentions(
-                    list(range(len(toks))), tags
-                ):
-                    o_cid.append(cid)
-                    o_ti.append(ti)
-                    o_mi.append(mi)
-                    o_text.append(smart_join(toks[i] for i in items))
-                    o_type.append(etype)
-                    o_ts.append(items[0])
-                    o_te.append(items[-1])
-                    mi += 1
-            yield pd.DataFrame(
-                {
-                    "conv_id": o_cid,
-                    "turn_idx": o_ti,
-                    "mention_idx": o_mi,
-                    "text": o_text,
-                    "entity_type": o_type,
-                    "tok_start": o_ts,
-                    "tok_end": o_te,
-                }
-            )
+    def get_model():
+        return _model_for(bc, cache_key)
 
+    return _tagged_rows_df(turns, text_col, get_model)
+
+
+def _predict_rows(cids, tis, texts, model) -> dict:
+    """Shared text → flat mention-row columns for any model exposing
+    ``predict_batch`` (rule tagger + trained CRF)."""
+    tok_lists = [plain_tokens(t) for t in texts]
+    tag_lists = model.predict_batch(tok_lists)
+    o = {k: [] for k in (
+        "conv_id", "turn_idx", "mention_idx", "text",
+        "entity_type", "tok_start", "tok_end",
+    )}
+    for cid, ti, toks, tags in zip(cids, tis, tok_lists, tag_lists):
+        mi = 0
+        for items, etype in decode_mentions(list(range(len(toks))), tags):
+            o["conv_id"].append(cid)
+            o["turn_idx"].append(ti)
+            o["mention_idx"].append(mi)
+            o["text"].append(smart_join(toks[i] for i in items))
+            o["entity_type"].append(etype)
+            o["tok_start"].append(items[0])
+            o["tok_end"].append(items[-1])
+            mi += 1
+    return o
+
+
+def _tagged_rows_df(turns: DataFrame, text_col: str, get_model) -> DataFrame:
+    """Narrow inference pass: mapInArrow for batch (the stage is
+    transfer-bound with the batched Viterbi), mapInPandas lift for
+    streaming sources."""
     src = turns.select(
         "conv_id", "turn_idx", F.col(text_col).alias("text")
     )
-    return src.mapInPandas(run, TAGGED_SCHEMA)
+    if turns.isStreaming:
+
+        def run_pd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            model = get_model()
+            for pdf in batches:
+                yield pd.DataFrame(
+                    _predict_rows(
+                        pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+                        pdf["text"].tolist(), model,
+                    )
+                )
+
+        return src.mapInPandas(run_pd, TAGGED_SCHEMA)
+
+    import pyarrow as pa
+
+    def run_arrow(batches):
+        model = get_model()
+        for batch in batches:
+            o = _predict_rows(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist(),
+                batch.column(2).to_pylist(), model,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o["conv_id"], pa.string()),
+                    pa.array(o["turn_idx"], pa.int32()),
+                    pa.array(o["mention_idx"], pa.int32()),
+                    pa.array(o["text"], pa.string()),
+                    pa.array(o["entity_type"], pa.string()),
+                    pa.array(o["tok_start"], pa.int32()),
+                    pa.array(o["tok_end"], pa.int32()),
+                ],
+                names=list(o.keys()),
+            )
+
+    return src.mapInArrow(run_arrow, TAGGED_SCHEMA)
 
 
 def token_confusion(

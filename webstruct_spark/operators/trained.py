@@ -18,17 +18,15 @@ The labeled-sample collect is the only driver materialization.
 from __future__ import annotations
 
 import uuid
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, List, Tuple
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernel.bilou import decode_mentions, encode_tokens
+from ..kernel.bilou import encode_tokens
 from ..kernel.crf import CRFTagger
-from ..kernel.smartjoin import smart_join
 from ..kernel.tokenize import default_segment_words
-from .tagger import DEFAULT_TYPES, TAGGED_SCHEMA
+from .tagger import DEFAULT_TYPES
 
 _CRF_CACHE: Dict[str, CRFTagger] = {}
 
@@ -77,45 +75,21 @@ def crf_tagged_mentions(
 ) -> DataFrame:
     """Distributed inference with broadcast trained weights: flat
     mention rows (conv_id, turn_idx, mention_idx, text, entity_type,
-    tok_start, tok_end) from plain (marker-stripped) token streams."""
-    from .tagger import plain_tokens
+    tok_start, tok_end) from plain (marker-stripped) token streams.
+    Shares the mapInArrow/mapInPandas inference pass with the rule
+    tagger (operators/tagger.py:_tagged_rows_df)."""
+    from .tagger import _tagged_rows_df
 
     spark = turns.sparkSession
     bc = spark.sparkContext.broadcast(model.export())
     cache_key = uuid.uuid4().hex
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def get_model() -> CRFTagger:
         m = _CRF_CACHE.get(cache_key)
         if m is None:
             m = CRFTagger.from_export(bc.value)
             _CRF_CACHE.clear()
             _CRF_CACHE[cache_key] = m
-        for pdf in batches:
-            tok_lists = [plain_tokens(t) for t in pdf["text"].tolist()]
-            tag_lists = m.predict_batch(tok_lists)
-            o = {k: [] for k in (
-                "conv_id", "turn_idx", "mention_idx", "text",
-                "entity_type", "tok_start", "tok_end",
-            )}
-            for cid, ti, toks, tags in zip(
-                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
-                tok_lists, tag_lists,
-            ):
-                mi = 0
-                for items, etype in decode_mentions(
-                    list(range(len(toks))), tags
-                ):
-                    o["conv_id"].append(cid)
-                    o["turn_idx"].append(ti)
-                    o["mention_idx"].append(mi)
-                    o["text"].append(smart_join(toks[i] for i in items))
-                    o["entity_type"].append(etype)
-                    o["tok_start"].append(items[0])
-                    o["tok_end"].append(items[-1])
-                    mi += 1
-            yield pd.DataFrame(o)
+        return m
 
-    src = turns.select(
-        "conv_id", "turn_idx", F.col(text_col).alias("text")
-    )
-    return src.mapInPandas(run, TAGGED_SCHEMA)
+    return _tagged_rows_df(turns, text_col, get_model)
