@@ -108,6 +108,13 @@ def test_vectorized_bucket_equals_scalar():
         # shuffle row order: the grouper must sort internally
         pdf = pdf.sample(frac=1.0, random_state=trial).reset_index(drop=True)
         got = vec(pdf.copy())
+        # group_id now gets built JVM-side by group_entities; mirror it
+        got = got.assign(
+            group_id=[
+                "%s:g%04d" % (c, g)
+                for c, g in zip(got["conv_id"], got["group_idx"])
+            ]
+        )
         want = sca(pdf.copy())
         assert _rowset(got) == _rowset(want), trial
 

@@ -36,6 +36,15 @@ GROUP_ENTITIES_SCHEMA = (
     "score int, n_entities int"
 )
 
+# the UDF emits no group_id: the "%s:g%04d" id string is built
+# JVM-side afterwards (F.format_string, exact printf semantics) —
+# one codegen'd expression instead of millions of Python formats
+_GROUP_UDF_SCHEMA = (
+    "conv_id string, group_idx int, entity_idx int, "
+    "text string, entity_type string, turn_idx int, threshold int, "
+    "score int, n_entities int"
+)
+
 DEFAULT_DONT_PENALIZE: Set[str] = {"TEL", "FAX"}
 
 
@@ -125,7 +134,7 @@ def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
         from ..kernel.grouping import best_clustering_ids
 
         empty = dict(
-            conv_id=[], group_id=[], group_idx=[], entity_idx=[], text=[],
+            conv_id=[], group_idx=[], entity_idx=[], text=[],
             entity_type=[], turn_idx=[], threshold=[], score=[],
             n_entities=[],
         )
@@ -174,7 +183,7 @@ def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
         new_conv_m[1:] = conv_m[1:] != conv_m[:-1]
         seg_starts = np.flatnonzero(new_conv_m)
         seg_ends = np.append(seg_starts[1:], conv_m.shape[0])
-        o_conv, o_gid, o_gidx, o_eidx = [], [], [], []
+        o_conv, o_gidx, o_eidx = [], [], []
         o_text, o_type, o_turn = [], [], []
         o_thr, o_score, o_nent = [], [], []
         for s, e in zip(seg_starts, seg_ends):
@@ -191,9 +200,6 @@ def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
             sizes = np.diff(gstarts, append=np.int64(E))
             cid = conv_m[s]
             o_conv.append(np.repeat(cid, E))
-            o_gid.extend(
-                "%s:g%04d" % (cid, gi) for gi in cids
-            )
             o_gidx.append(cids)
             o_eidx.append(np.arange(E) - np.repeat(gstarts, sizes))
             o_text.append(text_m[s:e])
@@ -205,7 +211,6 @@ def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
         return pd.DataFrame(
             dict(
                 conv_id=np.concatenate(o_conv),
-                group_id=o_gid,
                 group_idx=np.concatenate(o_gidx).astype("int32"),
                 entity_idx=np.concatenate(o_eidx).astype("int32"),
                 text=np.concatenate(o_text),
@@ -247,7 +252,15 @@ def group_entities(
     ).withColumn(
         "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )
-    return slim.groupBy("_bucket").applyInPandas(
+    grouped = slim.groupBy("_bucket").applyInPandas(
         _make_bucket_grouper(set(dont_penalize or ())),
-        GROUP_ENTITIES_SCHEMA,
+        _GROUP_UDF_SCHEMA,
+    )
+    return grouped.select(
+        "conv_id",
+        F.format_string("%s:g%04d", "conv_id", "group_idx").alias(
+            "group_id"
+        ),
+        "group_idx", "entity_idx", "text", "entity_type", "turn_idx",
+        "threshold", "score", "n_entities",
     )
