@@ -130,18 +130,26 @@ def main() -> None:
         lambda: entry._q_text_profile(spark, sf_dir).count(),
     )
 
-    # q11: trained-model path — deterministic CRF fit on a 1500-turn
-    # sample + distributed batched-Viterbi inference over the corpus
+    # q11: trained-model path, fit and inference timed SEPARATELY —
+    # the fit is a one-time deterministic driver-side cost (amortized
+    # over every later inference run); the distributed inference is
+    # the recurring per-corpus cost that scales with the cluster.
     from webstruct_spark.operators.trained import (
         crf_tagged_mentions,
         train_crf,
     )
 
-    def q11() -> int:
-        model = train_crf(transcripts)
-        return crf_tagged_mentions(transcripts, model).count()
+    fitted: dict = {}
 
-    timed("q11_crf_tagger", q11)
+    def q11_fit() -> int:
+        fitted["model"] = train_crf(transcripts)
+        return len(fitted["model"].w)
+
+    timed("q11_crf_fit", q11_fit)
+    timed(
+        "q11_crf_infer",
+        lambda: crf_tagged_mentions(transcripts, fitted["model"]).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     extract_sec = timings["q1_mentions"]

@@ -107,3 +107,40 @@ def test_export_roundtrip():
     m2 = CRFTagger.from_export(m.export())
     toks = [labeled_sequences(t)[0] for t in texts[:50]]
     assert m2.predict_batch(toks) == m.predict_batch(toks)
+
+
+def test_emissions_batch_bit_exact():
+    """The vectorized emissions_batch must be float-bit-identical to
+    the scalar _emissions oracle (same base + p-context + n-context add
+    order), including empty turns, 1-token turns, unseen tokens, and
+    repeated calls (interned-row cache reuse)."""
+    import numpy as np
+
+    texts = _texts()
+    m = train_crf_local(texts, sample=120, epochs=3)
+    token_lists = [labeled_sequences(t)[0] for t in texts[:300]]
+    token_lists += [
+        [],
+        ["Zzq@unseen.example"],
+        ["FAX:", "555-123-4567"],
+        ["lone"],
+        ["A"] * 200,
+    ]
+    for _pass in range(2):  # second pass exercises the warm cache
+        batched = m.emissions_batch(token_lists)
+        for toks, em in zip(token_lists, batched):
+            ref = m._emissions(toks)
+            assert em.shape == ref.shape
+            assert np.array_equal(em, ref), toks[:5]
+
+
+def test_predict_batch_matches_scalar_path():
+    texts = _texts()
+    m = train_crf_local(texts, sample=120, epochs=3)
+    token_lists = [labeled_sequences(t)[0] for t in texts[:200]]
+    from webstruct_spark.kernel.viterbi import viterbi_decode_batch
+
+    ems = [m._emissions(t) for t in token_lists]
+    want_paths = viterbi_decode_batch(ems, m.trans, init=m.init)
+    want = [[m.tags[i] for i in p] for p in want_paths]
+    assert m.predict_batch(token_lists) == want

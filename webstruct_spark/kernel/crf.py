@@ -30,7 +30,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .viterbi import build_tagset, viterbi_decode_batch
+from .viterbi import build_tagset, viterbi_decode, viterbi_decode_batch
 
 NEG = -1e9
 
@@ -115,6 +115,7 @@ class CRFTagger:
         self.trans = np.zeros((T, T), dtype=np.float64)
         self.init = np.zeros(T, dtype=np.float64)
         self._feat_cache: Dict[str, List[str]] = {}
+        self._reset_batch_caches()
 
     # -- inference ------------------------------------------------------
 
@@ -152,10 +153,125 @@ class CRFTagger:
                 row += v
         return em
 
+    # -- batched inference (bit-identical to _emissions; q11 hot path) --
+
+    def _reset_batch_caches(self) -> None:
+        """(Re)initialize the interned-row banks for emissions_batch.
+        Pure memoization — resetting never changes results."""
+        T = len(self.tags)
+        # row 0 of the p/n banks is reserved for bos/eos
+        self._tok_ids: Dict[str, Tuple[int, int]] = {}
+        self._low_ids: Dict[str, int] = {}
+        self._base_mat = np.zeros((256, T), dtype=np.float64)
+        self._p_mat = np.zeros((256, T), dtype=np.float64)
+        self._n_mat = np.zeros((256, T), dtype=np.float64)
+        self._n_tok = 0
+        self._n_low = 1
+        vb = self.w.get("bos")
+        if vb is not None:
+            self._p_mat[0] = vb
+        ve = self.w.get("eos")
+        if ve is not None:
+            self._n_mat[0] = ve
+
+    @staticmethod
+    def _bank_add(mat: np.ndarray, n: int, row) -> np.ndarray:
+        if n == mat.shape[0]:
+            grown = np.zeros((2 * n, mat.shape[1]), dtype=np.float64)
+            grown[:n] = mat
+            mat = grown
+        if row is not None:
+            mat[n] = row
+        return mat
+
+    def _intern_token(self, tok: str) -> Tuple[int, int]:
+        """Assign (base_row, low_row) ids for a token string; base_row
+        holds the summed context-free feature vector (sum order matches
+        :func:`token_features` exactly — float-identical), low_row
+        indexes the ``p=``/``n=`` context weight rows for its lowercase
+        form (missing features stay zero rows; adding a zero row is
+        float-identical to skipping the add because the weight vectors
+        never contain -0.0)."""
+        w = self.w
+        base = None
+        for f in _context_free(tok):
+            v = w.get(f)
+            if v is not None:
+                base = v.copy() if base is None else base + v
+        self._base_mat = self._bank_add(self._base_mat, self._n_tok, base)
+        tok_id = self._n_tok
+        self._n_tok += 1
+        low = tok.lower()
+        low_id = self._low_ids.get(low)
+        if low_id is None:
+            self._p_mat = self._bank_add(
+                self._p_mat, self._n_low, w.get("p=" + low)
+            )
+            self._n_mat = self._bank_add(
+                self._n_mat, self._n_low, w.get("n=" + low)
+            )
+            low_id = self._n_low
+            self._n_low += 1
+            self._low_ids[low] = low_id
+        entry = (tok_id, low_id)
+        self._tok_ids[tok] = entry
+        return entry
+
+    def emissions_batch(
+        self, token_lists: Sequence[Sequence[str]]
+    ) -> List[np.ndarray]:
+        """Vectorized :meth:`_emissions` over many sequences at once
+        (same pattern as RuleModel.emissions_batch, viterbi.py:243):
+        intern each distinct token's summed context-free weight row and
+        its lowercase form's ``p=``/``n=`` context rows into matrices,
+        then build the whole batch's emissions with three fancy-indexed
+        adds — base, previous-token context (bos at starts), next-token
+        context (eos at ends).  Per-cell add order is base + p + n,
+        identical to the scalar path; asserted bit-exact by
+        tests/test_trained_crf.py."""
+        T = len(self.tags)
+        lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+        N = int(lens.sum())
+        if N == 0:
+            empty = np.zeros((0, T), dtype=np.float64)
+            return [empty for _ in token_lists]
+        if len(self._tok_ids) > 1_000_000:  # bound worker memory
+            self._reset_batch_caches()
+        tok_ids = np.empty(N, dtype=np.int64)
+        low_ids = np.empty(N, dtype=np.int64)
+        cache = self._tok_ids
+        intern = self._intern_token
+        p = 0
+        for toks in token_lists:
+            for tok in toks:
+                e = cache.get(tok)
+                if e is None:
+                    e = intern(tok)
+                tok_ids[p], low_ids[p] = e
+                p += 1
+        nz = lens[lens > 0]
+        ends = np.cumsum(nz)
+        starts = ends - nz
+        p_ids = np.zeros(N, dtype=np.int64)
+        p_ids[1:] = low_ids[:-1]
+        p_ids[starts] = 0  # bos row
+        n_ids = np.zeros(N, dtype=np.int64)
+        n_ids[:-1] = low_ids[1:]
+        n_ids[ends - 1] = 0  # eos row
+        em = self._base_mat[tok_ids]  # fancy index -> fresh copy
+        em += self._p_mat[p_ids]
+        em += self._n_mat[n_ids]
+        out: List[np.ndarray] = []
+        p = 0
+        for L in lens:
+            out.append(em[p : p + L])
+            p += L
+        return out
+
     def predict_batch(
         self, token_lists: Sequence[Sequence[str]]
     ) -> List[List[str]]:
-        ems = [self._emissions(t) for t in token_lists]
+        ems = self.emissions_batch(token_lists)
         paths = viterbi_decode_batch(ems, self.trans, init=self.init)
         tags = self.tags
         return [[tags[i] for i in p] for p in paths]
@@ -193,10 +309,12 @@ class CRFTagger:
                 n = len(toks)
                 if n == 0:
                     continue
-                pred = viterbi_decode_batch(
-                    [self._emissions_train(feats, n)], self.trans,
+                # scalar decode: bit-identical to the batched DP
+                # (tests/test_viterbi_batch.py) and ~2x cheaper at B=1
+                pred = viterbi_decode(
+                    self._emissions_train(feats, n), self.trans,
                     init=self.init,
-                )[0]
+                )
                 if pred != gold:
                     for i in range(n):
                         g, p = gold[i], pred[i]
@@ -231,6 +349,7 @@ class CRFTagger:
         self.trans -= ut / c
         self.init -= ui / c
         self._feat_cache.clear()
+        self._reset_batch_caches()  # interned rows depend on weights
         return self
 
     def _emissions_train(
@@ -267,4 +386,5 @@ class CRFTagger:
         model.trans = np.array(trans, dtype=np.float64)
         model.init = np.array(init, dtype=np.float64)
         model._feat_cache = {}
+        model._reset_batch_caches()
         return model
