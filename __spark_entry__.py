@@ -209,6 +209,50 @@ def _q_kg_trained_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_prf(pred, gold, ["conv_id", "turn_idx", "text", "entity_type"])
 
 
+_DIST_CRF_MODEL_CACHE: dict[float, object] = {}
+
+
+def _dist_trained_model(spark: SparkSession, sf_dir: str):
+    """Fit-once-per-corpus cache for the DISTRIBUTED (iterated
+    parameter mixing) training path — deterministic, so reuse is
+    value-identical to refitting."""
+    from webstruct_spark.operators.trained import train_crf_distributed
+
+    sf = _sf_of(sf_dir)
+    if sf not in _DIST_CRF_MODEL_CACHE:
+        _DIST_CRF_MODEL_CACHE[sf] = train_crf_distributed(
+            _transcripts(spark, sf_dir)
+        )
+    return _DIST_CRF_MODEL_CACHE[sf]
+
+
+def _q_kg_dist_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-training path (closes the bounded-sample caveat of
+    kg_trained_mentions): iterated-parameter-mixing CRF fit over the
+    FULL corpus (crc32(conv_id)%8 shards, 4 mixing rounds, executors
+    do the per-shard epochs), then distributed inference — vs the
+    byte-identical single-node twin in the gold builder."""
+    from webstruct_spark.operators.trained import crf_tagged_mentions
+
+    t = _transcripts(spark, sf_dir)
+    return crf_tagged_mentions(t, _dist_trained_model(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "mention_idx", "text", "entity_type"
+    )
+
+
+def _q_kg_trained_dist_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment P/R/F1 of the distributed-trained model vs injected gold
+    mentions — the full-corpus analogue of kg_trained_prf."""
+    from webstruct_spark.operators.extract import mentions
+    from webstruct_spark.operators.metrics import set_prf
+    from webstruct_spark.operators.trained import crf_tagged_mentions
+
+    t = _transcripts(spark, sf_dir)
+    pred = crf_tagged_mentions(t, _dist_trained_model(spark, sf_dir))
+    gold = mentions(t)
+    return set_prf(pred, gold, ["conv_id", "turn_idx", "text", "entity_type"])
+
+
 def _q_kg_mention_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 segment metric as a query: tagger mentions vs gold injected
     mentions on (conv, turn, text, type)."""
@@ -504,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tagged_mentions": _q_kg_tagged_mentions,
         "kg_trained_mentions": _q_kg_trained_mentions,
         "kg_trained_prf": _q_kg_trained_prf,
+        "kg_dist_trained_mentions": _q_kg_dist_trained_mentions,
+        "kg_trained_dist_prf": _q_kg_trained_dist_prf,
         "kg_mention_prf": _q_kg_mention_prf,
         "kg_macro_f1": _q_kg_macro_f1,
         "token_shape_dist": _q_token_shape_dist,
@@ -726,9 +772,44 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT count(*) FROM gm) AS n_gold
             )
             SELECT tp, n_pred, n_gold,
-                   (1000000 * tp) // n_pred AS precision_x1e6,
-                   (1000000 * tp) // n_gold AS recall_x1e6,
-                   (2000000 * tp) // (n_pred + n_gold) AS f1_x1e6
+                   CASE WHEN n_pred > 0
+                        THEN (1000000 * tp) // n_pred ELSE 0 END
+                       AS precision_x1e6,
+                   CASE WHEN n_gold > 0
+                        THEN (1000000 * tp) // n_gold ELSE 0 END
+                       AS recall_x1e6,
+                   CASE WHEN n_pred + n_gold > 0
+                        THEN (2000000 * tp) // (n_pred + n_gold) ELSE 0 END
+                       AS f1_x1e6
+            FROM c
+        """,
+        "kg_dist_trained_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, text, entity_type
+            FROM read_parquet('{g("gold_dist_trained_mentions.parquet")}')
+        """,
+        "kg_trained_dist_prf": f"""
+            WITH p AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_dist_trained_mentions.parquet")}')
+            ), gm AS (
+                SELECT DISTINCT conv_id, turn_idx, text, entity_type
+                FROM read_parquet('{g("gold_mentions.parquet")}')
+            ), c AS (
+                SELECT (SELECT count(*) FROM p JOIN gm
+                        USING (conv_id, turn_idx, text, entity_type)) AS tp,
+                       (SELECT count(*) FROM p) AS n_pred,
+                       (SELECT count(*) FROM gm) AS n_gold
+            )
+            SELECT tp, n_pred, n_gold,
+                   CASE WHEN n_pred > 0
+                        THEN (1000000 * tp) // n_pred ELSE 0 END
+                       AS precision_x1e6,
+                   CASE WHEN n_gold > 0
+                        THEN (1000000 * tp) // n_gold ELSE 0 END
+                       AS recall_x1e6,
+                   CASE WHEN n_pred + n_gold > 0
+                        THEN (2000000 * tp) // (n_pred + n_gold) ELSE 0 END
+                       AS f1_x1e6
             FROM c
         """,
         "kg_mention_prf": f"""
@@ -745,9 +826,15 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT count(*) FROM gm) AS n_gold
             )
             SELECT tp, n_pred, n_gold,
-                   (1000000 * tp) // n_pred AS precision_x1e6,
-                   (1000000 * tp) // n_gold AS recall_x1e6,
-                   (2000000 * tp) // (n_pred + n_gold) AS f1_x1e6
+                   CASE WHEN n_pred > 0
+                        THEN (1000000 * tp) // n_pred ELSE 0 END
+                       AS precision_x1e6,
+                   CASE WHEN n_gold > 0
+                        THEN (1000000 * tp) // n_gold ELSE 0 END
+                       AS recall_x1e6,
+                   CASE WHEN n_pred + n_gold > 0
+                        THEN (2000000 * tp) // (n_pred + n_gold) ELSE 0 END
+                       AS f1_x1e6
             FROM c
         """,
         "token_shape_dist": f"""

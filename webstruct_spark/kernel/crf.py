@@ -324,11 +324,14 @@ class CRFTagger:
                                 if v is None:
                                     v = np.zeros(T, dtype=np.float64)
                                     self.w[f] = v
-                                    u[f] = np.zeros(T, dtype=np.float64)
+                                uf = u.get(f)
+                                if uf is None:
+                                    uf = np.zeros(T, dtype=np.float64)
+                                    u[f] = uf
                                 v[g] += 1.0
                                 v[p] -= 1.0
-                                u[f][g] += c
-                                u[f][p] -= c
+                                uf[g] += c
+                                uf[p] -= c
                         if i == 0:
                             if g != p:
                                 self.init[g] += 1.0
@@ -343,9 +346,10 @@ class CRFTagger:
                                 ut[pg, g] += c
                                 ut[pp, p] -= c
                 c += 1.0
-        # average
-        for f, v in self.w.items():
-            v -= u[f] / c
+        # average (features untouched this call have zero update mass:
+        # their time-average equals their warm-start value unchanged)
+        for f, uf in u.items():
+            self.w[f] -= uf / c
         self.trans -= ut / c
         self.init -= ui / c
         self._feat_cache.clear()
@@ -374,6 +378,45 @@ class CRFTagger:
             {f: v.tolist() for f, v in self.w.items()},
             self.trans.tolist(),
             self.init.tolist(),
+        )
+
+    @classmethod
+    def average_exports(cls, blobs: Sequence[tuple]) -> "CRFTagger":
+        """Uniform parameter average of per-partition exports — the
+        mixing step of iterated parameter mixing (McDonald, Hall &
+        Mann 2010, distributed structured perceptron).  Deterministic:
+        ``blobs`` must arrive in stable partition order; each feature's
+        vectors are summed in that order (missing features contribute
+        zeros) and divided by len(blobs)."""
+        if not blobs:
+            raise ValueError("average_exports needs >= 1 export")
+        tags = blobs[0][0]
+        T = len(tags)
+        P = float(len(blobs))
+        keys: List[str] = []
+        seen = set()
+        for b in blobs:
+            if tuple(b[0]) != tuple(tags):
+                raise ValueError("tagset mismatch across partitions")
+            for k in b[1]:
+                if k not in seen:
+                    seen.add(k)
+                    keys.append(k)
+        w: Dict[str, list] = {}
+        for k in keys:
+            acc = np.zeros(T, dtype=np.float64)
+            for b in blobs:
+                v = b[1].get(k)
+                if v is not None:
+                    acc += np.asarray(v, dtype=np.float64)
+            w[k] = (acc / P).tolist()
+        trans = np.zeros((T, T), dtype=np.float64)
+        init = np.zeros(T, dtype=np.float64)
+        for b in blobs:
+            trans += np.asarray(b[2], dtype=np.float64)
+            init += np.asarray(b[3], dtype=np.float64)
+        return cls.from_export(
+            (tuple(tags), w, (trans / P).tolist(), (init / P).tolist())
         )
 
     @classmethod

@@ -62,7 +62,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "6-crf"  # bump when gold tables/semantics change
+GOLD_VERSION = "7-distcrf"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -364,6 +364,45 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     write(
         "gold_trained_mentions.parquet",
         crf_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("mention_idx", pa.int32()),
+                ("text", pa.string()),
+                ("entity_type", pa.string()),
+            ]
+        ),
+    )
+
+    # single-node run of the DISTRIBUTED training procedure (iterated
+    # parameter mixing over crc32(conv_id)%8 shards, 4 mixing rounds,
+    # full corpus): train_crf_mixed_local is the exact twin of the
+    # Spark-side train_crf_distributed — weights are byte-identical,
+    # so distributed inference must match these rows exactly.
+    from ..operators.trained import train_crf_mixed_local
+
+    dist_crf = train_crf_mixed_local(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows]
+    )
+    dist_rows: List[dict] = []
+    dist_tags = dist_crf.predict_batch(all_toks)
+    for r, toks, tags in zip(rows, all_toks, dist_tags):
+        mi = 0
+        for items, etype in decode_mentions(list(range(len(toks))), tags):
+            dist_rows.append(
+                dict(
+                    conv_id=r["conv_id"],
+                    turn_idx=r["turn_idx"],
+                    mention_idx=mi,
+                    text=smart_join(toks[i] for i in items),
+                    entity_type=etype,
+                )
+            )
+            mi += 1
+    write(
+        "gold_dist_trained_mentions.parquet",
+        dist_rows,
         pa.schema(
             [
                 ("conv_id", pa.string()),
