@@ -492,7 +492,9 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webstruct_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    return minhash_lsh_pairs(_docs(spark, sf_dir)).select(
+        "doc_a", "doc_b", "jaccard", "verified"
+    )
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash": f"""
-            SELECT doc_a, doc_b, jaccard FROM read_parquet(
+            SELECT doc_a, doc_b, jaccard, verified FROM read_parquet(
                 '{os.path.join(dg, "gold_minhash_pairs.parquet")}')
         """,
         "dedup_simhash": f"""

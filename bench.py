@@ -92,8 +92,15 @@ def main() -> None:
         .count(),
     )
 
-    # q5: minhash-LSH near-dup pairs
-    timed("q5_dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    # q5: minhash-LSH near-dup pairs (unpersist the internal sketch
+    # after materializing — caller-owned lifecycle)
+    def q5() -> int:
+        res = minhash_lsh_pairs(docs)
+        n = res.count()
+        res._sketch_handle.unpersist()
+        return n
+
+    timed("q5_dedup_minhash", q5)
 
     # q6: brute-force cosine top-k over embeddings
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

@@ -162,3 +162,64 @@ def test_ivf_topk_recall_and_determinism(spark):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in a1}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.8
+
+
+def test_minhash_two_tier_scoring(spark, docs):
+    """Signature tier accepts clear pairs with the 64-slot estimate
+    (verified=false, jaccard = k/64); exact tier confirms gray-zone
+    pairs (verified=true, jaccard = exact shingle Jaccard)."""
+    from webstruct_spark.kernel.dedup import jaccard, word_shingles
+    from webstruct_spark.operators.dedup import minhash_lsh_pairs
+
+    res = minhash_lsh_pairs(docs, threshold=0.4)
+    rows = res.collect()
+    res._sketch_handle.unpersist()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows, "expected pairs"
+    for r in rows:
+        exact = jaccard(
+            word_shingles(texts[r["doc_a"]]), word_shingles(texts[r["doc_b"]])
+        )
+        if r["verified"]:
+            # exact tier: reported value IS the exact jaccard >= thr
+            assert abs(r["jaccard"] - round(exact, 6)) < 1e-9
+            assert r["jaccard"] >= 0.4
+        else:
+            # signature tier: k/64 estimate >= thr + band
+            assert abs(r["jaccard"] * 64 - round(r["jaccard"] * 64)) < 1e-6
+            assert r["jaccard"] >= 0.6
+    # identical docs land in the signature tier with estimate 1.0
+    flat = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert flat[(0, 1)]["jaccard"] == 1.0 and not flat[(0, 1)]["verified"]
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not quadratically
+    explode the self-join: with df > max_df it is dropped before the
+    join, the pair set from unique content is unchanged, and the drop
+    is observable."""
+    from webstruct_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, "%s unique content piece number %d alpha beta" % (boiler, i))
+        for i in range(40)
+    ]
+    # two true near-dups that share real content
+    rows.append((100, "shared real content sentence one two three four"))
+    rows.append((101, "shared real content sentence one two three four"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, max_df=10)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # the true dup pair survives; no pair is created by boilerplate alone
+    assert (100, 101) in pairs and pairs[(100, 101)] == 1.0
+    assert all(a == 100 for a, _b in pairs if a != 101), pairs
+    # the hot shingles were dropped and are observable
+    dropped = {r["shingle"] for r in capped._dropped_shingles.collect()}
+    assert any(boiler.split()[0] in s for s in dropped), dropped
+    # with the default (high) cap nothing drops and boilerplate-only
+    # pairs appear with their (low) exact jaccard -- same math,
+    # just unguarded
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01)
+    assert uncapped.count() > len(pairs)

@@ -56,6 +56,7 @@ def exact_duplicate_groups(
 _SKETCH_TYPE = T.StructType(
     [
         T.StructField("bands", T.ArrayType(T.StringType())),
+        T.StructField("sig", T.ArrayType(T.LongType())),
         T.StructField("sh", T.ArrayType(T.LongType())),
     ]
 )
@@ -67,16 +68,19 @@ def _to_signed64(u: int) -> int:
 
 @pandas_udf(_SKETCH_TYPE)
 def _minhash_sketch_udf(texts: pd.Series) -> pd.DataFrame:
-    """ONE pass over the text: LSH band keys + the 64-bit-hashed
-    distinct shingle set.  Raw text never leaves this UDF — candidate
-    verification joins ship only the (much smaller) hash arrays, and
-    shingling never runs twice."""
-    bands, hashes = [], []
+    """ONE pass over the text: LSH band keys, the full 128-slot MinHash
+    signature, and the 64-bit-hashed distinct shingle set.  Raw text
+    never leaves this UDF; the signature (fixed 128x8 bytes) is what
+    candidate scoring ships per pair — the O(doc-length) ``sh`` array
+    joins only for the pairs inside the exact-confirm band."""
+    bands, sigs, hashes = [], [], []
     for t in texts:
         sh = word_shingles(t)
-        bands.append(lsh_band_keys(minhash_signature(sh)))
+        sig = minhash_signature(sh)
+        bands.append(lsh_band_keys(sig))
+        sigs.append([_to_signed64(v) for v in sig])
         hashes.append([_to_signed64(_h64(s)) for s in sh])
-    return pd.DataFrame({"bands": bands, "sh": hashes})
+    return pd.DataFrame({"bands": bands, "sig": sigs, "sh": hashes})
 
 
 def _candidate_pairs(banded: DataFrame) -> DataFrame:
@@ -100,43 +104,99 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    confirm_band: float = 0.2,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) near-duplicate pairs: MinHash/LSH
-    candidates verified by exact word-3-gram Jaccard >= threshold.
+    """(doc_a, doc_b, jaccard, verified) near-duplicate pairs from
+    MinHash/LSH candidates, scored in two tiers:
 
-    Scale shape: the sketch UDF runs ONCE per doc (persisted), band
-    keys explode into the bucket self-join, and verification joins
-    carry only 64-bit hashed shingle arrays — no raw text past the
-    scan, no re-shingling.  The exact Jaccard is JVM-side
-    (array_intersect), identical to the string-set value barring
-    64-bit hash collisions."""
+    1. SIGNATURE tier (every candidate pair): estimate Jaccard as the
+       fraction of equal slots in the two 64-slot MinHash signatures —
+       a fixed 64x8-byte payload per doc regardless of doc length.
+       ``est >= threshold + confirm_band`` accepts outright
+       (``verified=false``, ``jaccard`` = the estimate);
+       ``est < threshold - confirm_band`` rejects outright.
+    2. EXACT tier (only pairs inside the +-confirm_band gray zone):
+       join the 64-bit hashed-shingle arrays and compute exact Jaccard
+       JVM-side (array_intersect); accept iff ``>= threshold``
+       (``verified=true``, ``jaccard`` exact).
+
+    Scale shape: the sketch UDF runs ONCE per doc (persisted — see
+    lifecycle note), no raw text passes the scan, and the O(doc-length)
+    shingle arrays are joined ONLY for gray-zone pairs — a hot doc in
+    many clear-duplicate pairs ships 512 signature bytes per pair, not
+    its text-sized shingle array (the round-2 byte-volume caveat).
+    With 64 slots the estimate's s.e. at J=0.5 is ~0.0625, so the
+    default 0.2 band is ~3.2 sigma: P(true J>=0.5 rejected outright)
+    ~7e-4 per pair, and every borderline decision is exact.
+
+    Lifecycle: the internal sketch DataFrame stays persisted so the
+    band explode and both score tiers share one UDF pass; it is
+    exposed as ``result._sketch_handle`` — long-lived sessions issuing
+    many dedup calls should ``result._sketch_handle.unpersist()`` after
+    materializing the result (bench.py does)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     sketch = base.select(
         "doc_id", _minhash_sketch_udf("text").alias("s")
     ).select(
-        "doc_id", F.col("s.bands").alias("bands"), F.col("s.sh").alias("sh")
+        "doc_id", F.col("s.bands").alias("bands"),
+        F.col("s.sig").alias("sig"), F.col("s.sh").alias("sh")
     ).persist()
     banded = sketch.select("doc_id", F.explode("bands").alias("bucket"))
     pairs = _candidate_pairs(banded)
-    sh = sketch.select("doc_id", "sh")
-    joined = (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sh", "sh_b"), "doc_b")
+    sig = sketch.select("doc_id", "sig")
+    scored = (
+        pairs.join(sig.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(sig.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sig", "sig_b"), "doc_b")
+        .withColumn(
+            "est",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double") / F.size("sig_a"),
+        )
+        .select("doc_a", "doc_b", "est")
     )
+    lo = threshold - confirm_band
+    hi = threshold + confirm_band
+    # single linear pass: keep candidates with est >= lo, then LEFT-join
+    # the shingle arrays with `est < hi` in the join condition — the
+    # O(doc-length) sh arrays attach ONLY to gray-zone rows (each doc's
+    # array shuffles once, keyed by doc_id; clear accepts never see it)
+    cand = scored.where(F.col("est") >= lo)
+    sh_a = sketch.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")
+    )
+    sh_b = sketch.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")
+    )
+    in_gray = F.col("est") < hi
+    joined = cand.join(
+        sh_a, (F.col("doc_a") == F.col("a_id")) & in_gray, "left"
+    ).join(sh_b, (F.col("doc_b") == F.col("b_id")) & in_gray, "left")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(
+    exact = F.when(union == 0, F.lit(1.0)).otherwise(
         inter.cast("double") / union
     )
-    return (
-        joined.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    result = (
+        joined.withColumn(
+            "jaccard",
+            F.round(F.when(in_gray, exact).otherwise(F.col("est")), 6),
+        )
+        .withColumn("verified", in_gray)
+        .where(
+            ~in_gray | (F.coalesce(exact, F.lit(-1.0)) >= threshold)
+        )
+        .select("doc_a", "doc_b", "jaccard", "verified")
     )
+    result._sketch_handle = sketch  # caller-owned unpersist hook
+    return result
 
 
 def _to_i64(u: int) -> int:
@@ -202,9 +262,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int = 10_000,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard pairs >= threshold, fully relational
-    (shingle explode + self-join) — no sketches, no Python."""
+    (shingle explode + self-join) — no sketches, no Python.
+
+    Hot-shingle guard: the shingle self-join is quadratic in any
+    shingle's document frequency (a boilerplate sentence shared by 1e6
+    docs would emit 1e12 join rows), so shingles with df > ``max_df``
+    are dropped BEFORE the join (two-stage agg + broadcast anti-join,
+    the standard positional-filter practice).  Jaccard is then computed
+    consistently over each doc's df<=max_df shingle subset — exact
+    whenever nothing is dropped (the SQL-oracle regime; nothing drops
+    at the test scales), conservative-approximate on corpora with
+    mega-df boilerplate.  Dropped shingles are observable via the
+    returned DataFrame's ``_dropped_shingles`` attribute (a lazy
+    (shingle, df) DataFrame).  Pass ``max_df=None`` to disable."""
     words = F.split(norm_text_col(F.col(text_col)), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
     n = F.size("w")
@@ -224,6 +297,17 @@ def ngram_jaccard_pairs(
     exploded = shingled.select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
     )
+    dropped = None
+    if max_df is not None:
+        dropped = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+        )
+        # hot set is tiny by construction (<= n_shingles/max_df rows)
+        exploded = exploded.join(
+            F.broadcast(dropped.select("shingle")), "shingle", "left_anti"
+        )
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -239,9 +323,11 @@ def ngram_jaccard_pairs(
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    result = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= threshold)  # threshold the exact value, round for output
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    result._dropped_shingles = dropped  # observability hook (may be None)
+    return result

@@ -37,7 +37,7 @@ def _round_half_up(x: float, n: int) -> float:
     return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
-DOC_GOLD_VERSION = "3-embdedup"
+DOC_GOLD_VERSION = "4-sigtier"
 
 
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
@@ -52,13 +52,23 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).to_pylist()
 
-    # --- minhash LSH pairs, verified with exact jaccard >= 0.5
+    # --- minhash LSH pairs: two-tier scoring, the exact twin of
+    # operators/dedup.py:minhash_lsh_pairs — signature-slot estimate
+    # decides clear accepts/rejects, exact Jaccard over the 64-bit
+    # HASHED shingle sets only inside the +-0.2 gray band.
+    from ..kernel.dedup import _h64
+
+    threshold, band = 0.5, 0.2
+    lo, hi = threshold - band, threshold + band
     buckets: dict = {}
-    shingle_cache = {}
+    sig_cache = {}
+    hashed_cache = {}
     for d in docs:
         sh = word_shingles(d["text"])
-        shingle_cache[d["doc_id"]] = sh
-        for key in lsh_band_keys(minhash_signature(sh)):
+        sig = minhash_signature(sh)
+        sig_cache[d["doc_id"]] = sig
+        hashed_cache[d["doc_id"]] = {_h64(s) for s in sh}
+        for key in lsh_band_keys(sig):
             buckets.setdefault(key, []).append(d["doc_id"])
     cand = set()
     for ids in buckets.values():
@@ -68,15 +78,26 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
                 cand.add((ids[i], ids[j]))
     mh_rows = []
     for a, b in sorted(cand):
-        jac = jaccard(shingle_cache[a], shingle_cache[b])
-        if jac >= 0.5:
-            mh_rows.append(dict(doc_a=a, doc_b=b, jaccard=_round_half_up(jac, 6)))
+        sa, sb = sig_cache[a], sig_cache[b]
+        est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+        if est >= hi:
+            mh_rows.append(
+                dict(doc_a=a, doc_b=b,
+                     jaccard=_round_half_up(est, 6), verified=False)
+            )
+        elif est >= lo:
+            jac = jaccard(hashed_cache[a], hashed_cache[b])
+            if jac >= threshold:
+                mh_rows.append(
+                    dict(doc_a=a, doc_b=b,
+                         jaccard=_round_half_up(jac, 6), verified=True)
+                )
     pq.write_table(
         pa.Table.from_pylist(
             mh_rows,
             schema=pa.schema(
                 [("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                 ("jaccard", pa.float64())]
+                 ("jaccard", pa.float64()), ("verified", pa.bool_())]
             ),
         ),
         os.path.join(out_dir, "gold_minhash_pairs.parquet"),
