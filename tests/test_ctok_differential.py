@@ -147,3 +147,45 @@ def test_corpus_sample():
         assert extract.extract_turn_entities_c(
             s
         ) == extract.extract_turn_entities_py(s), repr(s)
+
+
+@pytest.mark.skipif(ctok is None, reason="C kernel unavailable")
+def test_tagset_projection_differential():
+    """P3 projection through the C kernel == the Python kernel with
+    tagset=, on adversarial and random marker streams (out-of-tagset
+    markers dropped pre-encode; mismatched close markers of IN-tagset
+    types still raise identically)."""
+    tagsets = [
+        frozenset(), frozenset({"PER"}), frozenset({"PER", "ORG"}),
+        frozenset({"A", "B", "LOC", "X"}),
+    ]
+    for ts in tagsets:
+        for s in ADVERSARIAL + MISMATCH:
+            try:
+                want = extract.extract_turn_entities_py(s, tagset=ts)
+            except ValueError as e:
+                with pytest.raises(ValueError) as e_c:
+                    extract.extract_turn_entities_c(s, ts)
+                assert str(e_c.value) == str(e), (repr(s), ts)
+            else:
+                assert extract.extract_turn_entities_c(s, ts) == want, (
+                    repr(s), ts,
+                )
+    rng = random.Random(20260816)
+    alphabet = list("abX0 .,;'\"-_") + [
+        "__START_PER__ ", " __END_PER__", "__START_ORG__ ", " __END_ORG__",
+        "__START_LOC__ ", " __END_LOC__", "word ", "O'Hare' ",
+    ]
+    for _ in range(4000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        ts = rng.choice(tagsets)
+        try:
+            want = extract.extract_turn_entities_py(s, tagset=ts)
+        except ValueError as e:
+            with pytest.raises(ValueError) as e_c:
+                extract.extract_turn_entities_c(s, ts)
+            assert str(e_c.value) == str(e), (repr(s), ts)
+        else:
+            assert extract.extract_turn_entities_c(s, ts) == want, (
+                repr(s), ts,
+            )

@@ -46,12 +46,59 @@ def test_base_href_short_circuits(spark):
         [
             (1, '<base href="http://a.example.com/x">'
                 '<a href="http://other.org/1"><a href="http://other.org/2">'),
-            (2, '<!-- <base href="https://commented.co.uk/y"> -->'
+            # commented base is found inside <head> comments (reference
+            # scans //head/comment() only)
+            (2, '<head><!-- <base href="https://commented.co.uk/y"> -->'
+                '</head><a href="http://other.org/1">'),
+            # a commented base OUTSIDE <head> is ignored -> vote wins
+            (3, '<body><!-- <base href="https://commented.co.uk/y"> -->'
+                '<a href="http://other.org/1"></body>'),
+            # a real base tag wins over an earlier commented one
+            (4, '<head><!-- <base href="http://stale.org/"> --></head>'
+                "<base href='http://real.example.com/'>"
                 '<a href="http://other.org/1">'),
+            # single-quoted real base tag is accepted (lxml parity)
+            (5, "<base target='_top' href='http://sq.example.co.uk/'>"),
+            # commented base is double-quote-only (reference regex)
+            (6, "<head><!-- <base href='http://sq-comment.org/'> --></head>"
+                '<a href="http://vote.org/1">'),
         ],
     )
     assert got[1] == "example.com"
     assert got[2] == "commented.co.uk"
+    assert got[3] == "other.org"
+    assert got[4] == "example.com"
+    assert got[5] == "example.co.uk"
+    assert got[6] == "vote.org"
+
+
+def test_multi_tld_subset(spark):
+    """com.mx-style suffixes from the extended offline PSL subset."""
+    assert _domains(
+        spark,
+        [
+            "http://www.tienda.com.mx/x",
+            "https://foo.bar.gob.mx/y",
+            "http://shop.example.com.ar/z",
+            "http://a.b.co.ke/",
+            "http://plain.example.io/",
+        ],
+    ) == ["tienda.com.mx", "bar.gob.mx", "example.com.ar", "b.co.ke",
+          "example.io"]
+
+
+def test_anchored_href_vote(spark):
+    """Substring attributes (wa_temp_href=, data-href=) must not vote
+    — lxml's //*/@href matches the attribute NAME exactly."""
+    got = _infer(
+        spark,
+        [
+            (1, '<a wa_temp_href="http://fake.org/1" '
+                'data-href="http://fake.org/2" '
+                'href="http://real.com/1">'),
+        ],
+    )
+    assert got[1] == "real.com"
 
 
 def test_mode_vote_blacklist_and_tie(spark):

@@ -82,3 +82,27 @@ def test_wa_color_legend_dropped():
     text = wa_to_markers(html, None)
     assert "legend" not in text
     assert "__START_per__" in text and "tail" in text
+
+
+def test_single_quoted_and_unquoted_wa_attrs():
+    """lxml accepts wa-id='1' / wa-type=ORG; the minimal parser must
+    not silently drop such annotations (ADVICE r2)."""
+    from webstruct_spark.kernel.wadom import wa_to_markers
+
+    h = ("<p>Visit <span wa-id='3' wa-type='ORG' class=hl>Acme "
+         "Corp</span> today</p>")
+    out = wa_to_markers(h)
+    assert "__START_ORG__" in out and "__END_ORG__" in out, out
+    h2 = '<p><span wa-id=5 wa-type=CITY>Oslo</span></p>'
+    out2 = wa_to_markers(h2)
+    assert "__START_CITY__" in out2, out2
+
+
+def test_entity_colors_never_collide():
+    from webstruct_spark.kernel.wadom import EntityColors
+
+    ec = EntityColors()
+    for i in range(300):
+        ec["TYPE%03d" % i]
+    bgs = [bg for _fg, bg, _i in ec.values()]
+    assert len(set(bgs)) == len(bgs)

@@ -443,18 +443,22 @@ close_entity(PyObject *text, const Tok *pieces, Py_ssize_t np,
 }
 
 static PyObject *
-py_extract_turn(PyObject *self, PyObject *arg)
+py_extract_turn(PyObject *self, PyObject *args)
 {
     TokVec v = {NULL, 0, 0};
     TokVec pieces = {NULL, 0, 0};
     PyObject *ents = NULL, *result = NULL;
-    int ukind;
+    PyObject *arg, *tagset = Py_None;
+    int ukind, have_tagset;
     const void *data;
     Py_ssize_t i, n_clean = 0;
     int open_entity = 0, open_is_b = 0;
     Py_ssize_t otype_start = 0, otype_len = 0;
     Py_ssize_t tok_start = 0, first_char = 0, last_char = 0;
 
+    if (!PyArg_ParseTuple(args, "O|O:extract_turn", &arg, &tagset))
+        return NULL;
+    have_tagset = (tagset != Py_None);
     if (!PyUnicode_Check(arg)) {
         PyErr_SetString(PyExc_TypeError, "expected str");
         return NULL;
@@ -474,6 +478,23 @@ py_extract_turn(PyObject *self, PyObject *arg)
         if (t->kind == TK_VERBATIM) {
             Marker m;
             if (parse_marker(ukind, data, t->start, t->len, &m)) {
+                if (have_tagset) {
+                    /* P3 projection (reference _limit_tags): a marker
+                     * whose entity type is outside the tagset is
+                     * dropped entirely BEFORE any START/END handling —
+                     * mirrors extract_turn_entities_py exactly. */
+                    PyObject *val = PyUnicode_Substring(
+                        arg, m.val_start, m.val_start + m.val_len);
+                    int in_set;
+                    if (val == NULL)
+                        goto done;
+                    in_set = PySequence_Contains(tagset, val);
+                    Py_DECREF(val);
+                    if (in_set < 0)
+                        goto done;
+                    if (!in_set)
+                        continue;
+                }
                 if (m.is_start) {
                     if (open_entity) { /* adjacent START: B- starts anew */
                         if (close_entity(arg, pieces.a, pieces.n,
@@ -574,9 +595,11 @@ static PyMethodDef ctok_methods[] = {
      "WordTokenizer-parity segmentation: [(chars, position, length)]."},
     {"default_segment_words", py_default_segment_words, METH_O,
      "DefaultTokenizer parity: segment_words minus standalone , ; ."},
-    {"extract_turn", py_extract_turn, METH_O,
-     "Fused tokenize+marker-scan: (n_clean_tokens, [(text, type, "
-     "tok_start, tok_end, first_char, last_char)])."},
+    {"extract_turn", py_extract_turn, METH_VARARGS,
+     "Fused tokenize+marker-scan: extract_turn(text, tagset=None) -> "
+     "(n_clean_tokens, [(text, type, tok_start, tok_end, first_char, "
+     "last_char)]); tagset (any membership container) applies the P3 "
+     "projection: out-of-tagset markers are dropped, their text kept."},
     {NULL, NULL, 0, NULL},
 };
 

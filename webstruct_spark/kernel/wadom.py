@@ -31,7 +31,12 @@ _TAG_RE = re.compile(
     r"<!--.*?-->|<(/?)([a-zA-Z][a-zA-Z0-9_-]*)((?:\s[^<>]*?)?)(/?)>",
     re.DOTALL,
 )
-_ATTR_RE = re.compile(r"([a-zA-Z_][\w.:-]*)\s*=\s*\"([^\"]*)\"")
+# attribute values: double-quoted, single-quoted, or unquoted — the
+# same tolerance as lxml's HTML parser in the reference loader (a
+# WebAnnotator span with wa-id='1' must not silently drop annotations)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_][\w.:-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'<>`]+))"
+)
 
 _VOID = frozenset(
     "br img hr meta link input base area col embed source track wbr".split()
@@ -79,7 +84,15 @@ def parse_html(s: str) -> _Node:
                     del stack[i:]
                     break
             continue
-        node = _Node(tag, dict(_ATTR_RE.findall(attr_str)))
+        node = _Node(
+            tag,
+            {
+                m.group(1): m.group(2)
+                if m.group(2) is not None
+                else (m.group(3) if m.group(3) is not None else m.group(4))
+                for m in _ATTR_RE.finditer(attr_str)
+            },
+        )
         stack[-1].children.append(node)
         if not selfclose and tag not in _VOID:
             stack.append(node)
@@ -189,10 +202,22 @@ class EntityColors(dict):
         idx = len(self)
         if idx < len(DEFAULT_COLORS):
             fg, bg = DEFAULT_COLORS[idx]
-        else:  # deterministic overflow colors (reference uses random)
-            h = _hashlib.blake2b(key.encode("utf-8"), digest_size=4)
+        else:  # deterministic overflow colors (reference uses random);
+            # rehash until the background is distinct from every
+            # already-assigned one so two types never share a legend
+            # color (the reference's random choice can collide)
+            taken = {b for _f, b, _i in self.values()} | {
+                b for _f, b in DEFAULT_COLORS
+            }
             fg = "#000000"
-            bg = "#%06X" % (int.from_bytes(h.digest(), "big") & 0xFFFFFF)
+            salt = -1  # first probe = unsalted hash (stable names)
+            while True:
+                probe = key if salt < 0 else "%s\x00%d" % (key, salt)
+                h = _hashlib.blake2b(probe.encode("utf-8"), digest_size=4)
+                bg = "#%06X" % (int.from_bytes(h.digest(), "big") & 0xFFFFFF)
+                if bg not in taken:
+                    break
+                salt += 1
         self[key] = (fg, bg, idx)
         return self[key]
 

@@ -26,7 +26,13 @@ def _edge_signature(e: DataFrame):
     """One-row fingerprint of a (checkpointed) canonical edge set:
     (count, sum of xxhash64(u, v)).  Computed as a single tiny
     aggregation job — this IS the convergence check; there is no
-    old-vs-new join and no lineage re-execution."""
+    old-vs-new join and no lineage re-execution.
+
+    Collision bound: declaring convergence early would need two
+    CONSECUTIVE, DIFFERENT edge sets to agree on both the exact count
+    and the 64-bit hash sum — probability ~2^-64 per round under the
+    xxhash64 uniformity assumption (and a miss only yields one extra
+    round, since the star operations are monotone)."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),

@@ -3,10 +3,14 @@
 the relational re-expression of
 /root/reference/webstruct/infer_domain.py:22-74:
 
-1. a ``<base href>`` (direct or commented out — the reference's
-   ``_find_base_href`` regex ``base\\s+href="(...)"`` matches both)
+1. a real ``<base href>`` tag (either quote style, searched on
+   comment-stripped html — reference ``_get_base_href``,
+   infer_domain.py:68-72) wins; failing that, a commented-out base tag
+   inside <head> comments (reference ``_get_commented_base_href``,
+   infer_domain.py:61-66, double-quote-only regex).  A non-empty href
    short-circuits: its registered domain wins, even if empty;
-2. otherwise every href's registered domain votes, the 12-domain
+2. otherwise every href's registered domain votes (attribute name
+   anchored — ``wa_temp_href=`` does not vote), the 12-domain
    blacklist filtered out, most-common wins, ties to the
    lexicographically smallest (``sorted(top_domains)[0]``);
 3. no evidence → ''.
@@ -33,20 +37,101 @@ DOMAIN_BLACKLIST = (
     "flickr.com", "paypal.com", "pinterest.com", "linkedin.com",
 )
 
-# common multi-part public suffixes (offline subset of the PSL)
+# Multi-part public suffixes: a curated offline subset of the public
+# suffix list (https://publicsuffix.org/, public data) covering the
+# common ccTLD second-level registries.  The reference uses tldextract
+# with the full live PSL; suffixes outside this subset fall back to
+# the last-two-labels rule (documented divergence — the DuckDB oracle
+# shares the identical subset).
 MULTI_TLD = (
-    "co.uk", "org.uk", "gov.uk", "ac.uk", "co.jp", "or.jp",
-    "com.au", "net.au", "com.br", "co.in", "co.nz", "co.za",
+    # UK / IE
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    # Australia / NZ
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "iwi.nz",
+    # Japan / Korea / China / Taiwan / HK / SG / MY / ID / TH / VN / PH
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "hs.kr", "ms.kr", "es.kr", "sc.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "name.my",
+    "co.id", "net.id", "or.id", "ac.id", "sch.id", "go.id", "web.id",
+    "my.id", "biz.id",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "mi.th", "net.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
+    # South Asia / Middle East / Africa
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "edu.in", "gov.in", "ac.in", "res.in",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "biz.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "k12.tr",
+    "av.tr", "bel.tr",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "ne.ke", "or.ke", "ac.ke", "go.ke", "sc.ke", "me.ke",
+    # Europe (ccTLDs with registry second levels)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "publ.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "store.ro", "info.ro",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "mil.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "nom.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve",
+    "co.ve", "info.ve", "web.ve",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "fin.ec",
+    "med.ec", "mil.ec", "pro.ec", "info.ec",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "mil.py",
+    "coop.py",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "int.bo",
+    "mil.bo", "tv.bo", "web.bo",
+    "gob.cl",
+    "co.cr", "fi.cr", "ac.cr", "go.cr", "or.cr", "sa.cr", "ed.cr",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "gov.do",
+    "mil.do", "sld.do", "web.do", "art.do",
+    "com.gt", "org.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt",
+    "com.sv", "org.sv", "edu.sv", "gob.sv", "red.sv",
+    "com.ni", "org.ni", "edu.ni", "gob.ni",
 )
 
 _HOST_RE = r'^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)'
-# matches a direct OR commented-out base tag — exactly the reference's
-# _find_base_href regex behavior (it searches comment text too)
-_BASE_RE = r'base\s+href="([^"]*)"'
-# vote hrefs: comments are stripped FIRST (the reference's lxml
-# //*/@href never sees comment content), both quote styles accepted
+# real <base href> tag, either quote style, attrs allowed before href
+# (lxml lowercases HTML element/attribute names -> case-insensitive);
+# searched on comment-STRIPPED html, so a commented tag never matches
+_BASE_TAG_RE = "(?is)<base\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+# commented-out base tag fallback: the reference scans //head/comment()
+# with the case-SENSITIVE, double-quote-only regex base\s+href="..."
+# (/root/reference/webstruct/infer_domain.py:21,61-66) — applied here
+# to the comments extracted from the <head> region
+_HEAD_RE = r"(?is)^(.*?)</head"
 _COMMENT_RE = r"(?s)<!--.*?-->"
-_HREF_RE = r"href=[\"']([^\"']*)[\"']"
+_BASE_COMMENT_RE = r'base\s+href="([^"]*)"'
+# vote hrefs: comments are stripped FIRST (the reference's lxml
+# //*/@href never sees comment content), both quote styles accepted;
+# the leading [^\w-] anchors the attribute NAME so substring
+# attributes (wa_temp_href=, data-href=) do not vote
+_HREF_RE = "[^\\w-]href=[\"']([^\"']*)[\"']"
 
 
 def registered_domain_col(url):
@@ -76,11 +161,24 @@ def registered_domain_col(url):
 def infer_domain(
     pages: DataFrame, id_col: str = "page_id", html_col: str = "html"
 ) -> DataFrame:
-    """(page_id, domain) — reference get_tree_domain semantics."""
+    """(page_id, domain) — reference get_tree_domain semantics: a real
+    ``<base href>`` tag wins over a commented-out one (which is only
+    looked for inside <head> comments), a non-empty href
+    short-circuits to its registered domain, else the anchored href
+    vote decides."""
+    html_nc = F.regexp_replace(F.col(html_col), _COMMENT_RE, "")
+    head = F.regexp_extract(F.col(html_col), _HEAD_RE, 1)
+    head_comments = F.array_join(
+        F.regexp_extract_all(head, F.lit(_COMMENT_RE), F.lit(0)), "\n"
+    )
+    real_base = F.regexp_extract(html_nc, _BASE_TAG_RE, 1)
+    commented_base = F.regexp_extract(head_comments, _BASE_COMMENT_RE, 1)
     base = pages.select(
         F.col(id_col).alias("page_id"),
         F.col(html_col).alias("html"),
-        F.regexp_extract(html_col, _BASE_RE, 1).alias("base_href"),
+        F.when(real_base != "", real_base)
+        .otherwise(commented_base)
+        .alias("base_href"),
     )
     with_base = base.select(
         "page_id",
@@ -132,9 +230,22 @@ def infer_domain_oracle_sql(parquet_path: str) -> str:
     return f"""
         WITH pages AS (
             SELECT page_id, html,
-                   coalesce(regexp_extract(html,
-                       'base\\s+href="([^"]*)"', 1), '') AS base_href
-            FROM read_parquet('{parquet_path}')
+                   CASE WHEN real_base != '' THEN real_base
+                        ELSE commented_base END AS base_href
+            FROM (
+                SELECT page_id, html,
+                    coalesce(regexp_extract(
+                        regexp_replace(html, '<!--.*?-->', '', 'gs'),
+                        '(?is)<base\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["'']',
+                        1), '') AS real_base,
+                    coalesce(regexp_extract(
+                        array_to_string(regexp_extract_all(
+                            coalesce(regexp_extract(html,
+                                '(?is)^(.*?)</head', 1), ''),
+                            '<!--.*?-->', 0, 's'), chr(10)),
+                        'base\\s+href="([^"]*)"', 1), '') AS commented_base
+                FROM read_parquet('{parquet_path}')
+            )
         ), dom AS (
             SELECT *, CASE
                 WHEN host = '' THEN ''
@@ -154,7 +265,7 @@ def infer_domain_oracle_sql(parquet_path: str) -> str:
         ), hrefs AS (
             SELECT page_id, unnest(regexp_extract_all(
                 regexp_replace(html, '<!--.*?-->', '', 'gs'),
-                'href=["'']([^"'']*)["'']', 1)) AS href
+                '[^\\w-]href=["'']([^"'']*)["'']', 1)) AS href
             FROM dom WHERE base_href = ''
         ), hdom AS (
             SELECT page_id, CASE

@@ -201,9 +201,14 @@ def extract_rows_schema(passthrough: Sequence[tuple] = ()) -> T.StructType:
 def _kernel_for(tagset):
     if tagset is None:
         return extract_turn_entities
-    # P3 projection goes through the Python kernel (the native
-    # kernel has no tagset support; projection use is opt-in/rare)
     frozen = frozenset(tagset)
+    if extract_turn_entities_c is not None:
+        # native kernel handles the P3 projection directly (markers of
+        # out-of-tagset types dropped pre-encode, text kept)
+        def extract(tx):
+            return extract_turn_entities_c(tx, frozen)
+
+        return extract
 
     def extract(tx):
         return extract_turn_entities_py(tx, tagset=frozen)
