@@ -158,6 +158,16 @@ def main() -> None:
         lambda: crf_tagged_mentions(transcripts, fitted["model"]).count(),
     )
 
+    # q12: DISTRIBUTED CRF training (iterated parameter mixing over the
+    # full corpus — the fit that scales with the cluster; executors run
+    # the per-shard epochs, only n_parts weight blobs reach the driver)
+    from webstruct_spark.operators.trained import train_crf_distributed
+
+    timed(
+        "q12_crf_dist_fit",
+        lambda: len(train_crf_distributed(transcripts).w),
+    )
+
     total = round(sum(timings.values()), 3)
     extract_sec = timings["q1_mentions"]
     print(
