@@ -189,3 +189,32 @@ def test_tagset_projection_differential():
             assert extract.extract_turn_entities_c(s, ts) == want, (
                 repr(s), ts,
             )
+
+
+@pytest.mark.skipif(ctok is None, reason="C kernel unavailable")
+def test_plain_tokens_differential():
+    """Native plain_tokens == the Python twin on adversarial, random,
+    and real-corpus inputs."""
+    from webstruct_spark.operators.tagger import plain_tokens_py
+
+    for s in ADVERSARIAL + MISMATCH:
+        assert ctok.plain_tokens(s) == plain_tokens_py(s), repr(s)
+    rng = random.Random(20260818)
+    alphabet = list("abX0 .,;'\"-_") + [
+        "__START_PER__ ", " __END_PER__", "__START_ORG__x ",
+        "__STARTX__ ", "word ", "O'Hare' ", "...", "``", "''",
+    ]
+    for _ in range(6000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        assert ctok.plain_tokens(s) == plain_tokens_py(s), repr(s)
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "select text from read_parquet("
+            "'/root/repo/data/transcripts/sf0.01/transcripts.parquet')"
+        ).fetchall()
+    ]
+    for s in texts:
+        assert ctok.plain_tokens(s) == plain_tokens_py(s), repr(s)

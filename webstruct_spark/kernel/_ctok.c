@@ -404,6 +404,59 @@ smart_join_toks(PyObject *text, const Tok *pieces, Py_ssize_t np)
     return out;
 }
 
+/* ---- plain_tokens(text): the marker-free clean token stream -------
+ * Same contract as operators/tagger.py:plain_tokens — every token
+ * from default_segment_words except marker tokens (prefix-match
+ * semantics, like classify_token's _MARKER_RE.match).  The q9/q11
+ * inference hot path. */
+
+static PyObject *
+py_plain_tokens(PyObject *self, PyObject *arg)
+{
+    TokVec v = {NULL, 0, 0};
+    PyObject *out = NULL;
+    int ukind;
+    const void *data;
+    Py_ssize_t i;
+
+    if (!PyUnicode_Check(arg)) {
+        PyErr_SetString(PyExc_TypeError, "expected str");
+        return NULL;
+    }
+    ukind = PyUnicode_KIND(arg);
+    data = PyUnicode_DATA(arg);
+    if (segment_all(arg, &v) < 0)
+        goto done;
+    out = PyList_New(0);
+    if (out == NULL)
+        goto done;
+    for (i = 0; i < v.n; i++) {
+        Tok *t = &v.a[i];
+        PyObject *s;
+        if (is_dropped_standalone(ukind, data, t))
+            continue;
+        if (t->kind == TK_VERBATIM) {
+            Marker m;
+            if (parse_marker(ukind, data, t->start, t->len, &m))
+                continue;
+        }
+        s = tok_text(arg, t);
+        if (s == NULL) {
+            Py_CLEAR(out);
+            goto done;
+        }
+        if (PyList_Append(out, s) < 0) {
+            Py_DECREF(s);
+            Py_CLEAR(out);
+            goto done;
+        }
+        Py_DECREF(s);
+    }
+done:
+    PyMem_Free(v.a);
+    return out;
+}
+
 /* ---- fused extraction: extract_turn(text) -------------------------
  * Returns (n_clean_tokens, [(text, type, tok_start, tok_end,
  * first_char, last_char), ...]); raises ValueError on a close marker
@@ -595,6 +648,8 @@ static PyMethodDef ctok_methods[] = {
      "WordTokenizer-parity segmentation: [(chars, position, length)]."},
     {"default_segment_words", py_default_segment_words, METH_O,
      "DefaultTokenizer parity: segment_words minus standalone , ; ."},
+    {"plain_tokens", py_plain_tokens, METH_O,
+     "Marker-free clean token strings (tagger plain_tokens parity)."},
     {"extract_turn", py_extract_turn, METH_VARARGS,
      "Fused tokenize+marker-scan: extract_turn(text, tagset=None) -> "
      "(n_clean_tokens, [(text, type, tok_start, tok_end, first_char, "

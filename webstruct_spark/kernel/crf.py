@@ -160,7 +160,7 @@ class CRFTagger:
         Pure memoization — resetting never changes results."""
         T = len(self.tags)
         # row 0 of the p/n banks is reserved for bos/eos
-        self._tok_ids: Dict[str, Tuple[int, int]] = {}
+        self._tok_ids: Dict[str, int] = {}  # packed (base<<21)|low
         self._low_ids: Dict[str, int] = {}
         self._base_mat = np.zeros((256, T), dtype=np.float64)
         self._p_mat = np.zeros((256, T), dtype=np.float64)
@@ -184,14 +184,17 @@ class CRFTagger:
             mat[n] = row
         return mat
 
-    def _intern_token(self, tok: str) -> Tuple[int, int]:
-        """Assign (base_row, low_row) ids for a token string; base_row
-        holds the summed context-free feature vector (sum order matches
-        :func:`token_features` exactly — float-identical), low_row
-        indexes the ``p=``/``n=`` context weight rows for its lowercase
-        form (missing features stay zero rows; adding a zero row is
-        float-identical to skipping the add because the weight vectors
-        never contain -0.0)."""
+    def _intern_token(self, tok: str) -> int:
+        """Assign a packed ``(base_row << 21) | low_row`` code for a
+        token string; base_row holds the summed context-free feature
+        vector (sum order matches :func:`token_features` exactly —
+        float-identical), low_row indexes the ``p=``/``n=`` context
+        weight rows for its lowercase form (missing features stay zero
+        rows; adding a zero row is float-identical to skipping the add
+        because the weight vectors never contain -0.0).  The packed
+        single-int value is what lets the batch path map tokens to
+        codes with one C-speed ``map(dict.get, ...)``; both ids stay
+        under the 1M cache bound < 2^21."""
         w = self.w
         base = None
         for f in _context_free(tok):
@@ -213,9 +216,9 @@ class CRFTagger:
             low_id = self._n_low
             self._n_low += 1
             self._low_ids[low] = low_id
-        entry = (tok_id, low_id)
-        self._tok_ids[tok] = entry
-        return entry
+        code = (tok_id << 21) | low_id
+        self._tok_ids[tok] = code
+        return code
 
     def emissions_batch(
         self, token_lists: Sequence[Sequence[str]]
@@ -237,18 +240,24 @@ class CRFTagger:
             return [empty for _ in token_lists]
         if len(self._tok_ids) > 1_000_000:  # bound worker memory
             self._reset_batch_caches()
-        tok_ids = np.empty(N, dtype=np.int64)
-        low_ids = np.empty(N, dtype=np.int64)
-        cache = self._tok_ids
-        intern = self._intern_token
-        p = 0
-        for toks in token_lists:
-            for tok in toks:
-                e = cache.get(tok)
-                if e is None:
-                    e = intern(tok)
-                tok_ids[p], low_ids[p] = e
-                p += 1
+        # flatten + one C-speed dict map; Python touches only misses
+        flat = [tok for toks in token_lists for tok in toks]
+        codes = list(map(self._tok_ids.get, flat))
+        miss = -1
+        try:
+            miss = codes.index(None)
+        except ValueError:
+            pass
+        if miss >= 0:
+            intern = self._intern_token
+            get = self._tok_ids.get
+            for i in range(miss, N):
+                if codes[i] is None:
+                    c = get(flat[i])  # an earlier miss may have
+                    codes[i] = c if c is not None else intern(flat[i])
+        code_arr = np.array(codes, dtype=np.int64)
+        tok_ids = code_arr >> 21
+        low_ids = code_arr & 0x1FFFFF
         nz = lens[lens > 0]
         ends = np.cumsum(nz)
         starts = ends - nz

@@ -106,6 +106,17 @@ class RuleModel:
         self.matcher = LongestMatcher(gazetteer) if gazetteer else None
         self.gaz_types = dict(gazetteer or {})
         self._feat_cache: Dict[str, tuple] = {}
+        self._reset_code_cache()
+
+    def _reset_code_cache(self) -> None:
+        """Packed-code memo for the batch path (pure memoization).
+        code = (base_row_id << 4) | phone<<3 | upper<<2 | digit34<<1 |
+        faxword; row 0 of the bank is the all-zero 'no contribution'
+        row."""
+        T = len(self.tags)
+        self._code_cache: Dict[str, int] = {}
+        self._row_mat = np.zeros((256, T), dtype=np.float64)
+        self._n_row = 1
 
     def emissions(self, tokens: Sequence[str], prev_lower: str = "") -> np.ndarray:
         n = len(tokens)
@@ -240,6 +251,34 @@ class RuleModel:
             self._feat_cache[tok] = feats
         return feats
 
+    def _intern_code(self, tok: str) -> int:
+        """Packed single-int form of :meth:`_token_feats` — lets the
+        batch path map a whole flat token list through the cache with
+        one C-speed ``map(dict.get, ...)``."""
+        base, ph, up, d34, fx = self._token_feats(tok)
+        if base is None:
+            rid = 0
+        else:
+            if self._n_row == self._row_mat.shape[0]:
+                grown = np.zeros(
+                    (2 * self._n_row, self._row_mat.shape[1]),
+                    dtype=np.float64,
+                )
+                grown[: self._n_row] = self._row_mat
+                self._row_mat = grown
+            rid = self._n_row
+            self._row_mat[rid] = base
+            self._n_row += 1
+        code = (
+            (rid << 4)
+            | (8 if ph else 0)
+            | (4 if up else 0)
+            | (2 if d34 else 0)
+            | (1 if fx else 0)
+        )
+        self._code_cache[tok] = code
+        return code
+
     def emissions_batch(
         self, token_lists: Sequence[Sequence[str]]
     ) -> List[np.ndarray]:
@@ -254,34 +293,42 @@ class RuleModel:
         """
         T = len(self.tags)
         idx = self.tag_index
-        lens = [len(t) for t in token_lists]
-        N = sum(lens)
-        em = np.zeros((N, T), dtype=np.float64)
+        lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+        N = int(lens.sum())
         if N == 0:
-            return [em[0:0] for _ in token_lists]
-        em[:, 0] = 1.0  # 'O' prior
-        feats = self._token_feats
-        is_phone = np.zeros(N, dtype=bool)
-        upper = np.zeros(N, dtype=bool)
-        digit34 = np.zeros(N, dtype=bool)
-        faxword = np.zeros(N, dtype=bool)
+            empty = np.zeros((0, T), dtype=np.float64)
+            return [empty for _ in token_lists]
+        if len(self._code_cache) > 1_000_000:  # bound worker memory
+            self._reset_code_cache()
+        # flatten + one C-speed dict map; Python touches only misses
+        flat = [tok for toks in token_lists for tok in toks]
+        codes = list(map(self._code_cache.get, flat))
+        miss = -1
+        try:
+            miss = codes.index(None)
+        except ValueError:
+            pass
+        if miss >= 0:
+            intern = self._intern_code
+            get = self._code_cache.get
+            for i in range(miss, N):
+                if codes[i] is None:
+                    c = get(flat[i])  # an earlier miss may have
+                    codes[i] = c if c is not None else intern(flat[i])
+        code_arr = np.array(codes, dtype=np.int64)
+        em = self._row_mat[code_arr >> 4]  # fancy index -> fresh copy
+        em[:, 0] += 1.0  # 'O' prior (2-addend sums commute exactly)
+        is_phone = (code_arr & 8) != 0
+        upper = (code_arr & 4) != 0
+        digit34 = (code_arr & 2) != 0
+        faxword = (code_arr & 1) != 0
+        nz = lens[lens > 0]
+        ends = np.cumsum(nz)
+        starts = ends - nz
         first = np.zeros(N, dtype=bool)
+        first[starts] = True
         last = np.zeros(N, dtype=bool)
-        p = 0
-        for toks in token_lists:
-            if not toks:
-                continue
-            first[p] = True
-            for tok in toks:
-                base, ph, up, d34, fx = feats(tok)
-                if base is not None:
-                    em[p] += base
-                is_phone[p] = ph
-                upper[p] = up
-                digit34[p] = d34
-                faxword[p] = fx
-                p += 1
-            last[p - 1] = True
+        last[ends - 1] = True
         # I-STREET: capitalized token not at turn start (+2)
         j = idx.get("I-STREET")
         if j is not None:

@@ -92,14 +92,29 @@ def _broadcast_model(
     return bc, uuid.uuid4().hex
 
 
-def plain_tokens(text: str) -> List[str]:
-    """Marker-free token stream (what an unlabeled turn looks like)."""
+def plain_tokens_py(text: str) -> List[str]:
+    """Marker-free token stream (what an unlabeled turn looks like).
+    Pure-Python twin of the native fast path — kept as the
+    differential oracle (tests/test_ctok_differential.py)."""
     out = []
     for chars, _pos, _len in default_segment_words(text or ""):
         kind, _val = classify_token(chars)
         if kind == "token":
             out.append(chars)
     return out
+
+
+from ..kernel.tokenize import ctok as _ctok  # noqa: E402
+
+if _ctok is not None and hasattr(_ctok, "plain_tokens"):
+    _c_plain = _ctok.plain_tokens
+
+    def plain_tokens(text: str) -> List[str]:
+        """Marker-free token stream (native kernel)."""
+        return _c_plain(text or "")
+
+else:  # pragma: no cover - build environment without gcc
+    plain_tokens = plain_tokens_py
 
 
 def tagged_mentions(
