@@ -163,9 +163,12 @@ def main() -> None:
     # the per-shard epochs, only n_parts weight blobs reach the driver)
     from webstruct_spark.operators.trained import train_crf_distributed
 
+    # shards scale with cores (one fit task per core) — the same knob a
+    # real cluster turns; the driver correctness gate pins n_parts=8
+    # against the byte-identical single-node twin separately.
     timed(
         "q12_crf_dist_fit",
-        lambda: len(train_crf_distributed(transcripts).w),
+        lambda: len(train_crf_distributed(transcripts, n_parts=cpus).w),
     )
 
     total = round(sum(timings.values()), 3)

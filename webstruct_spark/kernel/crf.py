@@ -294,9 +294,16 @@ class CRFTagger:
         self,
         sequences: Sequence[Tuple[Sequence[str], Sequence[str]]],
         epochs: int = 5,
+        feats_per_seq: Sequence[Sequence[tuple]] | None = None,
     ) -> "CRFTagger":
         """Averaged perceptron over (tokens, iob2_tags) sequences.
-        Deterministic: input order, no RNG; unknown gold tags raise."""
+        Deterministic: input order, no RNG; unknown gold tags raise.
+
+        ``feats_per_seq`` optionally supplies precomputed
+        ``token_features`` lists (one per sequence, aligned) — feature
+        extraction is weight-independent, so callers that refit the
+        same sequences repeatedly (iterated parameter mixing rounds)
+        can pay it once; values are identical to recomputation."""
         T = len(self.tags)
         tag_index = self.tag_index
         # accumulators for averaging (Daumé's trick: w_avg = w - u/c)
@@ -304,10 +311,11 @@ class CRFTagger:
         ut = np.zeros((T, T), dtype=np.float64)
         ui = np.zeros(T, dtype=np.float64)
         c = 1.0
-        feats_per_seq = [
-            [token_features(toks, i) for i in range(len(toks))]
-            for toks, _tags in sequences
-        ]
+        if feats_per_seq is None:
+            feats_per_seq = [
+                [token_features(toks, i) for i in range(len(toks))]
+                for toks, _tags in sequences
+            ]
         gold_per_seq = [
             [tag_index[t] for t in tags] for _toks, tags in sequences
         ]

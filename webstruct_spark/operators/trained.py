@@ -70,22 +70,6 @@ def train_crf_local(
 
 # -- distributed training (iterated parameter mixing) -------------------
 
-_FIT_PART_SCHEMA = None  # built lazily (needs pyspark types)
-
-
-def _fit_part_schema():
-    global _FIT_PART_SCHEMA
-    if _FIT_PART_SCHEMA is None:
-        from pyspark.sql import types as T
-
-        _FIT_PART_SCHEMA = T.StructType(
-            [
-                T.StructField("pid", T.IntegerType()),
-                T.StructField("blob", T.BinaryType()),
-            ]
-        )
-    return _FIT_PART_SCHEMA
-
 
 def train_crf_distributed(
     turns: DataFrame,
@@ -117,12 +101,20 @@ def train_crf_distributed(
     and in :mod:`zlib`), every shard fit is input-order deterministic
     with no RNG, and the mix averages in ascending pid order.
 
-    100 TB shape: one narrow pass per round (scan → groupBy(pid) →
-    applyInPandas fit → n_parts tiny rows).  ``n_parts`` bounds the
-    per-executor training-shard size — scale it with the corpus.
+    100 TB shape: ONE shuffle total (an identity ``partitionBy`` that
+    pins exactly one shard per partition — a hash-partitioned
+    ``groupBy(pid)`` co-locates 2-3 shards per task by balls-in-bins
+    and every round then waits on the heaviest task), tokenization +
+    gold encoding run once (round-invariant, cached with the
+    partition; MEMORY_AND_DISK, so it spills rather than OOMs), and
+    each mixing round is a shuffle-free ``mapPartitions`` returning
+    ``n_parts`` tiny weight blobs.  ``n_parts`` bounds the
+    per-executor training-shard size — scale it with the corpus and
+    the core count.
     """
     import pickle
 
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     spark = turns.sparkSession
@@ -132,41 +124,55 @@ def train_crf_distributed(
     src = src.withColumn(
         "pid",
         (F.crc32(F.col("conv_id").cast("binary")) % n_parts).cast("int"),
-    ).persist()
+    )
+
+    def _prep(it):
+        # one shard per partition (identity partitioner); sort matches
+        # the single-node twin, then tokenize + gold-encode + extract
+        # token features ONCE — all three are round-invariant, so the
+        # cached partition carries fit-ready inputs for every round
+        from ..kernel.crf import token_features
+
+        rows = sorted(it, key=lambda kv: (kv[1][0], kv[1][1]))
+        if rows:
+            seqs = [labeled_sequences(tx) for _p, (_c, _t, tx) in rows]
+            feats = [
+                [token_features(toks, i) for i in range(len(toks))]
+                for toks, _tags in seqs
+            ]
+            yield rows[0][0], seqs, feats
+
+    parted = (
+        src.rdd.map(
+            lambda r: (
+                int(r["pid"]),
+                (r["conv_id"], int(r["turn_idx"]), r["text"]),
+            )
+        )
+        .partitionBy(n_parts, lambda pid: pid)
+        .mapPartitions(_prep, preservesPartitioning=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
         model = CRFTagger(entity_types)
         for _round in range(rounds):
             bc = spark.sparkContext.broadcast(model.export())
 
-            def fit_part(pdf):
-                import pandas as pd
+            def fit_part(it, _bc=bc):
+                for pid, seqs, feats in it:
+                    m = CRFTagger.from_export(_bc.value)
+                    m.fit(seqs, epochs=1, feats_per_seq=feats)
+                    yield pid, pickle.dumps(m.export())
 
-                pdf = pdf.sort_values(
-                    ["conv_id", "turn_idx"], kind="mergesort"
-                )
-                seqs = [labeled_sequences(t) for t in pdf["text"].tolist()]
-                m = CRFTagger.from_export(bc.value)
-                m.fit(seqs, epochs=1)
-                return pd.DataFrame(
-                    {
-                        "pid": [int(pdf["pid"].iloc[0])],
-                        "blob": [pickle.dumps(m.export())],
-                    }
-                )
-
-            rows = (
-                src.groupBy("pid")
-                .applyInPandas(fit_part, _fit_part_schema())
-                .collect()
-            )
+            rows = parted.mapPartitions(fit_part).collect()
             bc.destroy()
             blobs = [
-                pickle.loads(r["blob"])
-                for r in sorted(rows, key=lambda r: r["pid"])
+                pickle.loads(b)
+                for _pid, b in sorted(rows, key=lambda kv: kv[0])
             ]
             model = CRFTagger.average_exports(blobs)
     finally:
-        src.unpersist()
+        parted.unpersist()
     return model
 
 
