@@ -492,7 +492,10 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webstruct_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir)).select(
+    # persist=False: the driver materializes this exactly once and
+    # never sees the _sketch_handle (select() strips the attribute),
+    # so a persisted sketch would leak storage memory per invocation
+    return minhash_lsh_pairs(_docs(spark, sf_dir), persist=False).select(
         "doc_a", "doc_b", "jaccard", "verified"
     )
 
@@ -506,7 +509,12 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webstruct_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    # max_df=None: the DuckDB oracle computes UNCAPPED exact Jaccard,
+    # so the gated query must too (the capped default is the scale
+    # posture for production corpora, not the oracle definition)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.2, max_df=None
+    )
 
 
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

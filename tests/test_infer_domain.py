@@ -137,3 +137,54 @@ def test_commented_links_and_single_quotes(spark):
     )
     assert got[1] == "real.com"
     assert got[2] == "single.org"
+
+
+def test_base_attr_name_anchoring(spark):
+    """Substring attributes inside a <base> tag (wa_temp_href=,
+    data-href=) are not the base href — lxml reads the attribute NAMED
+    href; the WebAnnotator corpus rewrites href to wa_temp_href, so
+    matching it would short-circuit to the wrong domain."""
+    got = _infer(
+        spark,
+        [
+            # wa_temp_href only: no real base -> the href vote decides
+            (1, "<base target='_top' wa_temp_href='http://evil.org/'>"
+                '<a href="http://real.com/1">'),
+            # data-href before the real href: the real one wins
+            (2, '<base data-href="http://decoy.org/" '
+                'href="http://real.example.com/">'),
+        ],
+    )
+    assert got[1] == "real.com"
+    assert got[2] == "example.com"
+
+
+def test_uppercase_href_votes(spark):
+    """lxml lowercases HTML attribute names, so HREF= votes in the
+    reference — legacy uppercase HTML must count here too."""
+    got = _infer(
+        spark,
+        [(1, '<A HREF="http://legacy.com/1"><A HREF="http://legacy.com/2">'
+             '<a href="http://other.org/1">')],
+    )
+    assert got[1] == "legacy.com"
+
+
+def test_commented_base_without_closing_head(spark):
+    """HTML5 allows omitting </head>; lxml still builds the head
+    element, so the reference finds head comments there.  The head
+    region falls back to everything before <body (else the whole
+    document)."""
+    got = _infer(
+        spark,
+        [
+            # no </head>: head region ends at <body
+            (1, '<head><!-- <base href="http://commented.co.uk/x"> -->'
+                '<title>t</title><body><a href="http://other.org/1">'),
+            # no </head> and no <body>: whole document is scanned
+            (2, '<head><!-- <base href="http://commented.com/x"> -->'
+                '<a href="http://other.org/1">'),
+        ],
+    )
+    assert got[1] == "commented.co.uk"
+    assert got[2] == "commented.com"

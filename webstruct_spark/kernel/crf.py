@@ -193,8 +193,19 @@ class CRFTagger:
         rows; adding a zero row is float-identical to skipping the add
         because the weight vectors never contain -0.0).  The packed
         single-int value is what lets the batch path map tokens to
-        codes with one C-speed ``map(dict.get, ...)``; both ids stay
-        under the 1M cache bound < 2^21."""
+        codes with one C-speed ``map(dict.get, ...)``.
+
+        Capacity: both ids must stay < 2^21.  The between-batch 1M
+        reset keeps them there unless a SINGLE emissions_batch call
+        interns >~1M new distinct tokens; that would silently decode
+        wrong rows, so it raises instead (split the batch / lower
+        spark.sql.execution.arrow.maxRecordsPerBatch)."""
+        if self._n_tok >= (1 << 21) or self._n_low >= (1 << 21):
+            raise RuntimeError(
+                "packed emission-code space exhausted (>2^21 distinct "
+                "tokens interned in one batch window); use smaller "
+                "Arrow batches"
+            )
         w = self.w
         base = None
         for f in _context_free(tok):

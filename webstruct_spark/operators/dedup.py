@@ -68,9 +68,9 @@ def _to_signed64(u: int) -> int:
 
 @pandas_udf(_SKETCH_TYPE)
 def _minhash_sketch_udf(texts: pd.Series) -> pd.DataFrame:
-    """ONE pass over the text: LSH band keys, the full 128-slot MinHash
+    """ONE pass over the text: LSH band keys, the full 64-slot MinHash
     signature, and the 64-bit-hashed distinct shingle set.  Raw text
-    never leaves this UDF; the signature (fixed 128x8 bytes) is what
+    never leaves this UDF; the signature (fixed 64x8 bytes) is what
     candidate scoring ships per pair — the O(doc-length) ``sh`` array
     joins only for the pairs inside the exact-confirm band."""
     bands, sigs, hashes = [], [], []
@@ -105,6 +105,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     confirm_band: float = 0.2,
+    persist: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard, verified) near-duplicate pairs from
     MinHash/LSH candidates, scored in two tiers:
@@ -129,11 +130,14 @@ def minhash_lsh_pairs(
     default 0.2 band is ~3.2 sigma: P(true J>=0.5 rejected outright)
     ~7e-4 per pair, and every borderline decision is exact.
 
-    Lifecycle: the internal sketch DataFrame stays persisted so the
-    band explode and both score tiers share one UDF pass; it is
-    exposed as ``result._sketch_handle`` — long-lived sessions issuing
-    many dedup calls should ``result._sketch_handle.unpersist()`` after
-    materializing the result (bench.py does)."""
+    Lifecycle: with ``persist=True`` (default) the internal sketch
+    DataFrame stays persisted so the band explode and both score tiers
+    share one UDF pass; it is exposed as ``result._sketch_handle`` —
+    long-lived sessions issuing many dedup calls should
+    ``result._sketch_handle.unpersist()`` after materializing the
+    result (bench.py does).  One-shot callers that will materialize
+    the result exactly once and cannot manage the handle should pass
+    ``persist=False`` (the sketch recomputes per downstream use)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -142,7 +146,9 @@ def minhash_lsh_pairs(
     ).select(
         "doc_id", F.col("s.bands").alias("bands"),
         F.col("s.sig").alias("sig"), F.col("s.sh").alias("sh")
-    ).persist()
+    )
+    if persist:
+        sketch = sketch.persist()
     banded = sketch.select("doc_id", F.explode("bands").alias("bucket"))
     pairs = _candidate_pairs(banded)
     sig = sketch.select("doc_id", "sig")
@@ -270,14 +276,18 @@ def ngram_jaccard_pairs(
     Hot-shingle guard: the shingle self-join is quadratic in any
     shingle's document frequency (a boilerplate sentence shared by 1e6
     docs would emit 1e12 join rows), so shingles with df > ``max_df``
-    are dropped BEFORE the join (two-stage agg + broadcast anti-join,
-    the standard positional-filter practice).  Jaccard is then computed
+    are dropped BEFORE the join via a df window over the single
+    shingle scan (one exchange, partitioned by shingle — the self-join
+    legs and the per-doc size agg all reuse it; the standard
+    positional-filter practice).  Jaccard is then computed
     consistently over each doc's df<=max_df shingle subset — exact
     whenever nothing is dropped (the SQL-oracle regime; nothing drops
     at the test scales), conservative-approximate on corpora with
     mega-df boilerplate.  Dropped shingles are observable via the
     returned DataFrame's ``_dropped_shingles`` attribute (a lazy
-    (shingle, df) DataFrame).  Pass ``max_df=None`` to disable."""
+    (shingle, df) DataFrame).  Pass ``max_df=None`` to disable — the
+    driver's oracle-gated query does, because its DuckDB SQL defines
+    UNCAPPED Jaccard and the semantics must match at any scale."""
     words = F.split(norm_text_col(F.col(text_col)), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
     n = F.size("w")
@@ -299,14 +309,23 @@ def ngram_jaccard_pairs(
     )
     dropped = None
     if max_df is not None:
+        # lazy observability hook; only computed if the caller
+        # materializes it (it re-aggregates the explode)
         dropped = (
             exploded.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_df)
         )
-        # hot set is tiny by construction (<= n_shingles/max_df rows)
-        exploded = exploded.join(
-            F.broadcast(dropped.select("shingle")), "shingle", "left_anti"
+        # df filter as a window over the one shingle exchange — the
+        # self-join legs below join on this same key and reuse the
+        # exchange, so the guard adds no extra scan of the corpus
+        exploded = (
+            exploded.withColumn(
+                "df",
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+            )
+            .where(F.col("df") <= max_df)
+            .drop("df")
         )
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")

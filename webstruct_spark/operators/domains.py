@@ -118,20 +118,27 @@ MULTI_TLD = (
 _HOST_RE = r'^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)'
 # real <base href> tag, either quote style, attrs allowed before href
 # (lxml lowercases HTML element/attribute names -> case-insensitive);
-# searched on comment-STRIPPED html, so a commented tag never matches
-_BASE_TAG_RE = "(?is)<base\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+# searched on comment-STRIPPED html, so a commented tag never matches.
+# `(?:[^>]*?\s)?` forces the attribute NAME to start right after
+# whitespace, so substring attributes (wa_temp_href=, data-href=)
+# inside the tag never match as the base href.
+_BASE_TAG_RE = "(?is)<base\\s(?:[^>]*?\\s)?href\\s*=\\s*[\"']([^\"']*)[\"']"
 # commented-out base tag fallback: the reference scans //head/comment()
 # with the case-SENSITIVE, double-quote-only regex base\s+href="..."
 # (/root/reference/webstruct/infer_domain.py:21,61-66) — applied here
-# to the comments extracted from the <head> region
-_HEAD_RE = r"(?is)^(.*?)</head"
+# to the comments extracted from the <head> region.  The head region
+# approximates lxml's implicit-head recovery: it ends at the first
+# </head or <body, else spans the whole document (a page that omits
+# the optional </head> still gets its head comments scanned).
+_HEAD_RE = r"(?is)^(.*?)(?:</head|<body|\z)"
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _BASE_COMMENT_RE = r'base\s+href="([^"]*)"'
 # vote hrefs: comments are stripped FIRST (the reference's lxml
 # //*/@href never sees comment content), both quote styles accepted;
 # the leading [^\w-] anchors the attribute NAME so substring
-# attributes (wa_temp_href=, data-href=) do not vote
-_HREF_RE = "[^\\w-]href=[\"']([^\"']*)[\"']"
+# attributes (wa_temp_href=, data-href=) do not vote; (?i) because
+# lxml lowercases attribute names (HREF= votes in the reference)
+_HREF_RE = "(?i)[^\\w-]href=[\"']([^\"']*)[\"']"
 
 
 def registered_domain_col(url):
@@ -236,12 +243,12 @@ def infer_domain_oracle_sql(parquet_path: str) -> str:
                 SELECT page_id, html,
                     coalesce(regexp_extract(
                         regexp_replace(html, '<!--.*?-->', '', 'gs'),
-                        '(?is)<base\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["'']',
+                        '(?is)<base\\s(?:[^>]*?\\s)?href\\s*=\\s*["'']([^"'']*)["'']',
                         1), '') AS real_base,
                     coalesce(regexp_extract(
                         array_to_string(regexp_extract_all(
                             coalesce(regexp_extract(html,
-                                '(?is)^(.*?)</head', 1), ''),
+                                '(?is)^(.*?)(?:</head|<body|\\z)', 1), ''),
                             '<!--.*?-->', 0, 's'), chr(10)),
                         'base\\s+href="([^"]*)"', 1), '') AS commented_base
                 FROM read_parquet('{parquet_path}')
@@ -265,7 +272,7 @@ def infer_domain_oracle_sql(parquet_path: str) -> str:
         ), hrefs AS (
             SELECT page_id, unnest(regexp_extract_all(
                 regexp_replace(html, '<!--.*?-->', '', 'gs'),
-                '[^\\w-]href=["'']([^"'']*)["'']', 1)) AS href
+                '(?i)[^\\w-]href=["'']([^"'']*)["'']', 1)) AS href
             FROM dom WHERE base_href = ''
         ), hdom AS (
             SELECT page_id, CASE

@@ -120,7 +120,11 @@ def train_crf_distributed(
     spark = turns.sparkSession
     src = turns.select("conv_id", "turn_idx", F.col(text_col).alias("text"))
     if sample is not None:
-        src = src.orderBy("conv_id", "turn_idx").limit(sample)
+        # full-triple order: ties on (conv_id, turn_idx) would
+        # otherwise truncate nondeterministically, breaking the
+        # byte-identity contract with train_crf_mixed_local (which
+        # sorts whole (conv_id, turn_idx, text) triples)
+        src = src.orderBy("conv_id", "turn_idx", "text").limit(sample)
     src = src.withColumn(
         "pid",
         (F.crc32(F.col("conv_id").cast("binary")) % n_parts).cast("int"),
