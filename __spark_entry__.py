@@ -298,6 +298,16 @@ def _q_infer_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_domain(spark.read.parquet(path))
 
 
+def _q_wapiti_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/M3: wapiti train-file lines (feature columns + gold tag,
+    reference data-file format — wapiti.py:302-326) for every clean
+    token, assembled JVM-side from a feature struct; gated against
+    the single-node WapitiFeatureEncoder twin's gold parquet."""
+    from webstruct_spark.operators.wapiti_io import wapiti_train_lines
+
+    return wapiti_train_lines(_transcripts(spark, sf_dir))
+
+
 def _q_token_shape_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 feature over every clean token (JVM-side regex ladder),
     aggregated — checked against the single-node shape distribution."""
@@ -563,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_prf": _q_kg_mention_prf,
         "kg_macro_f1": _q_kg_macro_f1,
         "token_shape_dist": _q_token_shape_dist,
+        "wapiti_lines": _q_wapiti_lines,
         "infer_domain": _q_infer_domain,
         "token_confusion": _q_token_confusion,
         "geonames_aliases": _q_geonames_aliases,
@@ -850,6 +861,10 @@ def oracle_sql() -> dict[str, str]:
         "token_shape_dist": f"""
             SELECT shape, n_tokens
             FROM read_parquet('{g("gold_token_shapes.parquet")}')
+        """,
+        "wapiti_lines": f"""
+            SELECT conv_id, turn_idx, tok_idx, line
+            FROM read_parquet('{g("gold_wapiti_lines.parquet")}')
         """,
         "token_confusion": f"""
             SELECT tag_gold, tag_pred, n_tokens

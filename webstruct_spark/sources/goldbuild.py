@@ -62,7 +62,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "7-distcrf"  # bump when gold tables/semantics change
+GOLD_VERSION = "8-wapiti"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -425,6 +425,68 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
                 ("tag_gold", pa.string()),
                 ("tag_pred", pa.string()),
                 ("n_tokens", pa.int64()),
+            ]
+        ),
+    )
+
+    # single-node wapiti train-file lines (K3/M3 twin): feature dicts
+    # through kernel/wapiti_format.WapitiFeatureEncoder — the Spark
+    # operators/wapiti_io.py line assembly must match byte-for-byte
+    from ..kernel.wapiti_format import WapitiFeatureEncoder
+
+    def _wapiti_dicts(r) -> List[Tuple[dict, str]]:
+        pairs = extract_turn(r["text"])
+        n = len(pairs)
+        out = []
+        for k, (tok, tag) in enumerate(pairs):
+            low = tok.lower()
+            out.append(
+                (
+                    dict(
+                        token=tok,
+                        lower=low,
+                        shape=shape_py(tok),
+                        prefix3=low[:3],
+                        suffix3=low[-3:],
+                        length=len(tok),
+                        at_block_start=k == 0,
+                        block_length="1" if n == 1 else (
+                            "short" if n <= 10 else (
+                                "medium" if n <= 20 else "large"
+                            )
+                        ),
+                        role=r["role"],
+                        tool=r["tool"],
+                    ),
+                    tag,
+                )
+            )
+        return out
+
+    enc = WapitiFeatureEncoder(move_to_front=("token",))
+    per_turn = [(r, _wapiti_dicts(r)) for r in rows]
+    enc.fit([[d for d, _t in dicts] for _r, dicts in per_turn])
+    wapiti_rows: List[dict] = []
+    for r, dicts in per_turn:
+        lines = enc.transform_single([d for d, _t in dicts])
+        for k, (line, (_d, tag)) in enumerate(zip(lines, dicts)):
+            wapiti_rows.append(
+                dict(
+                    conv_id=r["conv_id"],
+                    turn_idx=r["turn_idx"],
+                    tok_idx=k,
+                    line="%s %s" % (line, tag),
+                )
+            )
+    write(
+        "gold_wapiti_lines.parquet",
+        wapiti_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("tok_idx", pa.int32()),
+                ("line", pa.string()),
             ]
         ),
     )
