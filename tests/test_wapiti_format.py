@@ -103,33 +103,21 @@ TURNS = [
 
 
 def _twin_rows():
-    """Single-node twin of wapiti_train_lines over TURNS — the same
-    dict construction as the goldbuild wapiti block."""
-    from webstruct_spark.kernel.features import shape_py
-    from webstruct_spark.sources.goldbuild import extract_turn
+    """Single-node twin of wapiti_train_lines over TURNS — the SAME
+    shared dict builder the gold builder uses."""
+    from webstruct_spark.sources.goldbuild import wapiti_feature_dicts
 
-    per_turn = []
-    for cid, ti, role, text, tool in TURNS:
-        pairs = extract_turn(text)
-        n = len(pairs)
-        dicts = []
-        for k, (tok, tag) in enumerate(pairs):
-            low = tok.lower()
-            dicts.append(
-                (
-                    dict(
-                        token=tok, lower=low, shape=shape_py(tok),
-                        prefix3=low[:3], suffix3=low[-3:],
-                        length=len(tok), at_block_start=k == 0,
-                        block_length="1" if n == 1 else (
-                            "short" if n <= 10 else (
-                                "medium" if n <= 20 else "large")),
-                        role=role, tool=tool,
-                    ),
-                    tag,
-                )
-            )
-        per_turn.append((cid, ti, dicts))
+    per_turn = [
+        (
+            cid,
+            ti,
+            wapiti_feature_dicts(
+                dict(conv_id=cid, turn_idx=ti, role=role,
+                     text=text, tool=tool)
+            ),
+        )
+        for cid, ti, role, text, tool in TURNS
+    ]
     enc = WapitiFeatureEncoder(move_to_front=("token",))
     enc.fit([[d for d, _ in dicts] for _c, _t, dicts in per_turn])
     out = {}

@@ -33,17 +33,23 @@ def control(workers: int = 32, seconds: float = 3.0) -> float:
     return -1.0
 
 
-def leg(cores: int, corpus: str) -> list:
+def leg(cores: int, corpus: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "scaling_bench.py"),
          "--single-run", "--cores", str(cores), "--corpus", corpus],
         capture_output=True, text=True,
     )
-    return [
+    runs = [
         json.loads(line)
         for line in out.stdout.splitlines()
         if line.startswith("{")
     ]
+    rec = dict(runs=runs, rc=out.returncode)
+    if out.returncode != 0 or not runs:
+        # surface the failure in the log instead of silently
+        # recording an empty leg for the whole session
+        rec["stderr_tail"] = out.stderr[-2000:]
+    return rec
 
 
 def main() -> None:
@@ -58,12 +64,12 @@ def main() -> None:
         for r in range(a.rounds):
             for cores in levels:
                 pre = control()
-                runs = leg(cores, a.corpus)
+                lr = leg(cores, a.corpus)
                 post = control()
                 rec = dict(
                     ts=round(time.time(), 1), rnd=r, cores=cores,
                     control_pre_m=pre, control_post_m=post,
-                    runs=runs,
+                    **lr,
                 )
                 f.write(json.dumps(rec) + "\n")
                 f.flush()

@@ -82,6 +82,17 @@ def prepare_wapiti_template(template: str, vocabulary: Dict[str, int]) -> str:
     )
 
 
+def unigram_template(names: Sequence[str], scope: str = "*") -> str:
+    """Unigram template block for the given feature columns — exact
+    reference layout (wapiti.py:408-426); the encoder method
+    delegates here so callers with a bare name list need no fitted
+    encoder."""
+    lines = ["\n# Unigrams for all custom features"]
+    for col, name in enumerate(names):
+        lines.append("%sfeat:%s=%%x[0,%d]" % (scope, name, col))
+    return "\n".join(lines) + "\n"
+
+
 def to_train_sequence(lines: Sequence[str], tags: Sequence[str]) -> str:
     """One training sequence: each feature line gets its gold tag as
     the LAST column (reference wapiti.py:326-327)."""
@@ -168,12 +179,7 @@ class WapitiFeatureEncoder:
         """
         if self.feature_names_ is None:
             raise ValueError("encoder is not fitted")
-        lines = ["\n# Unigrams for all custom features"]
-        for col, name in enumerate(self.feature_names_):
-            lines.append(
-                "%sfeat:%s=%%x[0,%d]" % (scope, name, col)
-            )
-        return "\n".join(lines) + "\n"
+        return unigram_template(self.feature_names_, scope)
 
     def reset(self) -> None:
         self.feature_names_ = None

@@ -13,6 +13,12 @@ pinned by the reference doctests):
   with the gold tag appended as the last column for training files;
 * sequences separated by a blank line, trailing blank line included.
 
+Documented divergence: a sequence with ZERO clean tokens produces no
+rows in ``token_rows`` and therefore no block here, while the
+reference writes an empty block (``'' + '\\n\\n'``) for it.  Wapiti
+ignores empty sequences, so trained models are unaffected; only the
+file byte layout differs for empty inputs.
+
 100 TB shape: line assembly is pure Column exprs (codegen), the only
 shuffle groups token lines back into per-turn sequences keyed by
 (conv_id, turn_idx), and the sink writes one text part-file per
@@ -27,8 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel.wapiti_format import (
-    WapitiFeatureEncoder,
     prepare_wapiti_template,
+    unigram_template,
 )
 
 
@@ -103,7 +109,20 @@ def wapiti_line_col(
         for name in feature_names
     ]
     if tag_col is not None:
-        parts.append(F.col(tag_col))
+        # a NULL tag must fail loudly: concat_ws would silently skip
+        # it and wapiti would read the last feature value as the gold
+        # label — corrupted training data with no error
+        parts.append(
+            F.coalesce(
+                F.col(tag_col),
+                F.raise_error(
+                    F.concat(
+                        F.lit("NULL gold tag in wapiti train line for "),
+                        F.col(features_col)["token"].cast("string"),
+                    )
+                ).cast("string"),
+            )
+        )
     return F.concat_ws(" ", *parts)
 
 
@@ -218,12 +237,10 @@ def write_wapiti_template(
     (wapiti.py:313-323): the user template with names resolved to
     column indices, plus the all-features unigram block when
     ``unigrams_scope`` is set.  Returns the written text."""
-    enc = WapitiFeatureEncoder(move_to_front=feature_names)
-    enc.feature_names_ = tuple(feature_names)
-    enc.vocabulary_ = {f: i for i, f in enumerate(feature_names)}
-    text = prepare_wapiti_template(feature_template, enc.vocabulary_)
+    vocab = {f: i for i, f in enumerate(feature_names)}
+    text = prepare_wapiti_template(feature_template, vocab)
     if unigrams_scope is not None:
-        text += "\n" + enc.unigram_features_template(unigrams_scope)
+        text += "\n" + unigram_template(feature_names, unigrams_scope)
     with open(path, "w", encoding="utf8") as f:
         f.write(text)
     return text

@@ -54,6 +54,40 @@ def extract_turn(text: str) -> List[Tuple[str, str]]:
     return [(chars[i], tag) for i, tag in encode_tokens(chars)]
 
 
+def wapiti_feature_dicts(r) -> List[Tuple[dict, str]]:
+    """Per-token (feature_dict, gold_tag) pairs for one transcript row
+    — the single-node twin of operators/wapiti_io.basic_feature_struct;
+    the two MUST stay field-for-field in lockstep (shared by the gold
+    builder and tests/test_wapiti_format.py)."""
+    pairs = extract_turn(r["text"])
+    n = len(pairs)
+    out = []
+    for k, (tok, tag) in enumerate(pairs):
+        low = tok.lower()
+        out.append(
+            (
+                dict(
+                    token=tok,
+                    lower=low,
+                    shape=shape_py(tok),
+                    prefix3=low[:3],
+                    suffix3=low[-3:],
+                    length=len(tok),
+                    at_block_start=k == 0,
+                    block_length="1" if n == 1 else (
+                        "short" if n <= 10 else (
+                            "medium" if n <= 20 else "large"
+                        )
+                    ),
+                    role=r["role"],
+                    tool=r["tool"],
+                ),
+                tag,
+            )
+        )
+    return out
+
+
 def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     """[(mention_text, entity_type)] in document order for one turn."""
     pairs = extract_turn(text)
@@ -434,37 +468,8 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     # operators/wapiti_io.py line assembly must match byte-for-byte
     from ..kernel.wapiti_format import WapitiFeatureEncoder
 
-    def _wapiti_dicts(r) -> List[Tuple[dict, str]]:
-        pairs = extract_turn(r["text"])
-        n = len(pairs)
-        out = []
-        for k, (tok, tag) in enumerate(pairs):
-            low = tok.lower()
-            out.append(
-                (
-                    dict(
-                        token=tok,
-                        lower=low,
-                        shape=shape_py(tok),
-                        prefix3=low[:3],
-                        suffix3=low[-3:],
-                        length=len(tok),
-                        at_block_start=k == 0,
-                        block_length="1" if n == 1 else (
-                            "short" if n <= 10 else (
-                                "medium" if n <= 20 else "large"
-                            )
-                        ),
-                        role=r["role"],
-                        tool=r["tool"],
-                    ),
-                    tag,
-                )
-            )
-        return out
-
     enc = WapitiFeatureEncoder(move_to_front=("token",))
-    per_turn = [(r, _wapiti_dicts(r)) for r in rows]
+    per_turn = [(r, wapiti_feature_dicts(r)) for r in rows]
     enc.fit([[d for d, _t in dicts] for _r, dicts in per_turn])
     wapiti_rows: List[dict] = []
     for r, dicts in per_turn:
