@@ -198,3 +198,30 @@ def test_mixed_model_f1_gate():
         fn += len(g - p)
     f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
     assert f1 > 0.3, f1  # reference CI gate; in practice ~0.99 here
+
+
+def test_predict_top_n_trained():
+    """E5 applied to the TRAINED model: rank-1 of the N-best decode
+    equals plain predict exactly; merged output overlays lower-ranked
+    entities only into 'O' slots of the best chain."""
+    texts = _texts()
+    m = train_crf_local(texts, sample=120, epochs=3)
+    checked_equal = 0
+    checked_merge = 0
+    for t in texts[120:180]:
+        toks, _tags = labeled_sequences(t)
+        if not toks:
+            continue
+        plain = m.predict(toks)
+        chains = m.predict_top_n(toks, n=3, merge=False)
+        assert chains[0] == plain
+        checked_equal += 1
+        merged = m.predict_top_n(toks, n=3, merge=True)
+        assert len(merged) == len(plain)
+        for got, best in zip(merged, plain):
+            # merge never overwrites a non-'O' best-chain tag
+            if best != "O":
+                assert got == best
+            if got != best:
+                checked_merge += 1
+    assert checked_equal > 20  # the loop really ran

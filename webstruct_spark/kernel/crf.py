@@ -299,6 +299,26 @@ class CRFTagger:
     def predict(self, tokens: Sequence[str]) -> List[str]:
         return self.predict_batch([tokens])[0]
 
+    def predict_top_n(
+        self, tokens: Sequence[str], n: int = 2, merge: bool = True
+    ):
+        """N-best decode for the TRAINED model; ``merge=True``
+        overlays lower-ranked chains into 'O' slots of the best one —
+        the reference's ``top_n`` workflow applied to its trained CRF
+        (wapiti.py:249-276 requests nbest then merge_top_n).  Rank-1
+        equals :meth:`predict` exactly (same emissions path, same
+        tie rules)."""
+        from .viterbi import merge_top_n, viterbi_decode_nbest
+
+        em = self.emissions_batch([tokens])[0]
+        chains = [
+            [self.tags[i] for i in p]
+            for p in viterbi_decode_nbest(
+                em, self.trans, n=n, init=self.init
+            )
+        ]
+        return merge_top_n(chains) if merge else chains
+
     # -- training -------------------------------------------------------
 
     def fit(
