@@ -140,7 +140,20 @@ def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
         )
         if len(pdf) == 0:
             return pd.DataFrame(empty)
-        pdf = pdf.sort_values(["conv_id", "turn_idx", "mention_idx"])
+        # conversations are independent, so inter-conv order is free:
+        # sort by FACTORIZE codes (appearance order) via an integer
+        # lexsort instead of pandas' object-dtype string sort — the
+        # per-bucket sort was the biggest non-kernel cost.  Within a
+        # conversation the (turn_idx, mention_idx) order is exact.
+        conv_codes, _ = pd.factorize(pdf["conv_id"], sort=False)
+        order = np.lexsort(
+            (
+                pdf["mention_idx"].to_numpy(dtype=np.int64),
+                pdf["turn_idx"].to_numpy(dtype=np.int64),
+                conv_codes,
+            )
+        )
+        pdf = pdf.take(order)
         conv = pdf["conv_id"].to_numpy()
         turn = pdf["turn_idx"].to_numpy(dtype=np.int64)
         mi = pdf["mention_idx"].to_numpy(dtype=np.int64)
@@ -228,7 +241,7 @@ def _make_bucket_grouper(dont_penalize: Optional[Set[str]]):
 def group_entities(
     extraction_rows: DataFrame,
     dont_penalize: Optional[Iterable[str]] = DEFAULT_DONT_PENALIZE,
-    n_buckets: int = 256,
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Per-conversation grouping.
 
@@ -243,6 +256,13 @@ def group_entities(
     pandas setup cost is paid per bucket, not per conversation (20k
     conversations = 20k tiny DataFrames was the scaling bottleneck).
     Bucketing also evens out mega-conversation skew across tasks.
+
+    ``n_buckets`` sizing is a balls-in-bins tradeoff: buckets land on
+    shuffle partitions by hash, so with P partitions the slowest task
+    carries ~(B/P + sqrt(2·(B/P)·ln P)) buckets — B=256 on P=32 gives
+    ~1.9x expected max skew, B=4096 ~1.2x.  Keep B >> P; per-bucket
+    Arrow/pandas overhead is ~0.1 ms, so thousands of buckets are
+    effectively free at any realistic scale.
     """
     from pyspark.sql import functions as F
 
