@@ -40,21 +40,26 @@ def main() -> None:
             (ctl, warm["turns_per_sec"])
         )
     print()
-    best = {
-        c: max(samples) for c, samples in by_cores.items()
-    }  # (control, tps) — max by control, i.e. quietest sample
+    floor = float(sys.argv[2]) if len(sys.argv) > 2 else 240.0
+    # external load only SLOWS Spark, so among legs whose controls
+    # clear the floor the max warm throughput is the best (still
+    # conservative) estimate for that level
+    best = {}
+    for c, samples in by_cores.items():
+        ok = [(t, ctl) for ctl, t in samples if ctl >= floor]
+        if ok:
+            best[c] = max(ok)
     for c in sorted(best):
-        ctl, tps = best[c]
+        tps, ctl = best[c]
         print(
-            "best-quiet %2d cores: %9.1f turns/s (control %.0fM)"
-            % (c, tps, ctl)
+            "best (ctl>=%.0fM) %2d cores: %9.1f turns/s (control %.0fM)"
+            % (floor, c, tps, ctl)
         )
     for n, n4 in ((2, 8), (8, 32)):
         if n in best and n4 in best:
-            eff = best[n4][1] / best[n][1] / 4.0
+            eff = best[n4][0] / best[n][0] / 4.0
             print(
-                "efficiency %d->%d (best-quiet pairing): %.2f"
-                % (n, n4, eff)
+                "efficiency %d->%d (best pairing): %.2f" % (n, n4, eff)
             )
 
 
