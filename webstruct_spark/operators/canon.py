@@ -195,6 +195,11 @@ def canonicalize(
     linked = linked.withColumn(
         "skey", surface_key_col(F.col("entity_type"), F.col("norm_text"))
     )
+    # linked feeds THREE consumers (edge list, vertex list, the final
+    # label join) — checkpoint the small per-surface table once so
+    # the upstream extract+aggregate+gazetteer-join chain doesn't run
+    # three times; blocks free with the RDD, no unpersist bookkeeping
+    linked = linked.localCheckpoint(eager=True)
     edges = linked.where(F.col("canonical_id").isNotNull()).select(
         F.col("skey").alias("src"),
         F.concat(F.lit("g:"), "canonical_id").alias("dst"),
