@@ -217,7 +217,11 @@ def test_predict_top_n_trained():
         assert chains[0] == plain
         checked_equal += 1
         merged = m.predict_top_n(toks, n=3, merge=True)
-        assert len(merged) == len(plain)
+        from webstruct_spark.kernel.viterbi import merge_top_n
+
+        # merged must equal the kernel overlay of the raw chains —
+        # exercises the merge wiring even when the overlay is a no-op
+        assert merged == merge_top_n(chains)
         for got, best in zip(merged, plain):
             # merge never overwrites a non-'O' best-chain tag
             if best != "O":
@@ -225,3 +229,9 @@ def test_predict_top_n_trained():
             if got != best:
                 checked_merge += 1
     assert checked_equal > 20  # the loop really ran
+    # the overlay branch itself is pinned deterministically: chain 2
+    # fills an 'O' gap of chain 1
+    assert merge_top_n([
+        ["B-ORG", "O", "O", "O"],
+        ["B-ORG", "O", "B-CITY", "I-CITY"],
+    ]) == ["B-ORG", "O", "B-CITY", "I-CITY"]

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 # -*- coding: utf-8 -*-
 """Summarize a scaling_sampler JSONL log: per parallelism level, all
-warm samples with their control brackets, then the best-control
-(quietest) pairing and its N→4N efficiencies.
+warm samples with their control brackets; then, per level, the MAX
+warm throughput among legs whose controls stayed above the floor
+(external load only slows Spark, so that max is still a conservative
+estimate of quiet throughput), and the N→4N efficiencies of those
+maxima.
 
-Usage: python tools/scaling_report.py /tmp/scaling_samples.jsonl
+Usage: python tools/scaling_report.py LOG [control_floor_M=240]
 """
 from __future__ import annotations
 

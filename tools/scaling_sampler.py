@@ -3,8 +3,9 @@
 """Long-running scaling-leg sampler for the volatile shared VM:
 cycles through parallelism levels, bracketing EVERY leg with the
 pure-CPU control, and appends one JSON line per leg to the log.
-End-of-round analysis pairs the best (highest-control) samples per
-level — the round-2 protocol, automated.
+End-of-round analysis (tools/scaling_report.py) takes, per level,
+the max warm throughput among legs whose controls cleared a floor —
+the round-2 "pair the quiet legs" protocol, automated.
 
 Usage: python tools/scaling_sampler.py out.jsonl [--corpus DIR]
        [--cores 8,32,8,32,2] [--rounds 8]

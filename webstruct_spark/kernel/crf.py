@@ -308,16 +308,12 @@ class CRFTagger:
         (wapiti.py:249-276 requests nbest then merge_top_n).  Rank-1
         equals :meth:`predict` exactly (same emissions path, same
         tie rules)."""
-        from .viterbi import merge_top_n, viterbi_decode_nbest
+        from .viterbi import decode_top_n
 
-        em = self.emissions_batch([tokens])[0]
-        chains = [
-            [self.tags[i] for i in p]
-            for p in viterbi_decode_nbest(
-                em, self.trans, n=n, init=self.init
-            )
-        ]
-        return merge_top_n(chains) if merge else chains
+        return decode_top_n(
+            self.emissions_batch([tokens])[0], self.trans, self.tags,
+            n=n, merge=merge, init=self.init,
+        )
 
     # -- training -------------------------------------------------------
 

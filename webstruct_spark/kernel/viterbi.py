@@ -186,12 +186,10 @@ class RuleModel:
         """N-best decode; ``merge=True`` overlays lower-ranked chains
         into 'O' slots of the best one (reference top_n workflow,
         wapiti.py:249-276 + merge_top_n)."""
-        em = self.emissions(tokens)
-        chains = [
-            [self.tags[i] for i in p]
-            for p in viterbi_decode_nbest(em, self.transitions, n=n)
-        ]
-        return merge_top_n(chains) if merge else chains
+        return decode_top_n(
+            self.emissions(tokens), self.transitions, self.tags,
+            n=n, merge=merge,
+        )
 
     # -- batched path (bit-identical; q9 hot path) ----------------------
 
@@ -471,6 +469,25 @@ def merge_top_n(chains: Sequence[Sequence[str]]) -> List[str]:
                 for i in idxs:
                     merged[i] = chain[i]
     return merged
+
+
+def decode_top_n(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    tags: Sequence[str],
+    n: int = 2,
+    merge: bool = True,
+    init: Optional[np.ndarray] = None,
+):
+    """Shared N-best wrapper for BOTH models (RuleModel and the
+    trained CRFTagger): k-best decode → tag-string chains → optional
+    merge_top_n overlay.  One implementation so the two paths cannot
+    silently diverge on tie rules or the empty-sequence case."""
+    chains = [
+        [tags[i] for i in p]
+        for p in viterbi_decode_nbest(emissions, transitions, n=n, init=init)
+    ]
+    return merge_top_n(chains) if merge else chains
 
 
 def viterbi_decode_nbest(
