@@ -235,3 +235,12 @@ def test_predict_top_n_trained():
         ["B-ORG", "O", "O", "O"],
         ["B-ORG", "O", "B-CITY", "I-CITY"],
     ]) == ["B-ORG", "O", "B-CITY", "I-CITY"]
+
+
+def test_packed_code_capacity_guard():
+    """The packed (base_row<<21)|low_row code space must fail loudly,
+    never wrap around into wrong emission rows."""
+    m = CRFTagger(["ORG"])
+    m._n_tok = 1 << 21  # simulate an exhausted batch window
+    with pytest.raises(RuntimeError, match="packed emission-code"):
+        m._intern_token("overflow-token")

@@ -224,3 +224,22 @@ def test_write_template(tmp_path):
         "\n# Unigrams for all custom features\n"
         "ufeat:token=%x[0,0]\nufeat:tag=%x[0,1]\n"
     )
+
+
+def test_empty_turn_emits_no_block(spark):
+    """Documented divergence: a turn with zero clean tokens produces
+    NO data-file block (the reference writes an empty block; wapiti
+    ignores both)."""
+    from webstruct_spark.operators.wapiti_io import (
+        wapiti_sequences,
+        wapiti_train_lines,
+    )
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "", None), ("c1", 1, "user", "hello", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string",
+    )
+    lines = wapiti_train_lines(turns)
+    blocks = wapiti_sequences(lines).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in blocks] == [("c1", 1)]
