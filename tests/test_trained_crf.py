@@ -147,9 +147,10 @@ def test_predict_batch_matches_scalar_path():
 
 
 def test_distributed_mixing_equals_local_twin(spark):
-    """Iterated-parameter-mixing fit: Spark (groupBy(pid) applyInPandas
-    epochs + driver mix) == single-node twin, byte-identical weights;
-    and the mixed model clears the reference CI F1 gate."""
+    """Iterated-parameter-mixing fit: Spark (identity-partitioned
+    shard epochs + executor-side per-feature averaging in ascending
+    pid order) == single-node twin, byte-identical weights — with the
+    default min_feat_df=2 pruning on both sides."""
     from webstruct_spark.operators.trained import (
         train_crf_distributed,
         train_crf_mixed_local,
@@ -166,6 +167,90 @@ def test_distributed_mixing_equals_local_twin(spark):
     # weights (not from zero) — rounds=2 must differ from rounds=1
     m_r1 = train_crf_mixed_local(rows, n_parts=4, rounds=1)
     assert m_r1.export() != m_loc.export()
+
+
+def test_distributed_mixing_unpruned_path(spark):
+    """min_feat_df=None disables pruning on both sides and the
+    byte-identity contract still holds (pins the pre-round-4
+    semantics as a reachable configuration)."""
+    from webstruct_spark.operators.trained import (
+        train_crf_distributed,
+        train_crf_mixed_local,
+    )
+
+    turns = spark.read.parquet(CORPUS)
+    m_dist = train_crf_distributed(
+        turns, n_parts=4, rounds=1, min_feat_df=None
+    )
+    rows = duckdb.sql(
+        "select conv_id, turn_idx, text from read_parquet('%s')" % CORPUS
+    ).fetchall()
+    m_loc = train_crf_mixed_local(
+        rows, n_parts=4, rounds=1, min_feat_df=None
+    )
+    assert m_dist.export() == m_loc.export()
+    # pruning must actually change (shrink) the fitted feature space
+    m_pruned = train_crf_mixed_local(rows, n_parts=4, rounds=1)
+    assert len(m_pruned.w) < len(m_loc.w)
+
+
+def test_min_df_bounds_model_size_high_vocab(spark):
+    """The round-3 scale caveat: on a corpus whose vocabulary grows
+    with the row count (every turn carries unique tokens), the weight
+    blobs must NOT — min_feat_df=2 prunes the hapax features, so the
+    model is bounded by the shared vocabulary."""
+    from itertools import chain
+
+    from webstruct_spark.kernel.crf import token_features
+    from webstruct_spark.operators.trained import (
+        labeled_sequences,
+        train_crf_distributed,
+        train_crf_mixed_local,
+    )
+
+    # deterministic high-vocab corpus: each turn has a unique ticket
+    # token (hapax by construction) INSIDE an entity span whose type
+    # conflicts across conversations (same shared context labeled ORG
+    # in even convs, PER in odd ones) — the perceptron keeps erring,
+    # so the hapax w= features keep entering the unpruned weight dict
+    # exactly the way a growing real-corpus vocabulary would
+    rows = [
+        (
+            "c%03d" % (i % 40),
+            i // 40,
+            "Contact __START_%s__ UNIQ%06dX Office __END_%s__ today"
+            % (("ORG", i, "ORG") if i % 2 == 0 else ("PER", i, "PER")),
+        )
+        for i in range(400)
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    m = train_crf_distributed(turns, n_parts=4, rounds=1)
+    m_loc = train_crf_mixed_local(rows, n_parts=4, rounds=1)
+    assert m.export() == m_loc.export()
+    # no fitted feature may have df < 2 over the training sequences
+    df_counts: dict = {}
+    for _c, _t, tx in rows:
+        toks, _tags = labeled_sequences(tx)
+        feats = set(
+            chain.from_iterable(
+                token_features(toks, i) for i in range(len(toks))
+            )
+        )
+        for f in feats:
+            df_counts[f] = df_counts.get(f, 0) + 1
+    for f in m.w:
+        assert df_counts.get(f, 0) >= 2, f
+    # and the hapax ticket features are really gone while the model
+    # still learned: the unpruned fit keeps absorbing hapax vocabulary
+    m_unpruned = train_crf_mixed_local(
+        rows, n_parts=4, rounds=1, min_feat_df=None
+    )
+    assert not any(f.startswith("w=uniq") for f in m.w)
+    assert any(f.startswith("w=uniq") for f in m_unpruned.w)
+    assert len(m_unpruned.w) - len(m.w) > 30
+    assert len(m.w) > 0
 
 
 def test_mixed_model_f1_gate():

@@ -78,44 +78,65 @@ def train_crf_distributed(
     rounds: int = 4,
     sample: int | None = None,
     text_col: str = "text",
+    min_feat_df: int | None = 2,
 ) -> CRFTagger:
     """Distributed CRF training over the FULL labeled corpus (or an
     optional bounded head) via iterated parameter mixing (McDonald,
     Hall & Mann, NAACL 2010): each mixing round broadcasts the current
     weights, every partition runs one deterministic averaged-perceptron
-    epoch from them over its own shard (sorted by (conv_id, turn_idx)),
-    and the driver averages the resulting parameter vectors in stable
-    partition order.
+    epoch from them over its own shard (sorted (conv_id, turn_idx,
+    text) triples), and the per-feature parameter average is computed
+    EXECUTOR-SIDE in ascending pid order.
 
     This closes the reference workflow gap left by :func:`train_crf`
     (which, like the reference CI — /root/reference/webstruct/
     tests/test_crfsuite.py:31-60 — trains on a small sorted head): the
     reference's ``WapitiCRF.fit`` (/root/reference/webstruct/
     wapiti.py:178-246) trains on the whole annotated corpus, and so
-    does this, without ever collecting the corpus to the driver — only
-    ``n_parts`` weight blobs cross per round.
+    does this, without ever collecting the corpus to the driver.
 
     Determinism (load-bearing for the driver hash oracle vs the
     single-node twin :func:`train_crf_mixed_local`): the shard
     assignment is ``crc32(conv_id) % n_parts`` (bit-identical JVM-side
     and in :mod:`zlib`), every shard fit is input-order deterministic
-    with no RNG, and the mix averages in ascending pid order.
+    with no RNG, and every per-feature average sums its shard vectors
+    in ascending pid order from a zero accumulator — the float-op
+    sequence of :meth:`CRFTagger.average_exports` exactly, so the
+    mixed weights are byte-identical to the twin's.
 
-    100 TB shape: ONE shuffle total (an identity ``partitionBy`` that
-    pins exactly one shard per partition — a hash-partitioned
-    ``groupBy(pid)`` co-locates 2-3 shards per task by balls-in-bins
-    and every round then waits on the heaviest task), tokenization +
-    gold encoding run once (round-invariant, cached with the
-    partition; MEMORY_AND_DISK, so it spills rather than OOMs), and
-    each mixing round is a shuffle-free ``mapPartitions`` returning
-    ``n_parts`` tiny weight blobs.  ``n_parts`` bounds the
-    per-executor training-shard size — scale it with the corpus and
-    the core count.
+    Model-size bound: ``min_feat_df`` prunes every feature whose
+    document frequency (number of training sequences containing it)
+    is below the threshold BEFORE any fitting — the reference's own
+    min_df posture (/root/reference/webstruct/
+    feature_extraction.py:147-163 prunes rare features the same way)
+    applied to the perceptron feature space.  On natural-language
+    corpora the ``w=``/``p=``/``n=`` lexical features are Zipf-
+    distributed, so df>=2 alone removes the hapax-legomena majority of
+    the vocabulary; the per-round weight blobs, the per-round shuffle,
+    and the final broadcast model all scale with the SHARED vocabulary
+    instead of the raw token vocabulary.  ``min_feat_df=None`` (or 1)
+    disables pruning.
+
+    100 TB shape: ONE corpus shuffle total (an identity
+    ``partitionBy`` that pins exactly one shard per partition — a
+    hash-partitioned ``groupBy(pid)`` co-locates 2-3 shards per task
+    by balls-in-bins and every round then waits on the heaviest task),
+    tokenization + gold encoding + feature extraction run once
+    (round-invariant, cached with the partition; MEMORY_AND_DISK, so
+    it spills rather than OOMs).  Each mixing round is a shuffle-free
+    ``mapPartitions`` fit followed by a small per-feature
+    ``groupByKey`` (n_parts bounded vectors per key) whose averaged
+    output — exactly ONE model — is what the driver collects and
+    broadcasts; the driver never holds n_parts simultaneous weight
+    blobs (the round-3 scale caveat).
     """
-    import pickle
+    from itertools import chain
+    from operator import add as _add
 
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
+
+    import numpy as np
 
     spark = turns.sparkSession
     src = turns.select("conv_id", "turn_idx", F.col(text_col).alias("text"))
@@ -131,13 +152,15 @@ def train_crf_distributed(
     )
 
     def _prep(it):
-        # one shard per partition (identity partitioner); sort matches
-        # the single-node twin, then tokenize + gold-encode + extract
-        # token features ONCE — all three are round-invariant, so the
-        # cached partition carries fit-ready inputs for every round
+        # one shard per partition (identity partitioner); full-triple
+        # sort matches the single-node twin (a (conv_id, turn_idx)-only
+        # key would leave duplicate-key order to RDD arrival order),
+        # then tokenize + gold-encode + extract token features ONCE —
+        # all three are round-invariant, so the cached partition
+        # carries fit-ready inputs for every round
         from ..kernel.crf import token_features
 
-        rows = sorted(it, key=lambda kv: (kv[1][0], kv[1][1]))
+        rows = sorted(it, key=lambda kv: kv[1])
         if rows:
             seqs = [labeled_sequences(tx) for _p, (_c, _t, tx) in rows]
             feats = [
@@ -158,7 +181,47 @@ def train_crf_distributed(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
+        if min_feat_df is not None and min_feat_df > 1:
+            # global per-sequence document frequency over the cached
+            # fit inputs; the whitelist collect is bounded by the
+            # SHARED vocabulary (features appearing in >=2 sequences)
+            keep = (
+                parted.flatMap(
+                    lambda rec: (
+                        (f, 1)
+                        for sf in rec[2]
+                        for f in set(chain.from_iterable(sf))
+                    )
+                )
+                .reduceByKey(_add)
+                .filter(lambda kv: kv[1] >= min_feat_df)
+                .keys()
+                .collect()
+            )
+            bc_wl = spark.sparkContext.broadcast(frozenset(keep))
+
+            def _prune(it, _bc=bc_wl):
+                wl = _bc.value
+                for pid, seqs, feats in it:
+                    yield pid, seqs, [
+                        [[f for f in fl if f in wl] for fl in sf]
+                        for sf in feats
+                    ]
+
+            pruned = parted.mapPartitions(
+                _prune, preservesPartitioning=True
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            n_live = pruned.count()  # materialize before dropping parent
+            parted.unpersist()
+            parted = pruned
+        else:
+            n_live = parted.count()
+        if n_live == 0:
+            raise ValueError("train_crf_distributed: no training data")
+        P = float(n_live)
+
         model = CRFTagger(entity_types)
+        tags = tuple(model.tags)
         for _round in range(rounds):
             bc = spark.sparkContext.broadcast(model.export())
 
@@ -166,15 +229,46 @@ def train_crf_distributed(
                 for pid, seqs, feats in it:
                     m = CRFTagger.from_export(_bc.value)
                     m.fit(seqs, epochs=1, feats_per_seq=feats)
-                    yield pid, pickle.dumps(m.export())
+                    yield pid, m.w, m.trans, m.init
 
-            rows = parted.mapPartitions(fit_part).collect()
+            def expand(rec):
+                # sentinel keys can't collide: no feature string
+                # starts with "\x00" (all are "b"/"w="/"sh="/... )
+                pid, w, trans, init = rec
+                yield "\x00trans", (pid, trans)
+                yield "\x00init", (pid, init)
+                for f, v in w.items():
+                    yield f, (pid, v)
+
+            def avg(vals, _P=P):
+                # zero accumulator + ascending-pid adds + /P: the
+                # identical float-op sequence as average_exports
+                vl = sorted(vals, key=lambda kv: kv[0])
+                acc = np.zeros_like(vl[0][1])
+                for _pid, v in vl:
+                    acc += v
+                return acc / _P
+
+            items = (
+                parted.mapPartitions(fit_part)
+                .flatMap(expand)
+                .groupByKey(numPartitions=max(8, n_parts))
+                .mapValues(avg)
+                .collect()
+            )
             bc.destroy()
-            blobs = [
-                pickle.loads(b)
-                for _pid, b in sorted(rows, key=lambda kv: kv[0])
-            ]
-            model = CRFTagger.average_exports(blobs)
+            w: dict = {}
+            trans = init = None
+            for k, v in items:
+                if k == "\x00trans":
+                    trans = v
+                elif k == "\x00init":
+                    init = v
+                else:
+                    w[k] = v.tolist()
+            model = CRFTagger.from_export(
+                (tags, w, trans.tolist(), init.tolist())
+            )
     finally:
         parted.unpersist()
     return model
@@ -186,13 +280,17 @@ def train_crf_mixed_local(
     n_parts: int = 8,
     rounds: int = 4,
     sample: int | None = None,
+    min_feat_df: int | None = 2,
 ) -> CRFTagger:
     """Single-node twin of :func:`train_crf_distributed` over
     (conv_id, turn_idx, text) triples — identical shard assignment,
-    per-shard fit, and mixing order, so the weights are byte-identical
-    to the distributed fit (the gold-builder path).  Must stay in
-    lockstep."""
+    global min-df feature pruning, per-shard fit, and ascending-pid
+    mixing order, so the weights are byte-identical to the distributed
+    fit (the gold-builder path).  Must stay in lockstep."""
     import zlib
+    from itertools import chain
+
+    from ..kernel.crf import token_features
 
     rows = sorted(rows)
     if sample is not None:
@@ -201,16 +299,37 @@ def train_crf_mixed_local(
     for cid, ti, tx in rows:
         pid = zlib.crc32(cid.encode("utf-8")) % n_parts
         shards.setdefault(pid, []).append((cid, ti, tx))
+    # fit-ready inputs once per shard (the distributed _prep twin)
+    shard_data: dict[int, tuple] = {}
+    for pid in sorted(shards):
+        seqs = [labeled_sequences(tx) for _cid, _ti, tx in shards[pid]]
+        feats = [
+            [token_features(toks, i) for i in range(len(toks))]
+            for toks, _tags in seqs
+        ]
+        shard_data[pid] = (seqs, feats)
+    if min_feat_df is not None and min_feat_df > 1:
+        df_counts: dict[str, int] = {}
+        for _seqs, feats in shard_data.values():
+            for sf in feats:
+                for f in set(chain.from_iterable(sf)):
+                    df_counts[f] = df_counts.get(f, 0) + 1
+        wl = frozenset(
+            f for f, c in df_counts.items() if c >= min_feat_df
+        )
+        for pid, (seqs, feats) in shard_data.items():
+            shard_data[pid] = (
+                seqs,
+                [[[f for f in fl if f in wl] for fl in sf] for sf in feats],
+            )
     model = CRFTagger(entity_types)
     for _round in range(rounds):
         blob = model.export()
         blobs = []
-        for pid in sorted(shards):
-            seqs = [
-                labeled_sequences(tx) for _cid, _ti, tx in shards[pid]
-            ]
+        for pid in sorted(shard_data):
+            seqs, feats = shard_data[pid]
             m = CRFTagger.from_export(blob)
-            m.fit(seqs, epochs=1)
+            m.fit(seqs, epochs=1, feats_per_seq=feats)
             blobs.append(m.export())
         model = CRFTagger.average_exports(blobs)
     return model

@@ -96,7 +96,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "8-wapiti"  # bump when gold tables/semantics change
+GOLD_VERSION = "9-mindf"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -411,9 +411,10 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
 
     # single-node run of the DISTRIBUTED training procedure (iterated
     # parameter mixing over crc32(conv_id)%8 shards, 4 mixing rounds,
-    # full corpus): train_crf_mixed_local is the exact twin of the
-    # Spark-side train_crf_distributed — weights are byte-identical,
-    # so distributed inference must match these rows exactly.
+    # global min_feat_df=2 feature pruning, full corpus):
+    # train_crf_mixed_local is the exact twin of the Spark-side
+    # train_crf_distributed — weights are byte-identical, so
+    # distributed inference must match these rows exactly.
     from ..operators.trained import train_crf_mixed_local
 
     dist_crf = train_crf_mixed_local(
