@@ -48,3 +48,28 @@ def test_fuzzy_edges_block_cap(spark):
     assert capped.count() == 0  # block of 30 > cap 10 -> no pairs
     uncapped = fuzzy_edges(surfaces, threshold=0.1, max_block=100)
     assert uncapped.count() > 0
+
+
+def test_fuzzy_edges_dropped_blocks_observable(spark):
+    """A hot block over max_block must surface in the _dropped_blocks
+    hook (with its size) while a small block still produces edges —
+    the cap is observable, never a silent loss."""
+    from webstruct_spark.operators.canon import fuzzy_edges
+
+    rows = [("ORG", "the clinic %d" % i) for i in range(30)]  # hot block
+    rows += [("ORG", "acme systems"), ("ORG", "acme systems inc")]
+    surfaces = spark.createDataFrame(
+        rows, "entity_type string, norm_text string"
+    )
+    edges = fuzzy_edges(surfaces, threshold=0.5, max_block=10)
+    got = {
+        (r["src"], r["dst"]) for r in edges.collect()
+    }
+    # the small acme block still merges
+    assert ("t:ORG:acme systems", "t:ORG:acme systems inc") in got
+    # nothing from the hot block made it into the edges
+    assert not any("the clinic" in s or "the clinic" in d for s, d in got)
+    dropped = {
+        (r["block"], r["bn"]) for r in edges._dropped_blocks.collect()
+    }
+    assert dropped == {("ORG|the", 30)}

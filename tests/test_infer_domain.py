@@ -101,6 +101,22 @@ def test_anchored_href_vote(spark):
     assert got[1] == "real.com"
 
 
+def test_namespaced_href_does_not_vote(spark):
+    """xlink:href= (inline SVG) must not vote either: ':' is a
+    non-word character, so a bare [^\\w-] anchor would let it through,
+    but lxml's //*/@href matches only the attribute named exactly
+    'href'."""
+    got = _infer(
+        spark,
+        [
+            (1, '<svg><use xlink:href="http://sprite.net/icons#a"/>'
+                '<use xlink:href="http://sprite.net/icons#b"/></svg>'
+                '<a href="http://real.com/1">x</a>'),
+        ],
+    )
+    assert got[1] == "real.com"
+
+
 def test_mode_vote_blacklist_and_tie(spark):
     got = _infer(
         spark,

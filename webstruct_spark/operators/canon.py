@@ -137,12 +137,19 @@ def fuzzy_edges(
 
     This is the salted/blocked canonicalization join of SURVEY §2.8:
     the self-join only materializes within blocks, hot blocks are
-    bounded by ``max_block`` (oversized blocks are dropped and logged
-    into the output as nothing — an explicit cap, not a silent skew
-    stall; AQE skew-join splits the rest).
+    bounded by ``max_block`` — an explicit cap, not a silent skew
+    stall; AQE skew-join splits the rest.
 
     Input: (entity_type, norm_text) distinct surfaces.
     Output: (src, dst) surface-key edges.
+
+    Output contract: surfaces in a block LARGER than ``max_block``
+    produce NO edges (their fuzzy merges are skipped, the gazetteer
+    edges still link them) — the skipped blocks are OBSERVABLE as
+    ``result._dropped_blocks``, a (block, bn) DataFrame, so a corpus
+    where a stop-word first token explodes a block (e.g. 10^6 "the …"
+    surfaces) fails loudly in monitoring instead of silently losing
+    merges (same pattern as ``ngram_jaccard_pairs._dropped_shingles``).
     """
     words = F.split(F.col("norm_text"), " ")
     blocked = surfaces.select(
@@ -152,6 +159,7 @@ def fuzzy_edges(
         F.array_distinct(words).alias("w"),
     )
     sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
+    dropped = sizes.where(F.col("bn") > max_block)
     blocked = blocked.join(
         F.broadcast(sizes.where(F.col("bn") <= max_block)), "block", "inner"
     )
@@ -167,10 +175,12 @@ def fuzzy_edges(
         .where(F.col("a.norm_text") < F.col("b.norm_text"))
         .where(jac >= threshold)
     )
-    return pairs.select(
+    out = pairs.select(
         surface_key_col(F.col("a.entity_type"), F.col("a.norm_text")).alias("src"),
         surface_key_col(F.col("b.entity_type"), F.col("b.norm_text")).alias("dst"),
     )
+    out._dropped_blocks = dropped  # observability hook (see docstring)
+    return out
 
 
 def canonicalize(

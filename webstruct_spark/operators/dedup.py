@@ -130,6 +130,13 @@ def minhash_lsh_pairs(
     default 0.2 band is ~3.2 sigma: P(true J>=0.5 rejected outright)
     ~7e-4 per pair, and every borderline decision is exact.
 
+    CONSUMER NOTE: the ``jaccard`` column has mixed semantics by
+    design — on ``verified=true`` rows it is the exact set Jaccard, on
+    ``verified=false`` rows it is the signature ESTIMATE (s.e. ~0.06
+    at J=0.5).  Downstream thresholding sharper than the confirm band
+    must filter on ``verified`` (or re-verify) rather than treating
+    the column as uniformly exact.
+
     Lifecycle: with ``persist=True`` (default) the internal sketch
     DataFrame stays persisted so the band explode and both score tiers
     share one UDF pass; it is exposed as ``result._sketch_handle`` —

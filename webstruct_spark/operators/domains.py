@@ -130,15 +130,25 @@ _BASE_TAG_RE = "(?is)<base\\s(?:[^>]*?\\s)?href\\s*=\\s*[\"']([^\"']*)[\"']"
 # approximates lxml's implicit-head recovery: it ends at the first
 # </head or <body, else spans the whole document (a page that omits
 # the optional </head> still gets its head comments scanned).
+# DOCUMENTED DIVERGENCE (same class as the other regex
+# approximations): on a tag-soup page with NEITHER </head nor <body,
+# lxml's recovery would move a comment that appears after visible
+# body content into the implicit <body>, while this whole-document
+# fallback still treats it as a head comment — a commented base tag
+# in that position short-circuits here but not in the reference.  The
+# DuckDB oracle applies the identical rule, so the driver gate stays
+# in lockstep.
 _HEAD_RE = r"(?is)^(.*?)(?:</head|<body|\z)"
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _BASE_COMMENT_RE = r'base\s+href="([^"]*)"'
 # vote hrefs: comments are stripped FIRST (the reference's lxml
 # //*/@href never sees comment content), both quote styles accepted;
-# the leading [^\w-] anchors the attribute NAME so substring
-# attributes (wa_temp_href=, data-href=) do not vote; (?i) because
-# lxml lowercases attribute names (HREF= votes in the reference)
-_HREF_RE = "(?i)[^\\w-]href=[\"']([^\"']*)[\"']"
+# the leading [^\w:-] anchors the attribute NAME so substring
+# attributes (wa_temp_href=, data-href=) and NAMESPACED attributes
+# (xlink:href= in inline SVG — lxml's //*/@href matches only the
+# attribute named exactly 'href') do not vote; (?i) because lxml
+# lowercases attribute names (HREF= votes in the reference)
+_HREF_RE = "(?i)[^\\w:-]href=[\"']([^\"']*)[\"']"
 
 
 def registered_domain_col(url):
@@ -272,7 +282,7 @@ def infer_domain_oracle_sql(parquet_path: str) -> str:
         ), hrefs AS (
             SELECT page_id, unnest(regexp_extract_all(
                 regexp_replace(html, '<!--.*?-->', '', 'gs'),
-                '(?i)[^\\w-]href=["'']([^"'']*)["'']', 1)) AS href
+                '(?i)[^\\w:-]href=["'']([^"'']*)["'']', 1)) AS href
             FROM dom WHERE base_href = ''
         ), hdom AS (
             SELECT page_id, CASE

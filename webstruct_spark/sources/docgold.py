@@ -37,7 +37,7 @@ def _round_half_up(x: float, n: int) -> float:
     return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
-DOC_GOLD_VERSION = "4-sigtier"
+DOC_GOLD_VERSION = "5-annindex"
 
 
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
@@ -181,6 +181,64 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
             ),
         ),
         os.path.join(out_dir, "gold_ann_topk.parquet"),
+    )
+
+    # --- ANN bucket-partitioned index probe (the 100-TB path): exact
+    # single-node twin of operators/similarity.ann_index_topk over a
+    # write_ann_index(kind='lsh', n_planes=8) index with multiprobe=1 —
+    # same deterministic planes, same f32 normalization, same probe-set
+    # insertion order, same (Q,D)@(D,) matvec rerank, same
+    # (sim desc, id asc) cut and HALF_UP rounding.
+    from itertools import combinations
+
+    from ..operators.similarity import _bucket_of as _sim_bucket_of
+    from ..operators.similarity import _normalize_rows as _sim_normalize
+    from ..operators.similarity import _planes as _sim_planes
+
+    n_idx_planes, multiprobe, k_idx = 8, 1, 5
+    planes_idx = _sim_planes(n_idx_planes, mat.shape[1])
+    corpus_n = _sim_normalize(mat)
+    corpus_buckets = _sim_bucket_of(corpus_n, planes_idx)
+    qn = _sim_normalize(mat[q_mask])
+    q_buckets = _sim_bucket_of(qn, planes_idx)
+    flip_masks = [0]
+    for r in range(1, max(0, multiprobe) + 1):
+        for bits in combinations(range(n_idx_planes), r):
+            mval = 0
+            for b in bits:
+                mval |= 1 << b
+            flip_masks.append(mval)
+    probe: dict = {}
+    for qi, b in enumerate(q_buckets):
+        for mval in flip_masks:
+            probe.setdefault(int(b) ^ mval, []).append(qi)
+    cand: dict = {}  # qi -> [(sim, neighbor_id)]
+    for j in range(corpus_n.shape[0]):
+        qis = probe.get(int(corpus_buckets[j]))
+        if not qis:
+            continue
+        sims = qn[qis].astype(np.float64) @ corpus_n[j].astype(np.float64)
+        for t, qi in enumerate(qis):
+            if int(ids[j]) == int(q_ids[qi]):
+                continue  # exclude_self
+            cand.setdefault(qi, []).append((float(sims[t]), int(ids[j])))
+    ann_idx_rows: List[dict] = []
+    for qi in range(len(q_ids)):
+        got = sorted(cand.get(qi, []), key=lambda sn: (-sn[0], sn[1]))
+        for rank, (s, nid) in enumerate(got[:k_idx], start=1):
+            ann_idx_rows.append(
+                dict(query_id=int(q_ids[qi]), rank=rank, neighbor_id=nid,
+                     sim=_round_half_up(s, 4))
+            )
+    pq.write_table(
+        pa.Table.from_pylist(
+            ann_idx_rows,
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("rank", pa.int32()),
+                 ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+            ),
+        ),
+        os.path.join(out_dir, "gold_ann_index_topk.parquet"),
     )
 
     # --- embedding-cosine near-dup pairs: SAME banding + SAME cosine
