@@ -184,6 +184,57 @@ def test_write_train_files_layout(spark, tmp_path):
     assert blocks[("c1", 0)] == "\n".join(seqs[("c1", 0)]) + "\n"
 
 
+def test_write_train_files_roundtrip_multifile(spark, tmp_path):
+    """Close the loop on the sink's FILE layout beyond line hashing:
+    write the sf0.001 corpus as n_files=4 wapiti train files, read the
+    actual part-files back, split the blank-line-separated blocks, and
+    reconstruct the exact multiset of per-sequence blocks the
+    single-node twin produces (gold_wapiti_lines parquet, pinned by
+    the reference doctests)."""
+    from collections import Counter
+
+    import duckdb
+
+    from webstruct_spark.operators.wapiti_io import (
+        wapiti_train_lines,
+        write_wapiti_train_files,
+    )
+
+    corpus = "/root/repo/data/transcripts/sf0.001"
+    turns = spark.read.parquet(os.path.join(corpus, "transcripts.parquet"))
+    lines = wapiti_train_lines(turns)
+    out = os.path.join(str(tmp_path), "wapiti_train_multi")
+    write_wapiti_train_files(lines, out, n_files=4)
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    )
+    assert len(parts) == 4
+    got_blocks: Counter = Counter()
+    nonempty_parts = 0
+    for p in parts:
+        with open(os.path.join(out, p), encoding="utf8") as f:
+            text = f.read()
+        if not text:
+            continue
+        nonempty_parts += 1
+        assert text.endswith("\n\n")  # trailing blank line after last block
+        blocks = [b for b in text.split("\n\n") if b]
+        # within a part-file, blocks sort by (conv_id, turn_idx):
+        # verify via each block's first line's token column order later
+        got_blocks.update(blocks)
+    assert nonempty_parts > 1  # the fan-out really spread sequences
+    gold = duckdb.sql(
+        "select conv_id, turn_idx, tok_idx, line from read_parquet('%s') "
+        "order by conv_id, turn_idx, tok_idx"
+        % os.path.join(corpus, "gold_wapiti_lines.parquet")
+    ).fetchall()
+    want_seqs: dict = {}
+    for cid, ti, _k, line in gold:
+        want_seqs.setdefault((cid, ti), []).append(line)
+    want_blocks = Counter("\n".join(v) for v in want_seqs.values())
+    assert got_blocks == want_blocks
+
+
 def test_fit_feature_names_map_column(spark):
     from webstruct_spark.operators.wapiti_io import (
         fit_feature_names,
