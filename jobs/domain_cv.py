@@ -53,7 +53,13 @@ def conv_domains_from_pages(
     (by conv_id order) maps to page ``i % n_pages`` — a stand-in for
     the reference's ``get_tree_domain(tree)`` where the tree IS the
     page the sample came from.  Both rankings are total orders, so the
-    assignment is reproducible anywhere."""
+    assignment is reproducible anywhere.
+
+    Scale note: the unpartitioned rank windows make this helper
+    test-corpus-only BY DESIGN (a real corpus carries its source URL,
+    so the domain join is a plain column expression with no global
+    sort); :func:`domain_group_kfold_eval` itself only ever sees the
+    tiny (conv_id, domain) table."""
     from webstruct_spark.operators.domains import infer_domain
 
     convs = transcripts.select("conv_id").distinct()
@@ -103,13 +109,30 @@ def domain_group_kfold_eval(
     )
 
     spark = turns.sparkSession
-    folds = with_fold(conv_domains, k).select("conv_id", "fold")
+    # checkpoint the tiny fold table once: its lineage (infer_domain
+    # regex parse + rank windows in the synthetic pairing) would
+    # otherwise re-execute for every train/test cut of every fold
+    folds = (
+        with_fold(conv_domains, k)
+        .select("conv_id", "fold")
+        .localCheckpoint(eager=True)
+    )
     fold_sizes = {
         r["fold"]: r["n"]
         for r in folds.groupBy("fold").agg(
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
+    if len(fold_sizes) < 2:
+        # GroupKFold's n_groups >= n_splits validation, adapted: with
+        # every domain hashing into one fold there is no train/test
+        # cut at all — fail with the real cause, not an empty-corpus
+        # error out of the trainer
+        raise ValueError(
+            "domain_group_kfold_eval: all domains landed in a single "
+            "fold (%d populated of k=%d) — need >= 2 distinct "
+            "crc32(domain) %% k values" % (len(fold_sizes), k)
+        )
     out_rows: List[tuple] = []
     for fold in sorted(fold_sizes):
         train_ids = F.broadcast(
@@ -124,11 +147,19 @@ def domain_group_kfold_eval(
             train_turns, n_parts=n_parts, rounds=rounds,
             min_feat_df=min_feat_df,
         )
-        pred = crf_tagged_mentions(test_turns, model)
-        gold = mentions(test_turns)
-        row = set_prf(
-            pred, gold, ["conv_id", "turn_idx", "text", "entity_type"]
-        ).collect()[0]
+        # persist both sides: set_prf runs three counting jobs (tp
+        # join, n_pred, n_gold) and would otherwise re-execute the
+        # fold's full distributed inference / gold extraction each time
+        pred = crf_tagged_mentions(test_turns, model).persist()
+        gold = mentions(test_turns).persist()
+        try:
+            row = set_prf(
+                pred, gold,
+                ["conv_id", "turn_idx", "text", "entity_type"],
+            ).collect()[0]
+        finally:
+            pred.unpersist()
+            gold.unpersist()
         out_rows.append(
             (
                 fold, fold_sizes[fold], row["tp"], row["n_pred"],
@@ -162,10 +193,8 @@ def domain_group_kfold_local(
     from webstruct_spark.kernel.bilou import decode_mentions
     from webstruct_spark.kernel.smartjoin import smart_join
     from webstruct_spark.operators.tagger import plain_tokens
-    from webstruct_spark.operators.trained import (
-        labeled_sequences,
-        train_crf_mixed_local,
-    )
+    from webstruct_spark.operators.trained import train_crf_mixed_local
+    from webstruct_spark.sources.goldbuild import extract_mentions_for_turn
 
     fold_of = {
         cid: zlib.crc32(domains[cid].encode("utf-8")) % k
@@ -197,13 +226,10 @@ def domain_group_kfold_local(
                 pred.add(
                     (cid, ti, smart_join(toks[i] for i in items), etype)
                 )
-            gtoks, gtags = labeled_sequences(tx)
-            for items, etype in decode_mentions(
-                list(range(len(gtoks))), gtags
-            ):
-                gold.add(
-                    (cid, ti, smart_join(gtoks[i] for i in items), etype)
-                )
+            # gold decode shared with the gold builder (single source
+            # of truth for the marker→mention chain)
+            for text, etype in extract_mentions_for_turn(tx):
+                gold.add((cid, ti, text, etype))
         tp = len(pred & gold)
         np_, ng = len(pred), len(gold)
         out.append(

@@ -180,6 +180,7 @@ def train_crf_distributed(
         .mapPartitions(_prep, preservesPartitioning=True)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    bc_wl = None
     try:
         if min_feat_df is not None and min_feat_df > 1:
             # global per-sequence document frequency over the cached
@@ -271,6 +272,10 @@ def train_crf_distributed(
             )
     finally:
         parted.unpersist()
+        if bc_wl is not None:
+            # safe only after the pruned RDD is unpersisted: nothing
+            # can recompute it once its whitelist broadcast is gone
+            bc_wl.destroy()
     return model
 
 

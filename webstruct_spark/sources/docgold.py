@@ -30,14 +30,19 @@ from ..kernel.dedup import (
 
 
 def _round_half_up(x: float, n: int) -> float:
-    """Spark F.round parity (java BigDecimal HALF_UP on the exact
-    binary double) — Python's round() is banker's and would diverge on
-    dyadic midpoints like 1/128."""
+    """Spark F.round parity: Spark's Round on a double goes through
+    ``BigDecimal.valueOf`` = HALF_UP on the SHORTEST-round-trip
+    decimal rendering (Double.toString), which Python's ``repr``
+    reproduces — so quantize ``Decimal(repr(x))``, not the exact
+    binary expansion ``Decimal(x)`` (those differ when the shortest
+    rendering is an n-dp midpoint but the binary value sits below it).
+    Python's bare round() is banker's and would diverge on dyadic
+    midpoints like 1/128 either way."""
     q = Decimal(1).scaleb(-n)
-    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
-DOC_GOLD_VERSION = "5-annindex"
+DOC_GOLD_VERSION = "6-sparkround"
 
 
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
