@@ -595,6 +595,43 @@ def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(spark, path, qs, k=5, multiprobe=1)
 
 
+_ANN_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF flavor of the persistent index path: k-means cells
+    (deterministic Lloyd on the id-sorted sample), centroids stored
+    beside the data, partition-pruned probe of the n_probe nearest
+    cells — vs the single-node twin of the identical procedure
+    (gold_ann_ivf_topk, shared lloyd_centroids kernel)."""
+    from webstruct_spark.operators.similarity import (
+        ann_index_topk,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if sf_dir not in _ANN_IVF_INDEX_CACHE:
+        name = os.path.basename(os.path.normpath(sf_dir)) + "_ivf"
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data",
+            "ann_index", name,
+        )
+        write_ann_index(emb, path, kind="ivf", n_centroids=16)
+        _ANN_IVF_INDEX_CACHE[sf_dir] = path
+    q_rows = (
+        emb.where(F.col("vec_id") % 199 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = sorted(
+        ((int(r["vec_id"]), list(r["embedding"])) for r in q_rows),
+        key=lambda q: q[0],
+    )
+    return ann_index_topk(
+        spark, _ANN_IVF_INDEX_CACHE[sf_dir], qs, k=5, n_probe=4
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full KG triple extraction on sf0.001."""
     return _q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -634,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "ann_index_topk": _q_ann_index_topk,
+        "ann_ivf_index_topk": _q_ann_ivf_index_topk,
         "emb_neardup": _q_emb_neardup,
     }
 
@@ -751,6 +789,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_topk": f"""
             SELECT query_id, rank, neighbor_id, sim FROM read_parquet(
                 '{os.path.join(dg, "gold_ann_index_topk.parquet")}')
+        """,
+        "ann_ivf_index_topk": f"""
+            SELECT query_id, rank, neighbor_id, sim FROM read_parquet(
+                '{os.path.join(dg, "gold_ann_ivf_topk.parquet")}')
         """,
         "kg_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, text, entity_type

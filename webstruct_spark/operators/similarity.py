@@ -119,27 +119,14 @@ def brute_force_topk(
 # IVF variant: deterministic k-means coarse quantizer + cell probing
 
 
-def train_centroids(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    sample: int = 2048,
-    iters: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def lloyd_centroids(
+    mat: np.ndarray, n_centroids: int, iters: int = 10
 ) -> np.ndarray:
-    """Deterministic Lloyd k-means on a fixed sample (the ``sample``
-    smallest ids — order-free), driver-side numpy.  Centroid init =
-    evenly spaced rows of the id-sorted sample; empty cells re-seed
-    from the farthest point (deterministic argmax)."""
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample)
-        .collect()
-    )
-    mat = _normalize_rows(
-        np.array([list(r[vec_col]) for r in rows], dtype=np.float32)
-    )
+    """Deterministic Lloyd k-means over an already-normalized f32
+    matrix — the single shared kernel of :func:`train_centroids` AND
+    the single-node gold twin (sources/docgold.py), so both paths run
+    bit-identical math.  Centroid init = evenly spaced rows; empty
+    cells re-seed from the farthest point (deterministic argmax)."""
     n = mat.shape[0]
     k = min(n_centroids, n)
     idx = np.linspace(0, n - 1, k).astype(int)
@@ -158,6 +145,29 @@ def train_centroids(
                 d = 1.0 - sims[np.arange(n), assign]
                 cent[c] = mat[int(np.argmax(d))]
     return cent
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a fixed sample (the ``sample``
+    smallest ids — order-free), driver-side numpy via
+    :func:`lloyd_centroids`."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    mat = _normalize_rows(
+        np.array([list(r[vec_col]) for r in rows], dtype=np.float32)
+    )
+    return lloyd_centroids(mat, n_centroids, iters)
 
 
 def ivf_topk(

@@ -42,7 +42,7 @@ def _round_half_up(x: float, n: int) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
-DOC_GOLD_VERSION = "6-sparkround"
+DOC_GOLD_VERSION = "7-ivf"
 
 
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
@@ -244,6 +244,61 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
             ),
         ),
         os.path.join(out_dir, "gold_ann_index_topk.parquet"),
+    )
+
+    # --- ANN IVF bucket-partitioned index probe: exact single-node
+    # twin of write_ann_index(kind='ivf', n_centroids=16) +
+    # ann_index_topk(n_probe=4) — shared lloyd_centroids kernel (same
+    # id-sorted 2048-row sample, same f32 normalization), same per-row
+    # argmax cell assignment, same argsort probe order, same matvec
+    # rerank / cut / rounding as the LSH twin above.
+    from ..operators.similarity import lloyd_centroids
+
+    n_cells, n_probe_ivf, k_ivf = 16, 4, 5
+    order_by_id = np.argsort(ids, kind="stable")
+    sample_idx = order_by_id[:2048]
+    centroids = lloyd_centroids(
+        _sim_normalize(mat[sample_idx]), n_cells
+    )
+    cells_all = np.argmax(
+        corpus_n.astype(np.float64) @ centroids.T.astype(np.float64),
+        axis=1,
+    ).astype(np.int64)
+    q_sims_ivf = qn.astype(np.float64) @ centroids.T.astype(np.float64)
+    npb = min(n_probe_ivf, centroids.shape[0])
+    probe_ivf: dict = {}
+    for qi in range(len(q_ids)):
+        for c in np.argsort(-q_sims_ivf[qi])[:npb]:
+            probe_ivf.setdefault(int(c), []).append(qi)
+    cand_ivf: dict = {}
+    for j in range(corpus_n.shape[0]):
+        qis = probe_ivf.get(int(cells_all[j]))
+        if not qis:
+            continue
+        sims = qn[qis].astype(np.float64) @ corpus_n[j].astype(np.float64)
+        for t, qi in enumerate(qis):
+            if int(ids[j]) == int(q_ids[qi]):
+                continue  # exclude_self
+            cand_ivf.setdefault(qi, []).append(
+                (float(sims[t]), int(ids[j]))
+            )
+    ivf_rows: List[dict] = []
+    for qi in range(len(q_ids)):
+        got = sorted(cand_ivf.get(qi, []), key=lambda sn: (-sn[0], sn[1]))
+        for rank, (s, nid) in enumerate(got[:k_ivf], start=1):
+            ivf_rows.append(
+                dict(query_id=int(q_ids[qi]), rank=rank, neighbor_id=nid,
+                     sim=_round_half_up(s, 4))
+            )
+    pq.write_table(
+        pa.Table.from_pylist(
+            ivf_rows,
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("rank", pa.int32()),
+                 ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+            ),
+        ),
+        os.path.join(out_dir, "gold_ann_ivf_topk.parquet"),
     )
 
     # --- embedding-cosine near-dup pairs: SAME banding + SAME cosine
