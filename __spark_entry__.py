@@ -632,6 +632,43 @@ def _q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_queries_sorted(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q_rows = (
+        emb.where(F.col("vec_id") % 199 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return emb, sorted(
+        ((int(r["vec_id"]), list(r["embedding"])) for r in q_rows),
+        key=lambda q: q[0],
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-FLIGHT LSH variant (scan + executor-side bucket filter +
+    exact rerank): with the same n_planes/multiprobe it visits the
+    identical candidate set as the persistent index probe, so it is
+    gated against the SAME gold twin (gold_ann_index_topk) — pinning
+    that the scan path and the partition-pruned path agree row for
+    row."""
+    from webstruct_spark.operators.similarity import lsh_topk
+
+    emb, qs = _ann_queries_sorted(spark, sf_dir)
+    return lsh_topk(emb, qs, k=5, n_planes=8, multiprobe=1)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-FLIGHT IVF variant — same centroids (deterministic Lloyd
+    on the id-sorted sample), same probe set and rerank as the IVF
+    index probe, gated against the same gold twin
+    (gold_ann_ivf_topk)."""
+    from webstruct_spark.operators.similarity import ivf_topk
+
+    emb, qs = _ann_queries_sorted(spark, sf_dir)
+    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full KG triple extraction on sf0.001."""
     return _q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -672,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_index_topk": _q_ann_index_topk,
         "ann_ivf_index_topk": _q_ann_ivf_index_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "emb_neardup": _q_emb_neardup,
     }
 
@@ -791,6 +830,14 @@ def oracle_sql() -> dict[str, str]:
                 '{os.path.join(dg, "gold_ann_index_topk.parquet")}')
         """,
         "ann_ivf_index_topk": f"""
+            SELECT query_id, rank, neighbor_id, sim FROM read_parquet(
+                '{os.path.join(dg, "gold_ann_ivf_topk.parquet")}')
+        """,
+        "ann_lsh_topk": f"""
+            SELECT query_id, rank, neighbor_id, sim FROM read_parquet(
+                '{os.path.join(dg, "gold_ann_index_topk.parquet")}')
+        """,
+        "ann_ivf_topk": f"""
             SELECT query_id, rank, neighbor_id, sim FROM read_parquet(
                 '{os.path.join(dg, "gold_ann_ivf_topk.parquet")}')
         """,
