@@ -322,6 +322,81 @@ def test_predict_top_n_trained():
     ]) == ["B-ORG", "O", "B-CITY", "I-CITY"]
 
 
+def test_feature_hashing_bounds_and_matches_twin(spark):
+    """feat_hash_dim: fixed corpus-independent model bound — every
+    weight key is a hash bucket, the bucket count never exceeds the
+    dimension, the distributed fit stays byte-identical to the twin,
+    and the hashed model still clears the reference F1 gate."""
+    from webstruct_spark.operators.trained import (
+        crf_tagged_mentions,
+        train_crf_distributed,
+        train_crf_mixed_local,
+    )
+
+    turns = spark.read.parquet(CORPUS)
+    dim = 512
+    m_dist = train_crf_distributed(
+        turns, n_parts=4, rounds=2, feat_hash_dim=dim
+    )
+    rows = duckdb.sql(
+        "select conv_id, turn_idx, text from read_parquet('%s')" % CORPUS
+    ).fetchall()
+    m_loc = train_crf_mixed_local(
+        rows, n_parts=4, rounds=2, feat_hash_dim=dim
+    )
+    assert m_dist.export() == m_loc.export()
+    assert len(m_dist.w) <= dim
+    assert all(f.startswith("#") and int(f[1:]) < dim for f in m_dist.w)
+    # broadcast inference round-trips the hash dim through export
+    got = crf_tagged_mentions(turns, m_dist)
+    assert got.count() > 0
+    # quality: hashed model still clears the reference CI gate by far
+    texts = _texts()
+    tp = fp = fn = 0
+    from webstruct_spark.kernel.bilou import decode_mentions
+    from webstruct_spark.kernel.smartjoin import smart_join
+
+    toks_all, gold_all = [], []
+    for t in texts[:300]:
+        toks, gtags = labeled_sequences(t)
+        toks_all.append(toks)
+        gold_all.append(gtags)
+    pred_all = m_loc.predict_batch(toks_all)
+    for toks, gt, pt in zip(toks_all, gold_all, pred_all):
+        g = {
+            (smart_join(toks[i] for i in it), ty)
+            for it, ty in decode_mentions(list(range(len(toks))), gt)
+        }
+        p = {
+            (smart_join(toks[i] for i in it), ty)
+            for it, ty in decode_mentions(list(range(len(toks))), pt)
+        }
+        tp += len(g & p)
+        fp += len(p - g)
+        fn += len(g - p)
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert f1 > 0.3, f1
+
+
+def test_hashed_emissions_batch_bit_exact():
+    """The packed-code batch path must stay bit-identical to the
+    scalar oracle under feature hashing (bucket collisions make some
+    tokens share weight rows — both paths must resolve them through
+    the same map)."""
+    import numpy as np
+
+    from webstruct_spark.operators.trained import train_crf_local
+
+    texts = _texts()
+    m = train_crf_local(texts, sample=120, epochs=3, feat_hash_dim=256)
+    token_lists = [labeled_sequences(t)[0] for t in texts[:200]]
+    token_lists += [[], ["Zzq@unseen.example"], ["lone"]]
+    for _pass in range(2):
+        batched = m.emissions_batch(token_lists)
+        for toks, em in zip(token_lists, batched):
+            assert np.array_equal(em, m._emissions(toks)), toks[:5]
+
+
 def test_packed_code_capacity_guard():
     """The packed (base_row<<21)|low_row code space must fail loudly,
     never wrap around into wrong emission rows."""

@@ -107,15 +107,40 @@ class CRFTagger:
     broadcast of ``export()``.
     """
 
-    def __init__(self, entity_types: Sequence[str]):
+    def __init__(
+        self,
+        entity_types: Sequence[str],
+        feat_hash_dim: Optional[int] = None,
+    ):
         self.tags = build_tagset(entity_types)
         self.tag_index = {t: i for i, t in enumerate(self.tags)}
         T = len(self.tags)
         self.w: Dict[str, np.ndarray] = {}
         self.trans = np.zeros((T, T), dtype=np.float64)
         self.init = np.zeros(T, dtype=np.float64)
+        # feature hashing (Weinberger et al. 2009): every feature
+        # string maps to one of ``feat_hash_dim`` buckets, so the
+        # weight dict is bounded INDEPENDENT of corpus vocabulary —
+        # the fixed-dimension alternative to min-df pruning for the
+        # distributed trainer.  None = identity (exact features).
+        self.feat_hash_dim = feat_hash_dim
         self._feat_cache: Dict[str, List[str]] = {}
         self._reset_batch_caches()
+
+    def _fx(self, f: str) -> str:
+        """Feature-space map: identity, or the crc32 hash bucket."""
+        d = self.feat_hash_dim
+        if not d:
+            return f
+        import zlib
+
+        return "#%d" % (zlib.crc32(f.encode("utf-8")) % d)
+
+    def _fx_list(self, feats: Sequence[str]) -> List[str]:
+        if not self.feat_hash_dim:
+            return list(feats)
+        fx = self._fx
+        return [fx(f) for f in feats]
 
     # -- inference ------------------------------------------------------
 
@@ -128,6 +153,7 @@ class CRFTagger:
         T = len(self.tags)
         em = np.zeros((len(tokens), T), dtype=np.float64)
         w = self.w
+        fx = self._fx
         cache = self._feat_cache
         n = len(tokens)
         for i, tok in enumerate(tokens):
@@ -135,7 +161,7 @@ class CRFTagger:
             if base is False:
                 base = None
                 for f in _context_free(tok):
-                    v = w.get(f)
+                    v = w.get(fx(f))
                     if v is not None:
                         base = v.copy() if base is None else base + v
                 if len(cache) < 1_000_000:
@@ -144,11 +170,11 @@ class CRFTagger:
             if base is not None:
                 row += base
             ctx = "bos" if i == 0 else "p=" + tokens[i - 1].lower()
-            v = w.get(ctx)
+            v = w.get(fx(ctx))
             if v is not None:
                 row += v
             ctx = "eos" if i + 1 == n else "n=" + tokens[i + 1].lower()
-            v = w.get(ctx)
+            v = w.get(fx(ctx))
             if v is not None:
                 row += v
         return em
@@ -167,10 +193,10 @@ class CRFTagger:
         self._n_mat = np.zeros((256, T), dtype=np.float64)
         self._n_tok = 0
         self._n_low = 1
-        vb = self.w.get("bos")
+        vb = self.w.get(self._fx("bos"))
         if vb is not None:
             self._p_mat[0] = vb
-        ve = self.w.get("eos")
+        ve = self.w.get(self._fx("eos"))
         if ve is not None:
             self._n_mat[0] = ve
 
@@ -207,9 +233,10 @@ class CRFTagger:
                 "Arrow batches"
             )
         w = self.w
+        fx = self._fx
         base = None
         for f in _context_free(tok):
-            v = w.get(f)
+            v = w.get(fx(f))
             if v is not None:
                 base = v.copy() if base is None else base + v
         self._base_mat = self._bank_add(self._base_mat, self._n_tok, base)
@@ -219,10 +246,10 @@ class CRFTagger:
         low_id = self._low_ids.get(low)
         if low_id is None:
             self._p_mat = self._bank_add(
-                self._p_mat, self._n_low, w.get("p=" + low)
+                self._p_mat, self._n_low, w.get(fx("p=" + low))
             )
             self._n_mat = self._bank_add(
-                self._n_mat, self._n_low, w.get("n=" + low)
+                self._n_mat, self._n_low, w.get(fx("n=" + low))
             )
             low_id = self._n_low
             self._n_low += 1
@@ -343,6 +370,12 @@ class CRFTagger:
                 [token_features(toks, i) for i in range(len(toks))]
                 for toks, _tags in sequences
             ]
+        if self.feat_hash_dim:
+            # raw feature strings → hash buckets (callers always pass
+            # RAW feats; the model owns the feature-space map)
+            feats_per_seq = [
+                [self._fx_list(fl) for fl in seq] for seq in feats_per_seq
+            ]
         gold_per_seq = [
             [tag_index[t] for t in tags] for _toks, tags in sequences
         ]
@@ -422,6 +455,7 @@ class CRFTagger:
             {f: v.tolist() for f, v in self.w.items()},
             self.trans.tolist(),
             self.init.tolist(),
+            self.feat_hash_dim,
         )
 
     @classmethod
@@ -435,6 +469,7 @@ class CRFTagger:
         if not blobs:
             raise ValueError("average_exports needs >= 1 export")
         tags = blobs[0][0]
+        fh = blobs[0][4] if len(blobs[0]) > 4 else None
         T = len(tags)
         P = float(len(blobs))
         keys: List[str] = []
@@ -442,6 +477,8 @@ class CRFTagger:
         for b in blobs:
             if tuple(b[0]) != tuple(tags):
                 raise ValueError("tagset mismatch across partitions")
+            if (b[4] if len(b) > 4 else None) != fh:
+                raise ValueError("feat_hash_dim mismatch across partitions")
             for k in b[1]:
                 if k not in seen:
                     seen.add(k)
@@ -460,18 +497,19 @@ class CRFTagger:
             trans += np.asarray(b[2], dtype=np.float64)
             init += np.asarray(b[3], dtype=np.float64)
         return cls.from_export(
-            (tuple(tags), w, (trans / P).tolist(), (init / P).tolist())
+            (tuple(tags), w, (trans / P).tolist(), (init / P).tolist(), fh)
         )
 
     @classmethod
     def from_export(cls, blob: tuple) -> "CRFTagger":
-        tags, w, trans, init = blob
+        tags, w, trans, init, *rest = blob
         model = cls.__new__(cls)
         model.tags = list(tags)
         model.tag_index = {t: i for i, t in enumerate(model.tags)}
         model.w = {f: np.array(v, dtype=np.float64) for f, v in w.items()}
         model.trans = np.array(trans, dtype=np.float64)
         model.init = np.array(init, dtype=np.float64)
+        model.feat_hash_dim = rest[0] if rest else None
         model._feat_cache = {}
         model._reset_batch_caches()
         return model

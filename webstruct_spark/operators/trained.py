@@ -45,6 +45,7 @@ def train_crf(
     sample: int = 1500,
     epochs: int = 4,
     text_col: str = "text",
+    feat_hash_dim: int | None = None,
 ) -> CRFTagger:
     """Fit the averaged-perceptron CRF on the first ``sample`` labeled
     turns in stable (conv_id, turn_idx) order — deterministic, so a
@@ -56,16 +57,21 @@ def train_crf(
         .collect()
     )
     seqs = [labeled_sequences(r["text"]) for r in rows]
-    return CRFTagger(entity_types).fit(seqs, epochs=epochs)
+    return CRFTagger(entity_types, feat_hash_dim=feat_hash_dim).fit(
+        seqs, epochs=epochs
+    )
 
 
 def train_crf_local(
-    texts, entity_types=DEFAULT_TYPES, sample: int = 1500, epochs: int = 4
+    texts, entity_types=DEFAULT_TYPES, sample: int = 1500, epochs: int = 4,
+    feat_hash_dim: int | None = None,
 ) -> CRFTagger:
     """Single-node twin of :func:`train_crf` over an already-ordered
     text iterable (the gold builder path).  Must stay in lockstep."""
     seqs = [labeled_sequences(t) for t in list(texts)[:sample]]
-    return CRFTagger(entity_types).fit(seqs, epochs=epochs)
+    return CRFTagger(entity_types, feat_hash_dim=feat_hash_dim).fit(
+        seqs, epochs=epochs
+    )
 
 
 # -- distributed training (iterated parameter mixing) -------------------
@@ -79,6 +85,7 @@ def train_crf_distributed(
     sample: int | None = None,
     text_col: str = "text",
     min_feat_df: int | None = 2,
+    feat_hash_dim: int | None = None,
 ) -> CRFTagger:
     """Distributed CRF training over the FULL labeled corpus (or an
     optional bounded head) via iterated parameter mixing (McDonald,
@@ -115,7 +122,13 @@ def train_crf_distributed(
     the vocabulary; the per-round weight blobs, the per-round shuffle,
     and the final broadcast model all scale with the SHARED vocabulary
     instead of the raw token vocabulary.  ``min_feat_df=None`` (or 1)
-    disables pruning.
+    disables pruning.  ``feat_hash_dim`` additionally hashes every
+    feature into a FIXED number of buckets (the hashing trick,
+    Weinberger et al. 2009) — a hard corpus-INDEPENDENT bound on
+    model size for corpora whose shared vocabulary is itself huge;
+    the model owns the map, so broadcast inference applies it
+    transparently.  Both knobs compose (prune on raw names, then
+    hash) and both stay byte-identical to the twin.
 
     100 TB shape: ONE corpus shuffle total (an identity
     ``partitionBy`` that pins exactly one shard per partition — a
@@ -221,7 +234,7 @@ def train_crf_distributed(
             raise ValueError("train_crf_distributed: no training data")
         P = float(n_live)
 
-        model = CRFTagger(entity_types)
+        model = CRFTagger(entity_types, feat_hash_dim=feat_hash_dim)
         tags = tuple(model.tags)
         for _round in range(rounds):
             bc = spark.sparkContext.broadcast(model.export())
@@ -268,7 +281,7 @@ def train_crf_distributed(
                 else:
                     w[k] = v.tolist()
             model = CRFTagger.from_export(
-                (tags, w, trans.tolist(), init.tolist())
+                (tags, w, trans.tolist(), init.tolist(), feat_hash_dim)
             )
     finally:
         parted.unpersist()
@@ -286,6 +299,7 @@ def train_crf_mixed_local(
     rounds: int = 4,
     sample: int | None = None,
     min_feat_df: int | None = 2,
+    feat_hash_dim: int | None = None,
 ) -> CRFTagger:
     """Single-node twin of :func:`train_crf_distributed` over
     (conv_id, turn_idx, text) triples — identical shard assignment,
@@ -327,7 +341,7 @@ def train_crf_mixed_local(
                 seqs,
                 [[[f for f in fl if f in wl] for fl in sf] for sf in feats],
             )
-    model = CRFTagger(entity_types)
+    model = CRFTagger(entity_types, feat_hash_dim=feat_hash_dim)
     for _round in range(rounds):
         blob = model.export()
         blobs = []
