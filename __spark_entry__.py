@@ -550,89 +550,14 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qs, k=5)
 
 
-_ANN_INDEX_CACHE: dict[str, str] = {}
-
-
-def _ann_index_for(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once-per-process bucket-partitioned LSH ANN index over the
-    sf's embeddings table (deterministic hyperplanes, so rebuilding is
-    value-identical)."""
-    if sf_dir not in _ANN_INDEX_CACHE:
-        from webstruct_spark.operators.similarity import write_ann_index
-
-        name = os.path.basename(os.path.normpath(sf_dir))
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data",
-            "ann_index", name,
-        )
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        write_ann_index(emb, path, kind="lsh", n_planes=8)
-        _ANN_INDEX_CACHE[sf_dir] = path
-    return _ANN_INDEX_CACHE[sf_dir]
-
-
-def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100-TB ANN path as a gated query: top-k probe over the
-    PERSISTENT bucket-partitioned index (write_ann_index + partition-
-    pruned scan — only the probed bucket directories are read,
-    PartitionFilters in the plan; PLANS.md) — vs the single-node twin
-    of the same index+probe procedure (gold_ann_index_topk).  Queries
-    sorted by vec_id so the probe-set insertion order matches the
-    twin's."""
-    from webstruct_spark.operators.similarity import ann_index_topk
-
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q_rows = (
-        emb.where(F.col("vec_id") % 199 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    qs = sorted(
-        ((int(r["vec_id"]), list(r["embedding"])) for r in q_rows),
-        key=lambda q: q[0],
-    )
-    path = _ann_index_for(spark, sf_dir)
-    return ann_index_topk(spark, path, qs, k=5, multiprobe=1)
-
-
-_ANN_IVF_INDEX_CACHE: dict[str, str] = {}
-
-
-def _q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF flavor of the persistent index path: k-means cells
-    (deterministic Lloyd on the id-sorted sample), centroids stored
-    beside the data, partition-pruned probe of the n_probe nearest
-    cells — vs the single-node twin of the identical procedure
-    (gold_ann_ivf_topk, shared lloyd_centroids kernel)."""
-    from webstruct_spark.operators.similarity import (
-        ann_index_topk,
-        write_ann_index,
-    )
-
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    if sf_dir not in _ANN_IVF_INDEX_CACHE:
-        name = os.path.basename(os.path.normpath(sf_dir)) + "_ivf"
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data",
-            "ann_index", name,
-        )
-        write_ann_index(emb, path, kind="ivf", n_centroids=16)
-        _ANN_IVF_INDEX_CACHE[sf_dir] = path
-    q_rows = (
-        emb.where(F.col("vec_id") % 199 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    qs = sorted(
-        ((int(r["vec_id"]), list(r["embedding"])) for r in q_rows),
-        key=lambda q: q[0],
-    )
-    return ann_index_topk(
-        spark, _ANN_IVF_INDEX_CACHE[sf_dir], qs, k=5, n_probe=4
-    )
+_ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ann_queries_sorted(spark: SparkSession, sf_dir: str):
+    """(embeddings_df, [(vec_id, vector)] sorted by vec_id) — the ONE
+    query-selection used by every gated ANN variant; sorted so the
+    probe-set insertion order matches the gold twins regardless of
+    collect order."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q_rows = (
         emb.where(F.col("vec_id") % 199 == 0)
@@ -643,6 +568,61 @@ def _ann_queries_sorted(spark: SparkSession, sf_dir: str):
         ((int(r["vec_id"]), list(r["embedding"])) for r in q_rows),
         key=lambda q: q[0],
     )
+
+
+def _ann_index_for(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build-once-per-process bucket-partitioned ANN index over the
+    sf's embeddings (deterministic planes/centroids, so rebuilding is
+    value-identical).  The path is keyed on the FULL normalized
+    sf_dir (crc32 suffix), not just its basename — two corpus dirs
+    with equal basenames must never share an index directory."""
+    import zlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    key = (norm, kind)
+    if key not in _ANN_INDEX_CACHE:
+        from webstruct_spark.operators.similarity import write_ann_index
+
+        name = "%s_%s_%08x" % (
+            os.path.basename(norm), kind, zlib.crc32(norm.encode("utf-8"))
+        )
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data",
+            "ann_index", name,
+        )
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        if kind == "lsh":
+            write_ann_index(emb, path, kind="lsh", n_planes=8)
+        else:
+            write_ann_index(emb, path, kind="ivf", n_centroids=16)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
+
+
+def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB ANN path as a gated query: top-k probe over the
+    PERSISTENT bucket-partitioned index (write_ann_index + partition-
+    pruned scan — only the probed bucket directories are read,
+    PartitionFilters in the plan; PLANS.md) — vs the single-node twin
+    of the same index+probe procedure (gold_ann_index_topk)."""
+    from webstruct_spark.operators.similarity import ann_index_topk
+
+    _emb, qs = _ann_queries_sorted(spark, sf_dir)
+    path = _ann_index_for(spark, sf_dir, "lsh")
+    return ann_index_topk(spark, path, qs, k=5, multiprobe=1)
+
+
+def _q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF flavor of the persistent index path: k-means cells
+    (deterministic Lloyd on the id-sorted sample), centroids stored
+    beside the data, partition-pruned probe of the n_probe nearest
+    cells — vs the single-node twin of the identical procedure
+    (gold_ann_ivf_topk, shared lloyd_centroids kernel)."""
+    from webstruct_spark.operators.similarity import ann_index_topk
+
+    _emb, qs = _ann_queries_sorted(spark, sf_dir)
+    path = _ann_index_for(spark, sf_dir, "ivf")
+    return ann_index_topk(spark, path, qs, k=5, n_probe=4)
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,9 +129,10 @@ def domain_group_kfold_eval(
         # cut at all — fail with the real cause, not an empty-corpus
         # error out of the trainer
         raise ValueError(
-            "domain_group_kfold_eval: all domains landed in a single "
-            "fold (%d populated of k=%d) — need >= 2 distinct "
-            "crc32(domain) %% k values" % (len(fold_sizes), k)
+            "domain_group_kfold_eval: fewer than 2 populated folds "
+            "(%d of k=%d) — GroupKFold needs conversations in >= 2 "
+            "distinct crc32(domain) %% k buckets"
+            % (len(fold_sizes), k)
         )
     out_rows: List[tuple] = []
     for fold in sorted(fold_sizes):
@@ -205,6 +206,14 @@ def domain_group_kfold_local(
     for cid in conv_ids:
         f = fold_of[cid]
         fold_counts[f] = fold_counts.get(f, 0) + 1
+    if len(fold_counts) < 2:
+        # lockstep with domain_group_kfold_eval's GroupKFold guard
+        raise ValueError(
+            "domain_group_kfold_local: fewer than 2 populated folds "
+            "(%d of k=%d) — GroupKFold needs conversations in >= 2 "
+            "distinct crc32(domain) %% k buckets"
+            % (len(fold_counts), k)
+        )
     out: List[tuple] = []
     for fold in sorted(fold_counts):
         train_rows = [r for r in rows if fold_of[r[0]] != fold]

@@ -349,6 +349,7 @@ class CRFTagger:
         sequences: Sequence[Tuple[Sequence[str], Sequence[str]]],
         epochs: int = 5,
         feats_per_seq: Sequence[Sequence[tuple]] | None = None,
+        feats_prehashed: bool = False,
     ) -> "CRFTagger":
         """Averaged perceptron over (tokens, iob2_tags) sequences.
         Deterministic: input order, no RNG; unknown gold tags raise.
@@ -357,7 +358,10 @@ class CRFTagger:
         ``token_features`` lists (one per sequence, aligned) — feature
         extraction is weight-independent, so callers that refit the
         same sequences repeatedly (iterated parameter mixing rounds)
-        can pay it once; values are identical to recomputation."""
+        can pay it once; values are identical to recomputation.
+        ``feats_prehashed=True`` declares those lists already mapped
+        through :meth:`_fx` (the hash is round-invariant, so mixing
+        callers hash once into their cache instead of per round)."""
         T = len(self.tags)
         tag_index = self.tag_index
         # accumulators for averaging (Daumé's trick: w_avg = w - u/c)
@@ -370,9 +374,10 @@ class CRFTagger:
                 [token_features(toks, i) for i in range(len(toks))]
                 for toks, _tags in sequences
             ]
-        if self.feat_hash_dim:
-            # raw feature strings → hash buckets (callers always pass
-            # RAW feats; the model owns the feature-space map)
+        if self.feat_hash_dim and not feats_prehashed:
+            # raw feature strings → hash buckets (the model owns the
+            # feature-space map; callers with round-invariant cached
+            # feats pre-hash and set feats_prehashed)
             feats_per_seq = [
                 [self._fx_list(fl) for fl in seq] for seq in feats_per_seq
             ]

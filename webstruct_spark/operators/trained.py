@@ -195,7 +195,8 @@ def train_crf_distributed(
     )
     bc_wl = None
     try:
-        if min_feat_df is not None and min_feat_df > 1:
+        prune = min_feat_df is not None and min_feat_df > 1
+        if prune:
             # global per-sequence document frequency over the cached
             # fit inputs; the whitelist collect is bounded by the
             # SHARED vocabulary (features appearing in >=2 sequences)
@@ -213,28 +214,38 @@ def train_crf_distributed(
                 .collect()
             )
             bc_wl = spark.sparkContext.broadcast(frozenset(keep))
-
-            def _prune(it, _bc=bc_wl):
-                wl = _bc.value
+        model = CRFTagger(entity_types, feat_hash_dim=feat_hash_dim)
+        if prune or feat_hash_dim:
+            # one transform pass bakes BOTH round-invariant feature
+            # maps into the cache: whitelist filter (on raw names)
+            # then hash buckets — fit rounds reuse them as-is
+            def _xform(it, _bc=bc_wl, _fx=model._fx_list, _h=feat_hash_dim):
+                wl = _bc.value if _bc is not None else None
                 for pid, seqs, feats in it:
-                    yield pid, seqs, [
-                        [[f for f in fl if f in wl] for fl in sf]
-                        for sf in feats
-                    ]
+                    out = []
+                    for sf in feats:
+                        fls = (
+                            [[f for f in fl if f in wl] for fl in sf]
+                            if wl is not None
+                            else sf
+                        )
+                        out.append(
+                            [_fx(fl) for fl in fls] if _h else fls
+                        )
+                    yield pid, seqs, out
 
-            pruned = parted.mapPartitions(
-                _prune, preservesPartitioning=True
+            xformed = parted.mapPartitions(
+                _xform, preservesPartitioning=True
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            n_live = pruned.count()  # materialize before dropping parent
+            n_live = xformed.count()  # materialize before dropping parent
             parted.unpersist()
-            parted = pruned
+            parted = xformed
         else:
             n_live = parted.count()
         if n_live == 0:
             raise ValueError("train_crf_distributed: no training data")
         P = float(n_live)
 
-        model = CRFTagger(entity_types, feat_hash_dim=feat_hash_dim)
         tags = tuple(model.tags)
         for _round in range(rounds):
             bc = spark.sparkContext.broadcast(model.export())
@@ -242,7 +253,10 @@ def train_crf_distributed(
             def fit_part(it, _bc=bc):
                 for pid, seqs, feats in it:
                     m = CRFTagger.from_export(_bc.value)
-                    m.fit(seqs, epochs=1, feats_per_seq=feats)
+                    m.fit(
+                        seqs, epochs=1, feats_per_seq=feats,
+                        feats_prehashed=True,
+                    )
                     yield pid, m.w, m.trans, m.init
 
             def expand(rec):
@@ -342,13 +356,21 @@ def train_crf_mixed_local(
                 [[[f for f in fl if f in wl] for fl in sf] for sf in feats],
             )
     model = CRFTagger(entity_types, feat_hash_dim=feat_hash_dim)
+    if feat_hash_dim:
+        # hash once (round-invariant), mirroring the distributed cache
+        for pid, (seqs, feats) in shard_data.items():
+            shard_data[pid] = (
+                seqs, [[model._fx_list(fl) for fl in sf] for sf in feats]
+            )
     for _round in range(rounds):
         blob = model.export()
         blobs = []
         for pid in sorted(shard_data):
             seqs, feats = shard_data[pid]
             m = CRFTagger.from_export(blob)
-            m.fit(seqs, epochs=1, feats_per_seq=feats)
+            m.fit(
+                seqs, epochs=1, feats_per_seq=feats, feats_prehashed=True
+            )
             blobs.append(m.export())
         model = CRFTagger.average_exports(blobs)
     return model
