@@ -240,6 +240,32 @@ def _q_kg_dist_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASHED_CRF_MODEL_CACHE: dict[float, object] = {}
+
+
+def _q_kg_hashed_trained_mentions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature-HASHED distributed training (feat_hash_dim=4096 — the
+    hashing trick bounding model size independent of corpus
+    vocabulary) + distributed inference — vs the byte-identical
+    single-node twin in the gold builder."""
+    from webstruct_spark.operators.trained import (
+        crf_tagged_mentions,
+        train_crf_distributed,
+    )
+
+    sf = _sf_of(sf_dir)
+    if sf not in _HASHED_CRF_MODEL_CACHE:
+        _HASHED_CRF_MODEL_CACHE[sf] = train_crf_distributed(
+            _transcripts(spark, sf_dir), feat_hash_dim=4096
+        )
+    t = _transcripts(spark, sf_dir)
+    return crf_tagged_mentions(
+        t, _HASHED_CRF_MODEL_CACHE[sf]
+    ).select("conv_id", "turn_idx", "mention_idx", "text", "entity_type")
+
+
 def _q_kg_trained_dist_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment P/R/F1 of the distributed-trained model vs injected gold
     mentions — the full-corpus analogue of kg_trained_prf."""
@@ -668,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_trained_mentions": _q_kg_trained_mentions,
         "kg_trained_prf": _q_kg_trained_prf,
         "kg_dist_trained_mentions": _q_kg_dist_trained_mentions,
+        "kg_hashed_trained_mentions": _q_kg_hashed_trained_mentions,
         "kg_trained_dist_prf": _q_kg_trained_dist_prf,
         "kg_mention_prf": _q_kg_mention_prf,
         "kg_macro_f1": _q_kg_macro_f1,
@@ -926,6 +953,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_dist_trained_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, text, entity_type
             FROM read_parquet('{g("gold_dist_trained_mentions.parquet")}')
+        """,
+        "kg_hashed_trained_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, text, entity_type
+            FROM read_parquet('{g("gold_hashed_trained_mentions.parquet")}')
         """,
         "kg_trained_dist_prf": f"""
             WITH p AS (

@@ -64,6 +64,19 @@ def main() -> None:
             print(
                 "efficiency %d->%d (best pairing): %.2f" % (n, n4, eff)
             )
+    # lower-bound view: external load can only SLOW Spark, so the max
+    # over ALL samples (clean brackets or not) is a valid lower bound
+    # of quiet throughput per level — the brackets don't overlap the
+    # run, so a dipped bracket does not invalidate a fast sample
+    lb = {
+        c: max(t for _ctl, t in samples)
+        for c, samples in by_cores.items()
+    }
+    for c in sorted(lb):
+        print(
+            "lower bound (any sample) %2d cores: %9.1f turns/s"
+            % (c, lb[c])
+        )
 
 
 if __name__ == "__main__":

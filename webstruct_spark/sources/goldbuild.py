@@ -96,7 +96,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "9-mindf"  # bump when gold tables/semantics change
+GOLD_VERSION = "10-hashed"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -438,6 +438,43 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     write(
         "gold_dist_trained_mentions.parquet",
         dist_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("mention_idx", pa.int32()),
+                ("text", pa.string()),
+                ("entity_type", pa.string()),
+            ]
+        ),
+    )
+
+    # the FEATURE-HASHED distributed training procedure (same IPM, the
+    # hashing trick bounding the model to 4096 buckets regardless of
+    # corpus vocabulary): twin fit must stay byte-identical to the
+    # Spark-side train_crf_distributed(feat_hash_dim=4096).
+    hashed_crf = train_crf_mixed_local(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows],
+        feat_hash_dim=4096,
+    )
+    hashed_rows: List[dict] = []
+    hashed_tags = hashed_crf.predict_batch(all_toks)
+    for r, toks, tags in zip(rows, all_toks, hashed_tags):
+        mi = 0
+        for items, etype in decode_mentions(list(range(len(toks))), tags):
+            hashed_rows.append(
+                dict(
+                    conv_id=r["conv_id"],
+                    turn_idx=r["turn_idx"],
+                    mention_idx=mi,
+                    text=smart_join(toks[i] for i in items),
+                    entity_type=etype,
+                )
+            )
+            mi += 1
+    write(
+        "gold_hashed_trained_mentions.parquet",
+        hashed_rows,
         pa.schema(
             [
                 ("conv_id", pa.string()),
