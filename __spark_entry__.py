@@ -243,6 +243,21 @@ def _q_kg_dist_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASHED_CRF_MODEL_CACHE: dict[float, object] = {}
 
 
+def _hashed_trained_model(spark: SparkSession, sf_dir: str):
+    """Fit-once-per-corpus cache for the feature-HASHED distributed
+    training path (same pattern as _trained_model /
+    _dist_trained_model — deterministic, so reuse is value-identical
+    to refitting)."""
+    from webstruct_spark.operators.trained import train_crf_distributed
+
+    sf = _sf_of(sf_dir)
+    if sf not in _HASHED_CRF_MODEL_CACHE:
+        _HASHED_CRF_MODEL_CACHE[sf] = train_crf_distributed(
+            _transcripts(spark, sf_dir), feat_hash_dim=4096
+        )
+    return _HASHED_CRF_MODEL_CACHE[sf]
+
+
 def _q_kg_hashed_trained_mentions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -250,19 +265,11 @@ def _q_kg_hashed_trained_mentions(
     hashing trick bounding model size independent of corpus
     vocabulary) + distributed inference — vs the byte-identical
     single-node twin in the gold builder."""
-    from webstruct_spark.operators.trained import (
-        crf_tagged_mentions,
-        train_crf_distributed,
-    )
+    from webstruct_spark.operators.trained import crf_tagged_mentions
 
-    sf = _sf_of(sf_dir)
-    if sf not in _HASHED_CRF_MODEL_CACHE:
-        _HASHED_CRF_MODEL_CACHE[sf] = train_crf_distributed(
-            _transcripts(spark, sf_dir), feat_hash_dim=4096
-        )
     t = _transcripts(spark, sf_dir)
     return crf_tagged_mentions(
-        t, _HASHED_CRF_MODEL_CACHE[sf]
+        t, _hashed_trained_model(spark, sf_dir)
     ).select("conv_id", "turn_idx", "mention_idx", "text", "entity_type")
 
 

@@ -201,9 +201,11 @@ def domain_group_kfold_local(
         cid: zlib.crc32(domains[cid].encode("utf-8")) % k
         for cid in domains
     }
-    conv_ids = sorted({cid for cid, _t, _x in rows})
+    # fold population mirrors the eval side exactly: counted over the
+    # FULL conv→domain table (a conv with no turns still populates its
+    # fold there), not just convs present in rows
     fold_counts: Dict[int, int] = {}
-    for cid in conv_ids:
+    for cid in domains:
         f = fold_of[cid]
         fold_counts[f] = fold_counts.get(f, 0) + 1
     if len(fold_counts) < 2:

@@ -378,36 +378,42 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     # crf_tagged_mentions must match this exactly.
     from ..operators.trained import train_crf_local
 
-    crf = train_crf_local(r["text"] for r in rows)
-    crf_rows: List[dict] = []
     all_toks = [plain_tokens(r["text"]) for r in rows]
-    all_tags = crf.predict_batch(all_toks)
-    for r, toks, tags in zip(rows, all_toks, all_tags):
-        mi = 0
-        for items, etype in decode_mentions(list(range(len(toks))), tags):
-            crf_rows.append(
-                dict(
-                    conv_id=r["conv_id"],
-                    turn_idx=r["turn_idx"],
-                    mention_idx=mi,
-                    text=smart_join(toks[i] for i in items),
-                    entity_type=etype,
-                )
-            )
-            mi += 1
-    write(
-        "gold_trained_mentions.parquet",
-        crf_rows,
-        pa.schema(
-            [
-                ("conv_id", pa.string()),
-                ("turn_idx", pa.int32()),
-                ("mention_idx", pa.int32()),
-                ("text", pa.string()),
-                ("entity_type", pa.string()),
-            ]
-        ),
+    mention_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("mention_idx", pa.int32()),
+            ("text", pa.string()),
+            ("entity_type", pa.string()),
+        ]
     )
+
+    def write_trained_gold(model, out_name: str) -> None:
+        """Predict every turn with ``model`` and write the decoded
+        mention rows — the ONE fit-agnostic predict→decode→write
+        sequence shared by all trained-model gold tables."""
+        out_rows: List[dict] = []
+        tags_all = model.predict_batch(all_toks)
+        for r, toks, tags in zip(rows, all_toks, tags_all):
+            mi = 0
+            for items, etype in decode_mentions(
+                list(range(len(toks))), tags
+            ):
+                out_rows.append(
+                    dict(
+                        conv_id=r["conv_id"],
+                        turn_idx=r["turn_idx"],
+                        mention_idx=mi,
+                        text=smart_join(toks[i] for i in items),
+                        entity_type=etype,
+                    )
+                )
+                mi += 1
+        write(out_name, out_rows, mention_schema)
+
+    crf = train_crf_local(r["text"] for r in rows)
+    write_trained_gold(crf, "gold_trained_mentions.parquet")
 
     # single-node run of the DISTRIBUTED training procedure (iterated
     # parameter mixing over crc32(conv_id)%8 shards, 4 mixing rounds,
@@ -417,74 +423,16 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     # distributed inference must match these rows exactly.
     from ..operators.trained import train_crf_mixed_local
 
-    dist_crf = train_crf_mixed_local(
-        [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows]
-    )
-    dist_rows: List[dict] = []
-    dist_tags = dist_crf.predict_batch(all_toks)
-    for r, toks, tags in zip(rows, all_toks, dist_tags):
-        mi = 0
-        for items, etype in decode_mentions(list(range(len(toks))), tags):
-            dist_rows.append(
-                dict(
-                    conv_id=r["conv_id"],
-                    turn_idx=r["turn_idx"],
-                    mention_idx=mi,
-                    text=smart_join(toks[i] for i in items),
-                    entity_type=etype,
-                )
-            )
-            mi += 1
-    write(
-        "gold_dist_trained_mentions.parquet",
-        dist_rows,
-        pa.schema(
-            [
-                ("conv_id", pa.string()),
-                ("turn_idx", pa.int32()),
-                ("mention_idx", pa.int32()),
-                ("text", pa.string()),
-                ("entity_type", pa.string()),
-            ]
-        ),
-    )
+    triples_in = [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows]
+    dist_crf = train_crf_mixed_local(triples_in)
+    write_trained_gold(dist_crf, "gold_dist_trained_mentions.parquet")
 
     # the FEATURE-HASHED distributed training procedure (same IPM, the
     # hashing trick bounding the model to 4096 buckets regardless of
     # corpus vocabulary): twin fit must stay byte-identical to the
     # Spark-side train_crf_distributed(feat_hash_dim=4096).
-    hashed_crf = train_crf_mixed_local(
-        [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows],
-        feat_hash_dim=4096,
-    )
-    hashed_rows: List[dict] = []
-    hashed_tags = hashed_crf.predict_batch(all_toks)
-    for r, toks, tags in zip(rows, all_toks, hashed_tags):
-        mi = 0
-        for items, etype in decode_mentions(list(range(len(toks))), tags):
-            hashed_rows.append(
-                dict(
-                    conv_id=r["conv_id"],
-                    turn_idx=r["turn_idx"],
-                    mention_idx=mi,
-                    text=smart_join(toks[i] for i in items),
-                    entity_type=etype,
-                )
-            )
-            mi += 1
-    write(
-        "gold_hashed_trained_mentions.parquet",
-        hashed_rows,
-        pa.schema(
-            [
-                ("conv_id", pa.string()),
-                ("turn_idx", pa.int32()),
-                ("mention_idx", pa.int32()),
-                ("text", pa.string()),
-                ("entity_type", pa.string()),
-            ]
-        ),
-    )
+    hashed_crf = train_crf_mixed_local(triples_in, feat_hash_dim=4096)
+    write_trained_gold(hashed_crf, "gold_hashed_trained_mentions.parquet")
 
     write(
         "gold_token_confusion.parquet",
