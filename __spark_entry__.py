@@ -240,6 +240,11 @@ def _q_kg_dist_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sf-keying is SAFE for all three model caches (unlike the path-keyed
+# _ann_index_for): the training corpus itself is resolved by
+# _transcripts via _corpus_for(_sf_of(sf_dir)), i.e. two sf_dirs with
+# equal sf read the SAME deterministic synthesized corpus, so a
+# sf-keyed model can never alias across different inputs.
 _HASHED_CRF_MODEL_CACHE: dict[float, object] = {}
 
 

@@ -201,6 +201,10 @@ def domain_group_kfold_local(
         cid: zlib.crc32(domains[cid].encode("utf-8")) % k
         for cid in domains
     }
+    # lockstep with the Spark side's left_semi join on the folds
+    # table: a conv_id absent from `domains` is silently dropped
+    # there, so drop it here too instead of raising KeyError below
+    rows = [r for r in rows if r[0] in fold_of]
     # fold population mirrors the eval side exactly: counted over the
     # FULL conv→domain table (a conv with no turns still populates its
     # fold there), not just convs present in rows

@@ -115,6 +115,162 @@ def test_probe_reads_only_probed_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_index_io_never_opens_driver_local(spark, tmp_path, monkeypatch):
+    """Filesystem-agnostic contract: build + probe touch the index
+    path ONLY through Spark (JVM Hadoop FS) — never a driver-local
+    ``open()``.  Monkeypatches builtins.open to explode on any path
+    under the index dir; worker processes are separate, so only
+    driver-side opens can trip it."""
+    import builtins
+
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    path = str(tmp_path / "nofs_idx")
+    real_open = builtins.open
+
+    def guarded(file, *a, **kw):
+        if isinstance(file, (str, bytes)) and str(file).startswith(path):
+            raise AssertionError(
+                "driver-local open() of index path: %r" % (file,)
+            )
+        return real_open(file, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", guarded)
+    meta = write_ann_index(emb, path, kind="ivf", n_centroids=8)
+    assert meta["kind"] == "ivf"
+    got = ann_index_topk(spark, path, qs, k=5, n_probe=3)
+    assert got.count() > 0
+    from webstruct_spark.operators.similarity import read_ann_meta
+
+    assert read_ann_meta(spark, path) == meta
+
+
+# -- recall floors vs brute force (gated settings of the driver
+# queries: lsh n_planes=8/multiprobe=1, ivf n_centroids=16/n_probe=4).
+# Corpus + planes + centroids are all deterministic, so these recalls
+# are exact reproducible numbers, floored just beneath.
+#
+# FINDING (kept honest, not relaxed): hyperplane LSH recall@5 is only
+# ~0.31 here because the gaussian test corpus has NO cluster
+# structure — the worst case for LSH: true top-5 cosines sit around
+# 0.6-0.8, i.e. 2-3 of 8 sign bits differ, while multiprobe=1 only
+# reaches Hamming distance 1 (9 of 256 buckets ≈ 3.5% of the
+# corpus scanned).  IVF at n_probe=4/16 (25% of cells) reaches ~0.74
+# on the same corpus.  Raising multiprobe/n_probe trades scan
+# fraction for recall; the floors pin the gated operating point.
+
+
+def _recall_vs_brute(emb, qs, approx_df, k=5):
+    from webstruct_spark.operators.similarity import brute_force_topk
+
+    def tops(df):
+        d = {}
+        for r in df.collect():
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    bf = tops(brute_force_topk(emb, qs, k=k))
+    got = tops(approx_df)
+    num = sum(len(got.get(q, set()) & bf[q]) for q in bf)
+    den = sum(len(bf[q]) for q in bf)
+    return num / den
+
+
+def test_recall_floor_lsh_topk(spark):
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    r = _recall_vs_brute(
+        emb, qs, lsh_topk(emb, qs, k=5, n_planes=8, multiprobe=1)
+    )
+    assert r >= 0.30, r
+
+
+def test_recall_floor_ivf_topk(spark):
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    r = _recall_vs_brute(
+        emb, qs, ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4)
+    )
+    assert r >= 0.70, r
+
+
+def test_recall_floor_ann_index_lsh(spark, tmp_path):
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    path = str(tmp_path / "rl_idx")
+    write_ann_index(emb, path, kind="lsh", n_planes=8)
+    r = _recall_vs_brute(
+        emb, qs, ann_index_topk(spark, path, qs, k=5, multiprobe=1)
+    )
+    assert r >= 0.30, r
+
+
+def test_recall_floor_ann_index_ivf(spark, tmp_path):
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    path = str(tmp_path / "rv_idx")
+    write_ann_index(emb, path, kind="ivf", n_centroids=16)
+    r = _recall_vs_brute(
+        emb, qs, ann_index_topk(spark, path, qs, k=5, n_probe=4)
+    )
+    assert r >= 0.70, r
+
+
+# -- incremental append: frozen-state appends must equal a fresh
+# build over the union under the same frozen state
+
+
+def test_append_lsh_equals_fresh_union(spark, tmp_path):
+    """LSH planes are a pure function of (n_planes, dim), so append
+    (build A, append B) must probe IDENTICALLY to a fresh build over
+    A∪B — ranks and sims byte-equal."""
+    from webstruct_spark.operators.similarity import append_to_ann_index
+
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    a = emb.where(F.col("vec_id") < 300)
+    b = emb.where(F.col("vec_id") >= 300)
+    p_app = str(tmp_path / "app_idx")
+    p_full = str(tmp_path / "full_idx")
+    write_ann_index(a, p_app, kind="lsh", n_planes=8)
+    meta = append_to_ann_index(b, p_app)
+    assert meta == {"kind": "lsh", "n_planes": 8, "dim": 16}
+    write_ann_index(emb, p_full, kind="lsh", n_planes=8)
+    got = ann_index_topk(spark, p_app, qs, k=5, multiprobe=1)
+    want = ann_index_topk(spark, p_full, qs, k=5, multiprobe=1)
+    assert _as_set(got) == _as_set(want)
+
+
+def test_append_ivf_frozen_centroids_equals_fresh_union(spark, tmp_path):
+    """IVF appends NEVER move centroids (documented drift policy), so
+    append must equal a fresh build over A∪B with A's centroids
+    passed in frozen (``centroids=``) — and the skew monitor (the
+    rebuild trigger) stays computable on the appended index."""
+    from webstruct_spark.operators.similarity import (
+        _read_centroids,
+        ann_index_cell_skew,
+        append_to_ann_index,
+    )
+
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    a = emb.where(F.col("vec_id") < 300)
+    b = emb.where(F.col("vec_id") >= 300)
+    p_app = str(tmp_path / "vapp_idx")
+    p_full = str(tmp_path / "vfull_idx")
+    write_ann_index(a, p_app, kind="ivf", n_centroids=8)
+    frozen = _read_centroids(spark, p_app)
+    append_to_ann_index(b, p_app)
+    # centroids untouched by the append
+    assert np.array_equal(_read_centroids(spark, p_app), frozen)
+    write_ann_index(emb, p_full, kind="ivf", centroids=frozen)
+    got = ann_index_topk(spark, p_app, qs, k=5, n_probe=3)
+    want = ann_index_topk(spark, p_full, qs, k=5, n_probe=3)
+    assert _as_set(got) == _as_set(want)
+    skew = ann_index_cell_skew(spark, p_app)
+    assert skew >= 1.0
+
+
 def test_embedding_neardup_recall(spark):
     """Candidates from banded hyperplane LSH must recover most true
     high-cosine pairs; found pairs are exact (verified cosine)."""

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
+import zlib
+
 import numpy as np
 
 from .viterbi import build_tagset, viterbi_decode, viterbi_decode_batch
@@ -132,8 +134,6 @@ class CRFTagger:
         d = self.feat_hash_dim
         if not d:
             return f
-        import zlib
-
         return "#%d" % (zlib.crc32(f.encode("utf-8")) % d)
 
     def _fx_list(self, feats: Sequence[str]) -> List[str]:

@@ -150,6 +150,12 @@ def fuzzy_edges(
     where a stop-word first token explodes a block (e.g. 10^6 "the …"
     surfaces) fails loudly in monitoring instead of silently losing
     merges (same pattern as ``ngram_jaccard_pairs._dropped_shingles``).
+    The hook is a plain Python attribute and exists ONLY on the
+    DataFrame object this function returns — any downstream
+    transformation (select/filter/repartition) yields a NEW DataFrame
+    without it, so grab ``_dropped_blocks`` off the direct return
+    value before transforming (same contract as
+    ``minhash_lsh_pairs._sketch_handle`` in dedup.py).
     """
     words = F.split(F.col("norm_text"), " ")
     blocked = surfaces.select(

@@ -245,46 +245,69 @@ def ivf_topk(
 # bucket or IVF cell), and ann_index_topk probes with a partition
 # filter, so only the probed buckets' files are ever read
 # (PartitionFilters in the plan — see PLANS.md).
+#
+# ALL sidecar I/O (metadata, centroids) goes through Spark readers/
+# writers, never a driver-local ``open()`` — the index directory may
+# live on HDFS/S3 where the driver has no POSIX view of the path.
 
 
-def write_ann_index(
-    embeddings: DataFrame,
-    path: str,
-    kind: str = "lsh",
-    n_planes: int = 8,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> dict:
-    """Materialize a bucket-partitioned ANN index at ``path``.
+def _sidecar(path: str, name: str) -> str:
+    """Join a sidecar name onto the index path with forward slashes —
+    Hadoop-style URI paths (s3://…, hdfs://…) as well as local ones."""
+    return path.rstrip("/") + "/" + name
 
-    ``kind='lsh'``: deterministic hyperplane buckets (reproducible
-    from n_planes+dim, no stored state).  ``kind='ivf'``: k-means
-    cells; centroids are stored beside the data as
-    ``_ann_centroids.parquet`` (underscore-prefixed → invisible to
-    parquet discovery).  Returns the metadata dict (also written as
-    ``_ann_meta.json``)."""
-    import json
-    import os
 
-    spark = embeddings.sparkSession
-    first = embeddings.select(vec_col).first()
-    if first is None:
-        raise ValueError("cannot build an ANN index over an empty table")
-    dim = len(first[vec_col])
-    if kind == "lsh":
-        planes = _planes(n_planes, dim)
-        state = planes
-        meta = {"kind": "lsh", "n_planes": n_planes, "dim": dim}
-    elif kind == "ivf":
-        centroids = train_centroids(
-            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+def _write_ann_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    row = (
+        meta["kind"],
+        int(meta["n_planes"]) if "n_planes" in meta else None,
+        int(meta["n_centroids"]) if "n_centroids" in meta else None,
+        int(meta["dim"]),
+    )
+    (
+        spark.createDataFrame(
+            [row], "kind string, n_planes int, n_centroids int, dim int"
         )
-        state = centroids
-        meta = {"kind": "ivf", "n_centroids": int(centroids.shape[0]),
-                "dim": dim}
-    else:
-        raise ValueError("kind must be 'lsh' or 'ivf'")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_sidecar(path, "_ann_meta.parquet"))
+    )
+
+
+def read_ann_meta(spark: SparkSession, path: str) -> dict:
+    """Read the one-row ``_ann_meta.parquet`` sidecar (via Spark, so
+    any Hadoop-visible filesystem works)."""
+    r = spark.read.parquet(_sidecar(path, "_ann_meta.parquet")).first()
+    meta = {"kind": r["kind"], "dim": int(r["dim"])}
+    if r["n_planes"] is not None:
+        meta["n_planes"] = int(r["n_planes"])
+    if r["n_centroids"] is not None:
+        meta["n_centroids"] = int(r["n_centroids"])
+    return meta
+
+
+def _read_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    cent_rows = (
+        spark.read.parquet(_sidecar(path, "_ann_centroids.parquet"))
+        .orderBy("cell")
+        .collect()
+    )
+    return np.array(
+        [list(r["centroid"]) for r in cent_rows], dtype=np.float32
+    )
+
+
+def _bucketized(
+    embeddings: DataFrame,
+    kind: str,
+    state: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, vec, bucket) rows: each vector tagged with its LSH
+    bucket / IVF cell under the given frozen state — the single
+    bucketing kernel shared by build and append."""
+    spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast((kind, state))
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -317,8 +340,52 @@ def write_ann_index(
             T.StructField("bucket", T.LongType()),
         ]
     )
+    return src.mapInPandas(bucketize, out_schema)
+
+
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    kind: str = "lsh",
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> dict:
+    """Materialize a bucket-partitioned ANN index at ``path``.
+
+    ``kind='lsh'``: deterministic hyperplane buckets (reproducible
+    from n_planes+dim, no stored state).  ``kind='ivf'``: k-means
+    cells; centroids are stored beside the data as
+    ``_ann_centroids.parquet`` (underscore-prefixed → invisible to
+    parquet discovery); pass ``centroids=`` to build with a FROZEN
+    pre-trained quantizer instead of training one (the rebuild path
+    of the append policy — see :func:`append_to_ann_index`).  Returns
+    the metadata dict (also written as a one-row
+    ``_ann_meta.parquet`` sidecar through Spark, so the index works
+    on any Hadoop-visible filesystem — the driver never needs a POSIX
+    view of ``path``)."""
+    spark = embeddings.sparkSession
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot build an ANN index over an empty table")
+    dim = len(first[vec_col])
+    if kind == "lsh":
+        state = _planes(n_planes, dim)
+        meta = {"kind": "lsh", "n_planes": n_planes, "dim": dim}
+    elif kind == "ivf":
+        if centroids is None:
+            centroids = train_centroids(
+                embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+            )
+        state = np.asarray(centroids, dtype=np.float32)
+        meta = {"kind": "ivf", "n_centroids": int(state.shape[0]),
+                "dim": dim}
+    else:
+        raise ValueError("kind must be 'lsh' or 'ivf'")
     (
-        src.mapInPandas(bucketize, out_schema)
+        _bucketized(embeddings, kind, state, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -331,11 +398,67 @@ def write_ann_index(
         spark.createDataFrame(
             cent_rows, "cell int, centroid array<float>"
         ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "_ann_centroids.parquet")
+            _sidecar(path, "_ann_centroids.parquet")
         )
-    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    _write_ann_meta(spark, path, meta)
     return meta
+
+
+def append_to_ann_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors to an existing :func:`write_ann_index`
+    index WITHOUT rebuilding: bucketize only the new rows under the
+    index's FROZEN state (LSH planes re-derived from stored
+    n_planes+dim; IVF centroids read from the stored sidecar —
+    appends never move centroids) and ``mode('append')`` them into
+    the existing bucket partition directories (pure file adds — no
+    overwrite, so ``partitionOverwriteMode`` is irrelevant and
+    concurrent probes keep reading a consistent index).
+
+    IVF centroid-drift policy: the quantizer stays frozen across
+    appends, so cells only ever gain members; if the appended
+    distribution drifts, some cells grow hot and probe cost rises —
+    recall is unaffected (probes and data use the same frozen
+    centroids).  Rebuild trigger: monitor
+    :func:`ann_index_cell_skew`; when max/mean cell size exceeds the
+    deployment threshold (≈8 is a reasonable default), retrain with
+    :func:`write_ann_index` (optionally seeding ``centroids=`` from
+    the old quantizer's cells).  Returns the (unchanged) meta dict."""
+    spark = new_embeddings.sparkSession
+    meta = read_ann_meta(spark, path)
+    if meta["kind"] == "lsh":
+        state = _planes(meta["n_planes"], meta["dim"])
+    else:
+        state = _read_centroids(spark, path)
+    (
+        _bucketized(new_embeddings, meta["kind"], state, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return meta
+
+
+def ann_index_cell_skew(spark: SparkSession, path: str) -> float:
+    """max/mean bucket size of a persistent index — the rebuild
+    trigger of the append policy (one Spark agg over the partition
+    column; with partition-column-only scans this reads footers, not
+    vectors)."""
+    row = (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("avg"),
+        )
+        .first()
+    )
+    return float(row["mx"]) / float(row["avg"])
 
 
 def ann_index_topk(
@@ -350,12 +473,12 @@ def ann_index_topk(
     """Top-k probe over a :func:`write_ann_index` index.  Reads ONLY
     the probed bucket partitions (partition pruning at the source) and
     reranks exactly inside them — same results as lsh_topk/ivf_topk
-    with the same probe settings, without the full-corpus scan."""
-    import json
-    import os
+    with the same probe settings, without the full-corpus scan.
 
-    with open(os.path.join(path, "_ann_meta.json")) as fh:
-        meta = json.load(fh)
+    All sidecar reads go through Spark (:func:`read_ann_meta`), so
+    the probe works against an index on any Hadoop-visible filesystem
+    — no driver-local ``open()`` of ``path``."""
+    meta = read_ann_meta(spark, path)
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = _normalize_rows(
         np.array([q[1] for q in queries], dtype=np.float32)
@@ -377,14 +500,7 @@ def ann_index_topk(
             for m in flip_masks:
                 probe.setdefault(int(b) ^ m, []).append(qi)
     else:
-        cent_rows = (
-            spark.read.parquet(os.path.join(path, "_ann_centroids.parquet"))
-            .orderBy("cell")
-            .collect()
-        )
-        centroids = np.array(
-            [list(r["centroid"]) for r in cent_rows], dtype=np.float32
-        )
+        centroids = _read_centroids(spark, path)
         q_sims = q_mat.astype(np.float64) @ centroids.T.astype(np.float64)
         npb = min(n_probe, centroids.shape[0])
         for qi in range(len(queries)):
