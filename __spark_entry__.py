@@ -319,11 +319,33 @@ def _q_kg_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_cv_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-grouped k-fold cross-validation workflow (the reference
+    training example's GroupKFold-by-domain, example/ner/train.py):
+    per-fold distributed IPM training + held-out inference + exact
+    integer P/R/F1 — vs the single-node twin's gold parquet
+    (gold_domain_cv.parquet, byte-identical per-fold fits)."""
+    from webstruct_spark.operators.domain_cv import (
+        conv_domains_from_pages,
+        domain_group_kfold_eval,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    pages = spark.read.parquet(_html_pages_path(_sf_of(sf_dir)))
+    cd = conv_domains_from_pages(t, pages)
+    return domain_group_kfold_eval(
+        t, cd, k=3, n_parts=8, rounds=4, min_feat_df=2
+    )
+
+
 def _html_pages_path(sf: float) -> str:
-    from webstruct_spark.sources.html_pages import ensure_html_pages
+    from webstruct_spark.sources.html_pages import (
+        default_n_pages,
+        ensure_html_pages,
+    )
 
     d = _corpus_for(sf)
-    return ensure_html_pages(d, n_pages=max(60, int(5000 * sf)))
+    return ensure_html_pages(d, n_pages=default_n_pages(sf))
 
 
 def _q_infer_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dist_trained_mentions": _q_kg_dist_trained_mentions,
         "kg_hashed_trained_mentions": _q_kg_hashed_trained_mentions,
         "kg_trained_dist_prf": _q_kg_trained_dist_prf,
+        "domain_cv_f1": _q_domain_cv_f1,
         "kg_mention_prf": _q_kg_mention_prf,
         "kg_macro_f1": _q_kg_macro_f1,
         "token_shape_dist": _q_token_shape_dist,
@@ -936,6 +959,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_trained_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, text, entity_type
             FROM read_parquet('{g("gold_trained_mentions.parquet")}')
+        """,
+        "domain_cv_f1": f"""
+            SELECT fold, n_convs, tp, n_pred, n_gold,
+                   precision_x1e6, recall_x1e6, f1_x1e6
+            FROM read_parquet('{g("gold_domain_cv.parquet")}')
         """,
         "kg_trained_prf": f"""
             WITH p AS (

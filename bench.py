@@ -185,16 +185,62 @@ def main() -> None:
 
     # q12: DISTRIBUTED CRF training (iterated parameter mixing over the
     # full corpus — the fit that scales with the cluster; executors run
-    # the per-shard epochs, only n_parts weight blobs reach the driver)
+    # the per-shard epochs, only n_parts weight blobs reach the driver).
+    # Three rows decompose the feature-bounding strategies so the
+    # "min-df costs ~0.7 s, executor-mix free" analysis in BENCH.md is
+    # reproduced by the harness every round: unpruned (no vocabulary
+    # bound), min-df pruned (the gated default), feature-hashed (fixed
+    # 4096-dim model regardless of vocabulary).
     from webstruct_spark.operators.trained import train_crf_distributed
 
     # shards scale with cores (one fit task per core) — the same knob a
     # real cluster turns; the driver correctness gate pins n_parts=8
     # against the byte-identical single-node twin separately.
     timed(
-        "q12_crf_dist_fit",
+        "q12_unpruned",
+        lambda: len(
+            train_crf_distributed(
+                transcripts, n_parts=cpus, min_feat_df=None
+            ).w
+        ),
+    )
+    timed(
+        "q12_pruned",
         lambda: len(train_crf_distributed(transcripts, n_parts=cpus).w),
     )
+    timed(
+        "q12_hashed",
+        lambda: len(
+            train_crf_distributed(
+                transcripts, n_parts=cpus, feat_hash_dim=4096
+            ).w
+        ),
+    )
+
+    # q13: the composed domain-grouped k-fold CV workflow (k=3 folds,
+    # each = distributed IPM fit on 2/3 of the corpus + distributed
+    # held-out inference + exact set-P/R/F1) — the end-to-end
+    # evaluation job a production retrain would run; dominated by the
+    # k fits, so expect ~2-3x one q12 row.
+    from webstruct_spark.operators.domain_cv import (
+        conv_domains_from_pages,
+        domain_group_kfold_eval,
+    )
+    from webstruct_spark.sources.html_pages import (
+        default_n_pages,
+        ensure_html_pages,
+    )
+
+    def q13() -> int:
+        pages = spark.read.parquet(
+            ensure_html_pages(corpus, n_pages=default_n_pages(sf))
+        )
+        cd = conv_domains_from_pages(transcripts, pages)
+        return domain_group_kfold_eval(
+            transcripts, cd, k=3, n_parts=cpus
+        ).count()
+
+    timed("q13_domain_cv", q13)
 
     total = round(sum(timings.values()), 3)
     extract_sec = timings["q1_mentions"]

@@ -1,29 +1,8 @@
 #!/usr/bin/env python
 # -*- coding: utf-8 -*-
-"""Domain-grouped cross-validation of the trained CRF — the composed
-evaluation workflow of the reference's training example
-(/root/reference/example/ner/train.py: ``GroupKFold(
-groups=[get_tree_domain(tree) for tree in trees])`` so pages from one
-site never straddle the train/test split;
-/root/reference/webstruct/infer_domain.py:29-38 derives the group).
-
-Composition (every ingredient is an already-gated operator):
-
-* ``infer_domain`` gives each source page its registered domain
-  (A10/A11) — :func:`conv_domains_from_pages` maps conversations to
-  their source page's domain;
-* fold assignment is ``crc32(domain) % k`` — deterministic, and by
-  construction GROUPED: every conversation of one domain lands in the
-  same fold, which is exactly GroupKFold's contract (no RNG, no
-  driver-side shuffling);
-* per fold: ``train_crf_distributed`` on the other k-1 folds (iterated
-  parameter mixing, min-df-pruned), distributed inference on the
-  held-out fold, segment P/R/F1 vs the injected gold mentions
-  (``set_prf``'s exact integer-scaled ratios).
-
-Scale shape: the folds DataFrame is a tiny (conv_id, domain, fold)
-table — every train/test cut is a broadcast semi-join against it; the
-k trainings dominate and each is the one-shuffle IPM fit.
+"""spark-submit CLI for the domain-grouped cross-validation workflow
+(webstruct_spark/operators/domain_cv.py — see its docstring for the
+composition and the reference citations).
 
 Usage:
     spark-submit --py-files /tmp/ws.zip jobs/domain_cv.py \
@@ -34,228 +13,15 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import zlib
-from typing import Dict, List, Tuple
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-
-def conv_domains_from_pages(
-    transcripts: DataFrame, pages: DataFrame
-) -> DataFrame:
-    """(conv_id, domain): each conversation's source-page domain.
-
-    The synthetic corpus has no explicit conversation→page link, so
-    the pairing is the deterministic rank join: the i-th conversation
-    (by conv_id order) maps to page ``i % n_pages`` — a stand-in for
-    the reference's ``get_tree_domain(tree)`` where the tree IS the
-    page the sample came from.  Both rankings are total orders, so the
-    assignment is reproducible anywhere.
-
-    Scale note: the unpartitioned rank windows make this helper
-    test-corpus-only BY DESIGN (a real corpus carries its source URL,
-    so the domain join is a plain column expression with no global
-    sort); :func:`domain_group_kfold_eval` itself only ever sees the
-    tiny (conv_id, domain) table."""
-    from webstruct_spark.operators.domains import infer_domain
-
-    convs = transcripts.select("conv_id").distinct()
-    convs = convs.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy("conv_id")) - 1,
-    )
-    doms = infer_domain(pages)
-    doms = doms.withColumn(
-        "prk",
-        F.row_number().over(Window.orderBy("page_id")) - 1,
-    )
-    n_pages = doms.count()
-    return (
-        convs.withColumn("prk", F.col("rk") % n_pages)
-        .join(F.broadcast(doms), "prk")
-        .select("conv_id", "domain")
-    )
-
-
-def with_fold(conv_domains: DataFrame, k: int) -> DataFrame:
-    """Add the deterministic GroupKFold fold: crc32(domain) % k —
-    all conversations of one domain share a fold."""
-    return conv_domains.withColumn(
-        "fold",
-        (F.crc32(F.col("domain").cast("binary")) % k).cast("int"),
-    )
-
-
-def domain_group_kfold_eval(
-    turns: DataFrame,
-    conv_domains: DataFrame,
-    k: int = 3,
-    n_parts: int = 8,
-    rounds: int = 4,
-    min_feat_df: int | None = 2,
-) -> DataFrame:
-    """Per-fold segment P/R/F1 of the distributed-trained CRF with
-    domain-grouped folds.  Returns (fold, n_convs, tp, n_pred, n_gold,
-    precision_x1e6, recall_x1e6, f1_x1e6) — one row per non-empty
-    fold, ascending."""
-    from webstruct_spark.operators.extract import mentions
-    from webstruct_spark.operators.metrics import set_prf
-    from webstruct_spark.operators.trained import (
-        crf_tagged_mentions,
-        train_crf_distributed,
-    )
-
-    spark = turns.sparkSession
-    # checkpoint the tiny fold table once: its lineage (infer_domain
-    # regex parse + rank windows in the synthetic pairing) would
-    # otherwise re-execute for every train/test cut of every fold
-    folds = (
-        with_fold(conv_domains, k)
-        .select("conv_id", "fold")
-        .localCheckpoint(eager=True)
-    )
-    fold_sizes = {
-        r["fold"]: r["n"]
-        for r in folds.groupBy("fold").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()
-    }
-    if len(fold_sizes) < 2:
-        # GroupKFold's n_groups >= n_splits validation, adapted: with
-        # every domain hashing into one fold there is no train/test
-        # cut at all — fail with the real cause, not an empty-corpus
-        # error out of the trainer
-        raise ValueError(
-            "domain_group_kfold_eval: fewer than 2 populated folds "
-            "(%d of k=%d) — GroupKFold needs conversations in >= 2 "
-            "distinct crc32(domain) %% k buckets"
-            % (len(fold_sizes), k)
-        )
-    out_rows: List[tuple] = []
-    for fold in sorted(fold_sizes):
-        train_ids = F.broadcast(
-            folds.where(F.col("fold") != fold).select("conv_id")
-        )
-        test_ids = F.broadcast(
-            folds.where(F.col("fold") == fold).select("conv_id")
-        )
-        train_turns = turns.join(train_ids, "conv_id", "left_semi")
-        test_turns = turns.join(test_ids, "conv_id", "left_semi")
-        model = train_crf_distributed(
-            train_turns, n_parts=n_parts, rounds=rounds,
-            min_feat_df=min_feat_df,
-        )
-        # persist both sides: set_prf runs three counting jobs (tp
-        # join, n_pred, n_gold) and would otherwise re-execute the
-        # fold's full distributed inference / gold extraction each time
-        pred = crf_tagged_mentions(test_turns, model).persist()
-        gold = mentions(test_turns).persist()
-        try:
-            row = set_prf(
-                pred, gold,
-                ["conv_id", "turn_idx", "text", "entity_type"],
-            ).collect()[0]
-        finally:
-            pred.unpersist()
-            gold.unpersist()
-        out_rows.append(
-            (
-                fold, fold_sizes[fold], row["tp"], row["n_pred"],
-                row["n_gold"], row["precision_x1e6"], row["recall_x1e6"],
-                row["f1_x1e6"],
-            )
-        )
-    return spark.createDataFrame(
-        out_rows,
-        "fold int, n_convs long, tp long, n_pred long, n_gold long, "
-        "precision_x1e6 long, recall_x1e6 long, f1_x1e6 long",
-    )
-
-
-# -- single-node twin (pytest gate) ------------------------------------
-
-
-def domain_group_kfold_local(
-    rows: List[Tuple[str, int, str]],
-    domains: Dict[str, str],
-    k: int = 3,
-    n_parts: int = 8,
-    rounds: int = 4,
-    min_feat_df: int | None = 2,
-) -> List[tuple]:
-    """Single-node twin of :func:`domain_group_kfold_eval` over
-    (conv_id, turn_idx, text) triples and a conv_id→domain dict:
-    identical folds, byte-identical per-fold fits
-    (train_crf_mixed_local), identical metric arithmetic.  Must stay
-    in lockstep."""
-    from webstruct_spark.kernel.bilou import decode_mentions
-    from webstruct_spark.kernel.smartjoin import smart_join
-    from webstruct_spark.operators.tagger import plain_tokens
-    from webstruct_spark.operators.trained import train_crf_mixed_local
-    from webstruct_spark.sources.goldbuild import extract_mentions_for_turn
-
-    fold_of = {
-        cid: zlib.crc32(domains[cid].encode("utf-8")) % k
-        for cid in domains
-    }
-    # lockstep with the Spark side's left_semi join on the folds
-    # table: a conv_id absent from `domains` is silently dropped
-    # there, so drop it here too instead of raising KeyError below
-    rows = [r for r in rows if r[0] in fold_of]
-    # fold population mirrors the eval side exactly: counted over the
-    # FULL conv→domain table (a conv with no turns still populates its
-    # fold there), not just convs present in rows
-    fold_counts: Dict[int, int] = {}
-    for cid in domains:
-        f = fold_of[cid]
-        fold_counts[f] = fold_counts.get(f, 0) + 1
-    if len(fold_counts) < 2:
-        # lockstep with domain_group_kfold_eval's GroupKFold guard
-        raise ValueError(
-            "domain_group_kfold_local: fewer than 2 populated folds "
-            "(%d of k=%d) — GroupKFold needs conversations in >= 2 "
-            "distinct crc32(domain) %% k buckets"
-            % (len(fold_counts), k)
-        )
-    out: List[tuple] = []
-    for fold in sorted(fold_counts):
-        train_rows = [r for r in rows if fold_of[r[0]] != fold]
-        test_rows = [r for r in rows if fold_of[r[0]] == fold]
-        model = train_crf_mixed_local(
-            train_rows, n_parts=n_parts, rounds=rounds,
-            min_feat_df=min_feat_df,
-        )
-        toks_all = [plain_tokens(tx) for _c, _t, tx in test_rows]
-        tags_all = model.predict_batch(toks_all)
-        pred = set()
-        gold = set()
-        for (cid, ti, tx), toks, tags in zip(
-            test_rows, toks_all, tags_all
-        ):
-            for items, etype in decode_mentions(
-                list(range(len(toks))), tags
-            ):
-                pred.add(
-                    (cid, ti, smart_join(toks[i] for i in items), etype)
-                )
-            # gold decode shared with the gold builder (single source
-            # of truth for the marker→mention chain)
-            for text, etype in extract_mentions_for_turn(tx):
-                gold.add((cid, ti, text, etype))
-        tp = len(pred & gold)
-        np_, ng = len(pred), len(gold)
-        out.append(
-            (
-                fold, fold_counts[fold], tp, np_, ng,
-                (1_000_000 * tp) // np_ if np_ else 0,
-                (1_000_000 * tp) // ng if ng else 0,
-                (2_000_000 * tp) // (np_ + ng) if (np_ + ng) else 0,
-            )
-        )
-    return out
+from webstruct_spark.operators.domain_cv import (  # noqa: F401  (re-exports)
+    conv_domains_from_pages,
+    domain_group_kfold_eval,
+    domain_group_kfold_local,
+    with_fold,
+)
 
 
 def main() -> None:
@@ -269,13 +35,19 @@ def main() -> None:
     args = p.parse_args()
 
     from webstruct_spark.session import get_spark
-    from webstruct_spark.sources.html_pages import ensure_html_pages
+    from webstruct_spark.sources.html_pages import (
+        default_n_pages,
+        ensure_html_pages,
+        sf_of_dir,
+    )
 
     spark = get_spark("domain_cv", cores=args.cores)
     turns = spark.read.parquet(
         os.path.join(args.corpus_dir, "transcripts.parquet")
     )
-    pages_path = ensure_html_pages(args.corpus_dir, n_pages=60)
+    pages_path = ensure_html_pages(
+        args.corpus_dir, n_pages=default_n_pages(sf_of_dir(args.corpus_dir))
+    )
     pages = spark.read.parquet(pages_path)
     cd = conv_domains_from_pages(turns, pages)
     res = domain_group_kfold_eval(

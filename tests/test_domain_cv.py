@@ -67,3 +67,47 @@ def test_domain_cv_matches_single_node_twin(spark):
     for _f, n_convs, tp, np_, ng, _p, _r, f1 in got:
         assert n_convs > 0 and ng > 0
         assert f1 > 300_000
+
+
+def test_gold_domain_cv_matches_eval(spark, corpus_dir):
+    """The gold builder's gold_domain_cv.parquet (single-node twin at
+    the pinned params k=3/n_parts=8/rounds=4/min_df=2 — the same rows
+    the driver's domain_cv_f1 oracle reads) equals the distributed
+    eval run fresh at those params."""
+    import pyarrow.parquet as pq
+
+    from webstruct_spark.operators.domain_cv import (
+        conv_domains_from_pages,
+        domain_group_kfold_eval,
+    )
+    from webstruct_spark.sources.html_pages import (
+        default_n_pages,
+        ensure_html_pages,
+        sf_of_dir,
+    )
+
+    turns = spark.read.parquet(
+        os.path.join(corpus_dir, "transcripts.parquet")
+    )
+    pages = spark.read.parquet(
+        ensure_html_pages(
+            corpus_dir, n_pages=default_n_pages(sf_of_dir(corpus_dir))
+        )
+    )
+    cd = conv_domains_from_pages(turns, pages)
+    got = sorted(
+        tuple(r)
+        for r in domain_group_kfold_eval(
+            turns, cd, k=3, n_parts=8, rounds=4, min_feat_df=2
+        ).collect()
+    )
+    want = sorted(
+        (
+            r["fold"], r["n_convs"], r["tp"], r["n_pred"], r["n_gold"],
+            r["precision_x1e6"], r["recall_x1e6"], r["f1_x1e6"],
+        )
+        for r in pq.read_table(
+            os.path.join(corpus_dir, "gold_domain_cv.parquet")
+        ).to_pylist()
+    )
+    assert got == want

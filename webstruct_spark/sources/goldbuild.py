@@ -96,7 +96,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "10-hashed"  # bump when gold tables/semantics change
+GOLD_VERSION = "11-domain-cv"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -478,6 +478,58 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
                 ("turn_idx", pa.int32()),
                 ("tok_idx", pa.int32()),
                 ("line", pa.string()),
+            ]
+        ),
+    )
+
+    # domain-grouped k-fold CV gold (operators/domain_cv.py twin):
+    # per-fold P/R/F1 of the GroupKFold-by-domain training workflow
+    # (reference example/ner/train.py's GroupKFold evaluation).  The
+    # conv→domain pairing reuses the SAME single-node twins that
+    # already gate the Spark side: page domains come from
+    # infer_domain's lockstep oracle SQL (run here through DuckDB),
+    # and the rank pairing is i-th conv (ascending conv_id) → page
+    # i % n_pages — identical to conv_domains_from_pages.
+    import duckdb
+
+    from ..operators.domain_cv import domain_group_kfold_local
+    from ..operators.domains import infer_domain_oracle_sql
+    from .html_pages import default_n_pages, ensure_html_pages, sf_of_dir
+
+    pages_path = ensure_html_pages(
+        corpus_dir, n_pages=default_n_pages(sf_of_dir(corpus_dir))
+    )
+    page_rows = duckdb.sql(infer_domain_oracle_sql(pages_path)).fetchall()
+    page_rows.sort(key=lambda pr: pr[0])
+    page_domains = [pr[1] for pr in page_rows]
+    conv_ids = sorted({r["conv_id"] for r in rows})
+    domains = {
+        cid: page_domains[i % len(page_domains)]
+        for i, cid in enumerate(conv_ids)
+    }
+    cv_rows = domain_group_kfold_local(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows],
+        domains, k=3, n_parts=8, rounds=4, min_feat_df=2,
+    )
+    write(
+        "gold_domain_cv.parquet",
+        [
+            dict(
+                fold=f, n_convs=n, tp=tp, n_pred=np_, n_gold=ng,
+                precision_x1e6=p, recall_x1e6=rc, f1_x1e6=f1,
+            )
+            for f, n, tp, np_, ng, p, rc, f1 in cv_rows
+        ],
+        pa.schema(
+            [
+                ("fold", pa.int32()),
+                ("n_convs", pa.int64()),
+                ("tp", pa.int64()),
+                ("n_pred", pa.int64()),
+                ("n_gold", pa.int64()),
+                ("precision_x1e6", pa.int64()),
+                ("recall_x1e6", pa.int64()),
+                ("f1_x1e6", pa.int64()),
             ]
         ),
     )

@@ -88,3 +88,25 @@ def ensure_html_pages(corpus_dir: str, n_pages: int, seed: int = 42) -> str:
     pq.write_table(tbl, tmp)
     os.rename(tmp, path)
     return path
+
+
+def sf_of_dir(corpus_dir: str) -> float:
+    """Scale factor from a corpus dir basename ('…/sf0.01' → 0.01);
+    0.01 when unparseable — the single parser shared by the driver
+    entry, the gold builder and the CLI so page counts can never
+    diverge between them."""
+    base = os.path.basename(os.path.normpath(corpus_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def default_n_pages(sf: float) -> int:
+    """The one formula for how many synthetic HTML pages back a scale
+    factor (used by ensure_html_pages callers; the file is written
+    once, so every caller MUST agree on this number or the
+    conv→domain pairing would depend on who generated it first)."""
+    return max(60, int(5000 * sf))
