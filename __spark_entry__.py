@@ -41,13 +41,12 @@ def _corpus_for(sf: float) -> str:
 
 
 def _sf_of(sf_dir: str) -> float:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    if base.startswith("sf"):
-        try:
-            return float(base[2:])
-        except ValueError:
-            pass
-    return 0.01
+    # delegates to the package's single parser so the driver, the
+    # gold builder and the CLI can never disagree on sf (and hence on
+    # default_n_pages / the conv→domain pairing)
+    from webstruct_spark.sources.html_pages import sf_of_dir
+
+    return sf_of_dir(sf_dir)
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,6 +271,27 @@ def test_append_ivf_frozen_centroids_equals_fresh_union(spark, tmp_path):
     assert skew >= 1.0
 
 
+def test_append_validates_dim_and_can_skip_existing(spark, tmp_path):
+    from webstruct_spark.operators.similarity import append_to_ann_index
+
+    emb = _embeddings(spark)
+    path = str(tmp_path / "val_idx")
+    write_ann_index(emb, path, kind="lsh", n_planes=6)
+    wrong = spark.createDataFrame(
+        [(9999, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="dimension"):
+        append_to_ann_index(wrong, path)
+    # retried append of an already-present batch: skip_existing_ids
+    # anti-joins it away, leaving counts unchanged
+    batch = emb.where(F.col("vec_id") < 50)
+    n0 = spark.read.parquet(path).count()
+    append_to_ann_index(batch, path, skip_existing_ids=True)
+    assert spark.read.parquet(path).count() == n0
+
+
 def test_embedding_neardup_recall(spark):
     """Candidates from banded hyperplane LSH must recover most true
     high-cosine pairs; found pairs are exact (verified cosine)."""

@@ -59,6 +59,36 @@ def test_convert_and_verify_round_trip(spark):
     assert bad.count() == 0
 
 
+def test_verify_surfaces_malformed_markers_instead_of_crashing(spark):
+    """A row whose markers don't form a valid sequence (stray
+    __END_X__) is the exact defect the verifier exists to find — it
+    must be REPORTED (reason 'encode-error'), not crash the job."""
+    rows = [
+        ("c0", 0, "fine text", "fine text"),
+        ("c0", 1, "fine text", "stray __END_ORG__ here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, l string, r string"
+    )
+    got = verify_annotations(df, "l", "r").collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["turn_idx"] == 1 and row["reason"] == "encode-error"
+    assert row["left"] == "ok" and "close tag" in row["right"]
+
+
+def test_verify_handles_nonidentifier_column_names(spark):
+    df = spark.createDataFrame(
+        [("c0", "__START_ORG__ A __END_ORG__", "A")],
+        ["conv-id", "left text", "right text"],
+    )
+    got = verify_annotations(
+        df, "left text", "right text", id_cols=["conv-id"]
+    ).collect()
+    assert len(got) == 1 and got[0]["conv-id"] == "c0"
+    assert got[0]["reason"] == "tag"
+
+
 def test_verify_reports_planted_divergence(spark):
     rows = [
         ("c0", 0, "__START_ORG__ Acme __END_ORG__ rocks",

@@ -204,3 +204,18 @@ def test_commented_base_without_closing_head(spark):
     )
     assert got[1] == "commented.co.uk"
     assert got[2] == "commented.com"
+
+
+def test_ensure_html_pages_rejects_stale_count(tmp_path):
+    """The conv→domain pairing is i % n_pages, so a pre-existing
+    pages file generated with a DIFFERENT count must fail loudly, not
+    silently redefine every fold/domain assignment."""
+    import pytest
+
+    from webstruct_spark.sources.html_pages import ensure_html_pages
+
+    d = str(tmp_path)
+    p1 = ensure_html_pages(d, n_pages=60)
+    assert ensure_html_pages(d, n_pages=60) == p1  # same count: fine
+    with pytest.raises(ValueError, match="60 pages but 500"):
+        ensure_html_pages(d, n_pages=500)

@@ -46,7 +46,25 @@ def stream_diff(left: str, right: str) -> Optional[dict]:
     ``tree_difference`` (annotation_verifier.py:83-96): instead of a
     DOM node path, the locator is the token index; instead of
     tag/attrib/text/tail cases, the reported reason is 'token',
-    'tag', or 'length'."""
+    'tag', or 'length'.  A side whose markers don't even form a
+    valid sequence (stray/crossing ``__END_X__`` → encode raises) is
+    itself a defect to SURFACE, not a crash: reported as reason
+    'encode-error' with the per-side error message — so a corpus-wide
+    verify never dies on the first malformed row."""
+    errs = []
+    for name, text in (("left", left), ("right", right)):
+        try:
+            _stream(text)
+        except ValueError as e:
+            errs.append((name, str(e)))
+    if errs:
+        msg = dict(errs)
+        return {
+            "idx": -1,
+            "reason": "encode-error",
+            "left": msg.get("left", "ok"),
+            "right": msg.get("right", "ok"),
+        }
     ls, rs = _stream(left), _stream(right)
     for i, ((lt, ltag), (rt, rtag)) in enumerate(zip(ls, rs)):
         if lt != rt:
@@ -90,13 +108,18 @@ def verify_annotations(
     def run(batches):
         for pdf in batches:
             rows = []
-            for rec in pdf.itertuples(index=False):
-                d = stream_diff(
-                    getattr(rec, left_col), getattr(rec, right_col)
-                )
+            # positional column access (not itertuples+getattr, which
+            # mangles any column name that isn't a valid Python
+            # identifier) — the public API accepts every legal Spark
+            # column name
+            id_vals = [pdf[c].tolist() for c in id_cols]
+            lefts = pdf[left_col].tolist()
+            rights = pdf[right_col].tolist()
+            for i in range(len(pdf)):
+                d = stream_diff(lefts[i], rights[i])
                 if d is not None:
                     rows.append(
-                        tuple(getattr(rec, c) for c in id_cols)
+                        tuple(v[i] for v in id_vals)
                         + (d["idx"], d["reason"], d["left"], d["right"])
                     )
             yield pd.DataFrame(

@@ -268,7 +268,12 @@ def _write_ann_meta(spark: SparkSession, path: str, meta: dict) -> None:
         spark.createDataFrame(
             [row], "kind string, n_planes int, n_centroids int, dim int"
         )
-        .coalesce(1)
+        # repartition(1), NOT coalesce(1): createDataFrame of a local
+        # list parallelizes into defaultParallelism slices, and
+        # coalesce(1) evaluates all of them SERIALLY through one task
+        # (one Python-worker round-trip per mostly-empty slice ≈ 5 s
+        # of pure overhead); the one-row shuffle costs ~0.5 s.
+        .repartition(1)
         .write.mode("overwrite")
         .parquet(_sidecar(path, "_ann_meta.parquet"))
     )
@@ -395,9 +400,10 @@ def write_ann_index(
             (int(i), [float(x) for x in row])
             for i, row in enumerate(state)
         ]
+        # repartition(1), not coalesce(1) — see _write_ann_meta
         spark.createDataFrame(
             cent_rows, "cell int, centroid array<float>"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             _sidecar(path, "_ann_centroids.parquet")
         )
     _write_ann_meta(spark, path, meta)
@@ -409,6 +415,7 @@ def append_to_ann_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_existing_ids: bool = False,
 ) -> dict:
     """Append new vectors to an existing :func:`write_ann_index`
     index WITHOUT rebuilding: bucketize only the new rows under the
@@ -427,9 +434,34 @@ def append_to_ann_index(
     :func:`ann_index_cell_skew`; when max/mean cell size exceeds the
     deployment threshold (≈8 is a reasonable default), retrain with
     :func:`write_ann_index` (optionally seeding ``centroids=`` from
-    the old quantizer's cells).  Returns the (unchanged) meta dict."""
+    the old quantizer's cells).  Returns the (unchanged) meta dict.
+
+    Idempotence: ``mode('append')`` is at-least-once — re-running a
+    COMPLETED append duplicates its vec_ids, after which probes can
+    return the same neighbor in several top-k slots.  Either make the
+    retry decision upstream (the write either committed or it
+    didn't), or pass ``skip_existing_ids=True`` to anti-join the new
+    batch against the index's current ids first — exact, but costs a
+    full id-column scan of the index, so it is opt-in rather than the
+    default at 100 TB."""
     spark = new_embeddings.sparkSession
     meta = read_ann_meta(spark, path)
+    first = new_embeddings.select(vec_col).first()
+    if first is None:
+        return meta  # empty append: nothing to write
+    dim = len(first[vec_col])
+    if dim != meta["dim"]:
+        raise ValueError(
+            "append dimension %d != index dimension %d at %s"
+            % (dim, meta["dim"], path)
+        )
+    if skip_existing_ids:
+        existing = spark.read.parquet(path).select(
+            F.col("vec_id").alias(id_col)
+        )
+        new_embeddings = new_embeddings.join(
+            existing, id_col, "left_anti"
+        )
     if meta["kind"] == "lsh":
         state = _planes(meta["n_planes"], meta["dim"])
     else:

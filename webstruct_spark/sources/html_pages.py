@@ -72,9 +72,23 @@ PAGES_SCHEMA = pa.schema([("page_id", pa.int64()), ("html", pa.string())])
 
 def ensure_html_pages(corpus_dir: str, n_pages: int, seed: int = 42) -> str:
     """Write ``html_pages.parquet`` into ``corpus_dir`` if missing;
-    returns the file path."""
+    returns the file path.
+
+    An EXISTING file must carry exactly ``n_pages`` rows — the
+    conv→domain pairing is ``i % n_pages``, so a stale file from a
+    caller that requested a different count would silently change
+    every downstream fold/domain assignment.  Enforced loudly (footer
+    row-count read, no data scan) instead of documented-only."""
     path = os.path.join(corpus_dir, "html_pages.parquet")
     if os.path.exists(path):
+        have = pq.read_metadata(path).num_rows
+        if have != n_pages:
+            raise ValueError(
+                "html_pages.parquet at %s has %d pages but %d were "
+                "requested — delete the stale file (it is regenerated "
+                "deterministically) or fix the caller's n_pages; see "
+                "default_n_pages" % (path, have, n_pages)
+            )
         return path
     rows = generate_html_pages(n_pages, seed=seed)
     tbl = pa.Table.from_pydict(
