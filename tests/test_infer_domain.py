@@ -219,3 +219,15 @@ def test_ensure_html_pages_rejects_stale_count(tmp_path):
     assert ensure_html_pages(d, n_pages=60) == p1  # same count: fine
     with pytest.raises(ValueError, match="60 pages but 500"):
         ensure_html_pages(d, n_pages=500)
+
+
+def test_ensure_html_pages_rejects_stale_seed(tmp_path):
+    import pytest
+
+    from webstruct_spark.sources.html_pages import ensure_html_pages
+
+    d = str(tmp_path)
+    ensure_html_pages(d, n_pages=60, seed=42)
+    assert ensure_html_pages(d, n_pages=60, seed=42)  # same params: fine
+    with pytest.raises(ValueError, match="seed 42 .* seed 7"):
+        ensure_html_pages(d, n_pages=60, seed=7)

@@ -51,21 +51,20 @@ def stream_diff(left: str, right: str) -> Optional[dict]:
     itself a defect to SURFACE, not a crash: reported as reason
     'encode-error' with the per-side error message — so a corpus-wide
     verify never dies on the first malformed row."""
-    errs = []
+    streams, errs = {}, {}
     for name, text in (("left", left), ("right", right)):
         try:
-            _stream(text)
+            streams[name] = _stream(text)
         except ValueError as e:
-            errs.append((name, str(e)))
+            errs[name] = str(e)
     if errs:
-        msg = dict(errs)
         return {
             "idx": -1,
             "reason": "encode-error",
-            "left": msg.get("left", "ok"),
-            "right": msg.get("right", "ok"),
+            "left": errs.get("left", "ok"),
+            "right": errs.get("right", "ok"),
         }
-    ls, rs = _stream(left), _stream(right)
+    ls, rs = streams["left"], streams["right"]
     for i, ((lt, ltag), (rt, rtag)) in enumerate(zip(ls, rs)):
         if lt != rt:
             return {"idx": i, "reason": "token",

@@ -321,6 +321,11 @@ def _bucketized(
             if pdf.empty:
                 continue
             mat = _normalize_rows(np.vstack(pdf["vec"].to_numpy()))
+            if mat.shape[1] != st.shape[1]:
+                raise ValueError(
+                    "embedding dimension %d != index dimension %d"
+                    % (mat.shape[1], st.shape[1])
+                )
             if knd == "lsh":
                 buckets = _bucket_of(mat, st)
             else:
@@ -446,7 +451,14 @@ def append_to_ann_index(
     default at 100 TB."""
     spark = new_embeddings.sparkSession
     meta = read_ann_meta(spark, path)
-    first = new_embeddings.select(vec_col).first()
+    # fail-fast dim check on the first non-null vector; ragged or
+    # null vectors deeper in the batch are caught executor-side by
+    # _bucketized's per-batch dimension guard with the same message
+    first = (
+        new_embeddings.where(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .first()
+    )
     if first is None:
         return meta  # empty append: nothing to write
     dim = len(first[vec_col])

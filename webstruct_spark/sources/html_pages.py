@@ -74,20 +74,32 @@ def ensure_html_pages(corpus_dir: str, n_pages: int, seed: int = 42) -> str:
     """Write ``html_pages.parquet`` into ``corpus_dir`` if missing;
     returns the file path.
 
-    An EXISTING file must carry exactly ``n_pages`` rows — the
-    conv→domain pairing is ``i % n_pages``, so a stale file from a
-    caller that requested a different count would silently change
-    every downstream fold/domain assignment.  Enforced loudly (footer
-    row-count read, no data scan) instead of documented-only."""
+    An EXISTING file must have been generated with exactly this
+    ``(n_pages, seed)`` — the conv→domain pairing is ``i % n_pages``
+    over these specific pages, so a stale file from a caller that
+    requested different parameters would silently change every
+    downstream fold/domain assignment.  Enforced loudly (footer
+    row-count + stored-seed schema metadata, no data scan) instead of
+    documented-only; a legacy file without the seed key only gets the
+    count check."""
     path = os.path.join(corpus_dir, "html_pages.parquet")
     if os.path.exists(path):
-        have = pq.read_metadata(path).num_rows
+        md = pq.read_metadata(path)
+        have = md.num_rows
         if have != n_pages:
             raise ValueError(
                 "html_pages.parquet at %s has %d pages but %d were "
                 "requested — delete the stale file (it is regenerated "
                 "deterministically) or fix the caller's n_pages; see "
                 "default_n_pages" % (path, have, n_pages)
+            )
+        kv = md.schema.to_arrow_schema().metadata or {}
+        have_seed = kv.get(b"html_pages_seed")
+        if have_seed is not None and have_seed != str(seed).encode():
+            raise ValueError(
+                "html_pages.parquet at %s was generated with seed %s "
+                "but seed %d was requested — delete the stale file or "
+                "fix the caller" % (path, have_seed.decode(), seed)
             )
         return path
     rows = generate_html_pages(n_pages, seed=seed)
@@ -96,7 +108,9 @@ def ensure_html_pages(corpus_dir: str, n_pages: int, seed: int = 42) -> str:
             "page_id": [r["page_id"] for r in rows],
             "html": [r["html"] for r in rows],
         },
-        schema=PAGES_SCHEMA,
+        schema=PAGES_SCHEMA.with_metadata(
+            {b"html_pages_seed": str(seed).encode()}
+        ),
     )
     tmp = path + ".tmp"
     pq.write_table(tbl, tmp)
