@@ -88,6 +88,45 @@ def main() -> None:
         "shuffle joins with AQE, HashAggregates.",
     )
 
+    # persistent ANN index probes: the PartitionFilters proof (the
+    # 100-TB property — only probed bucket dirs are opened) now
+    # regenerates with the rest instead of living as a hand-pasted
+    # snippet
+    import tempfile
+
+    from webstruct_spark.operators.similarity import (
+        ann_index_topk,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = sorted(
+        (
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.where(F.col("vec_id") % 199 == 0).collect()
+        ),
+        key=lambda q: q[0],
+    )
+    idx_root = tempfile.mkdtemp(prefix="plans_ann_")
+    write_ann_index(emb, idx_root + "/lsh", kind="lsh", n_planes=8)
+    add(
+        "ann_index_topk probe (LSH index, partition-pruned read)",
+        ann_index_topk(spark, idx_root + "/lsh", qs, k=5, multiprobe=1),
+        "Expect: Scan parquet with PartitionFilters [bucket INSET …] "
+        "— only the probed bucket directories are opened (read volume "
+        "bucket-bounded, not corpus-bounded); MapInPandas exact "
+        "rerank; Sort+Window(row_number) global top-k merge.",
+    )
+    write_ann_index(emb, idx_root + "/ivf", kind="ivf", n_centroids=16)
+    add(
+        "ann_index_topk probe (IVF index, partition-pruned read)",
+        ann_index_topk(spark, idx_root + "/ivf", qs, k=5, n_probe=4),
+        "Expect: same shape as the LSH probe with PartitionFilters "
+        "over the n_probe nearest cells (centroids read from the "
+        "Spark-written _ann_centroids.parquet sidecar — no "
+        "driver-local file I/O anywhere in the path).",
+    )
+
     out = ["# PLANS — captured physical plans (sf0.001, local[8])\n"]
     out.append(
         "Generated by tools/explain_plans.py. The 'Expect' notes state\n"
@@ -96,9 +135,21 @@ def main() -> None:
     )
     for title, notes, plan in sections:
         out.append(f"\n## {title}\n\n{notes}\n\n```\n{plan}```\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
-        f.write("".join(out))
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    # preserve hand-curated sections (historical narratives, captured
+    # one-off plans) below the marker across regenerations
+    marker = "<!-- MANUAL SECTIONS BELOW"
+    manual_tail = ""
+    if os.path.exists(plans_path):
+        old = open(plans_path).read()
+        i = old.find(marker)
+        if i != -1:
+            manual_tail = "\n" + old[i:]
+    with open(plans_path, "w") as f:
+        f.write("".join(out) + manual_tail)
     print("wrote PLANS.md")
     spark.stop()
 
