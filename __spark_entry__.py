@@ -318,6 +318,32 @@ def _q_kg_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_annotation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-verifier workflow (the reference
+    annotation_verifier.py tree diff, re-expressed as a (token, tag)
+    stream diff): a deterministic corruption — ORG markers retagged
+    PER on crc32(conv_id)%7==0 conversations, the lockstep twin of
+    the gold builder's re.sub — is diffed against the original
+    corpus-wide in one Arrow-batched scan; only divergent rows
+    survive.  Gated vs gold_annotation_diffs.parquet (same
+    stream_diff kernel single-node — the gate pins the distributed
+    plumbing: corruption expr, batch iteration, row filtering)."""
+    from webstruct_spark.functions.annotation_qa import verify_annotations
+
+    t = _transcripts(spark, sf_dir)
+    pair = t.where(
+        F.crc32(F.col("conv_id").cast("binary")) % 7 == 0
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("left_m"),
+        F.regexp_replace(
+            "text", r"__(START|END)_ORG__", r"__$1_PER__"
+        ).alias("right_m"),
+    )
+    return verify_annotations(pair, "left_m", "right_m")
+
+
 def _q_domain_cv_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-grouped k-fold cross-validation workflow (the reference
     training example's GroupKFold-by-domain, example/ner/train.py):
@@ -730,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hashed_trained_mentions": _q_kg_hashed_trained_mentions,
         "kg_trained_dist_prf": _q_kg_trained_dist_prf,
         "domain_cv_f1": _q_domain_cv_f1,
+        "annotation_verify": _q_annotation_verify,
         "kg_mention_prf": _q_kg_mention_prf,
         "kg_macro_f1": _q_kg_macro_f1,
         "token_shape_dist": _q_token_shape_dist,
@@ -963,6 +990,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT fold, n_convs, tp, n_pred, n_gold,
                    precision_x1e6, recall_x1e6, f1_x1e6
             FROM read_parquet('{g("gold_domain_cv.parquet")}')
+        """,
+        "annotation_verify": f"""
+            SELECT conv_id, turn_idx, diff_idx, reason,
+                   "left", "right"
+            FROM read_parquet('{g("gold_annotation_diffs.parquet")}')
         """,
         "kg_trained_prf": f"""
             WITH p AS (

@@ -96,7 +96,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "11-domain-cv"  # bump when gold tables/semantics change
+GOLD_VERSION = "12-annotation-qa"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -478,6 +478,53 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
                 ("turn_idx", pa.int32()),
                 ("tok_idx", pa.int32()),
                 ("line", pa.string()),
+            ]
+        ),
+    )
+
+    # annotation-verifier gold (functions/annotation_qa.py twin): a
+    # deterministic corruption (ORG markers retagged PER on
+    # crc32(conv_id)%7==0 conversations) diffed against the original
+    # with the SAME stream_diff kernel the distributed
+    # verify_annotations runs — the gate pins the Spark plumbing
+    # (corruption expr lockstep, batch iteration, row filtering),
+    # like the shared-kernel twins elsewhere (lloyd_centroids,
+    # _pair_cosine).
+    import re as _re
+    import zlib as _zlib
+
+    from ..functions.annotation_qa import stream_diff
+
+    verify_rows: List[dict] = []
+    for r in rows:
+        if _zlib.crc32(r["conv_id"].encode("utf-8")) % 7 != 0:
+            continue
+        corrupted = _re.sub(
+            r"__(START|END)_ORG__", r"__\1_PER__", r["text"] or ""
+        )
+        d = stream_diff(r["text"], corrupted)
+        if d is not None:
+            verify_rows.append(
+                dict(
+                    conv_id=r["conv_id"],
+                    turn_idx=r["turn_idx"],
+                    diff_idx=d["idx"],
+                    reason=d["reason"],
+                    left=d["left"],
+                    right=d["right"],
+                )
+            )
+    write(
+        "gold_annotation_diffs.parquet",
+        verify_rows,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("diff_idx", pa.int32()),
+                ("reason", pa.string()),
+                ("left", pa.string()),
+                ("right", pa.string()),
             ]
         ),
     )
