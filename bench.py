@@ -242,6 +242,14 @@ def main() -> None:
 
     timed("q13_domain_cv", q13)
 
+    # q14: corpus-wide annotation verification (one Arrow-batched
+    # scan emitting only divergent rows — the QA pass a training-data
+    # pipeline runs after any annotation format conversion)
+    timed(
+        "q14_annotation_verify",
+        lambda: entry._q_annotation_verify(spark, sf_dir).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     extract_sec = timings["q1_mentions"]
     print(
