@@ -323,23 +323,26 @@ def _q_annotation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotation_verifier.py tree diff, re-expressed as a (token, tag)
     stream diff): a deterministic corruption — ORG markers retagged
     PER on crc32(conv_id)%7==0 conversations, the lockstep twin of
-    the gold builder's re.sub — is diffed against the original
-    corpus-wide in one Arrow-batched scan; only divergent rows
-    survive.  Gated vs gold_annotation_diffs.parquet (same
+    the gold builder's re.sub — is diffed against the original over
+    EVERY turn in one Arrow-batched scan (a real post-conversion QA
+    pass must diff all rows to certify the clean ones too, so the
+    stream_diff kernel runs corpus-wide; only divergent rows
+    survive).  Gated vs gold_annotation_diffs.parquet (same
     stream_diff kernel single-node — the gate pins the distributed
     plumbing: corruption expr, batch iteration, row filtering)."""
     from webstruct_spark.functions.annotation_qa import verify_annotations
 
     t = _transcripts(spark, sf_dir)
-    pair = t.where(
-        F.crc32(F.col("conv_id").cast("binary")) % 7 == 0
-    ).select(
+    pair = t.select(
         "conv_id",
         "turn_idx",
         F.col("text").alias("left_m"),
-        F.regexp_replace(
-            "text", r"__(START|END)_ORG__", r"__$1_PER__"
-        ).alias("right_m"),
+        F.when(
+            F.crc32(F.col("conv_id").cast("binary")) % 7 == 0,
+            F.regexp_replace(
+                "text", r"__(START|END)_ORG__", r"__$1_PER__"
+            ),
+        ).otherwise(F.col("text")).alias("right_m"),
     )
     return verify_annotations(pair, "left_m", "right_m")
 

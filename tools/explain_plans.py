@@ -21,6 +21,30 @@ def explain(df) -> str:
     return buf.getvalue()
 
 
+def _read_manual_tail(plans_path: str) -> str:
+    """Hand-curated sections below the marker survive regeneration.
+    Checked BEFORE the (minutes-long) plan capture so a mangled
+    marker fails fast instead of erasing the narrative at write
+    time."""
+    marker = "<!-- MANUAL SECTIONS BELOW"
+    if not os.path.exists(plans_path):
+        return ""
+    old = open(plans_path).read()
+    i = old.find(marker)
+    if i == -1:
+        # refuse to silently drop the hand-curated narrative: a
+        # mangled marker line would otherwise erase it with no error.
+        # Delete PLANS.md first if a clean regen without the manual
+        # tail is genuinely intended.
+        raise SystemExit(
+            "PLANS.md exists but the manual-tail marker "
+            f"({marker!r}) was not found — refusing to overwrite and "
+            "lose hand-curated sections. Restore the marker line or "
+            "remove PLANS.md to regenerate from scratch."
+        )
+    return "\n" + old[i:]
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -31,6 +55,12 @@ def main() -> None:
     from webstruct_spark.operators.grouping_op import group_entities
     from webstruct_spark.operators.triples_op import triples
     from webstruct_spark.session import get_spark
+
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    manual_tail = _read_manual_tail(plans_path)
 
     spark = get_spark("plans", cores=8, shuffle_partitions=8)
     corpus = entry._corpus_for(0.001)
@@ -108,24 +138,34 @@ def main() -> None:
         key=lambda q: q[0],
     )
     idx_root = tempfile.mkdtemp(prefix="plans_ann_")
-    write_ann_index(emb, idx_root + "/lsh", kind="lsh", n_planes=8)
-    add(
-        "ann_index_topk probe (LSH index, partition-pruned read)",
-        ann_index_topk(spark, idx_root + "/lsh", qs, k=5, multiprobe=1),
-        "Expect: Scan parquet with PartitionFilters [bucket INSET …] "
-        "— only the probed bucket directories are opened (read volume "
-        "bucket-bounded, not corpus-bounded); MapInPandas exact "
-        "rerank; Sort+Window(row_number) global top-k merge.",
-    )
-    write_ann_index(emb, idx_root + "/ivf", kind="ivf", n_centroids=16)
-    add(
-        "ann_index_topk probe (IVF index, partition-pruned read)",
-        ann_index_topk(spark, idx_root + "/ivf", qs, k=5, n_probe=4),
-        "Expect: same shape as the LSH probe with PartitionFilters "
-        "over the n_probe nearest cells (centroids read from the "
-        "Spark-written _ann_centroids.parquet sidecar — no "
-        "driver-local file I/O anywhere in the path).",
-    )
+    try:
+        write_ann_index(emb, idx_root + "/lsh", kind="lsh", n_planes=8)
+        add(
+            "ann_index_topk probe (LSH index, partition-pruned read)",
+            ann_index_topk(
+                spark, idx_root + "/lsh", qs, k=5, multiprobe=1
+            ),
+            "Expect: Scan parquet with PartitionFilters [bucket INSET …] "
+            "— only the probed bucket directories are opened (read volume "
+            "bucket-bounded, not corpus-bounded); MapInPandas exact "
+            "rerank; Sort+Window(row_number) global top-k merge.",
+        )
+        write_ann_index(emb, idx_root + "/ivf", kind="ivf", n_centroids=16)
+        add(
+            "ann_index_topk probe (IVF index, partition-pruned read)",
+            ann_index_topk(spark, idx_root + "/ivf", qs, k=5, n_probe=4),
+            "Expect: same shape as the LSH probe with PartitionFilters "
+            "over the n_probe nearest cells (centroids read from the "
+            "Spark-written _ann_centroids.parquet sidecar — no "
+            "driver-local file I/O anywhere in the path).",
+        )
+    finally:
+        # the plans are captured from .explain() strings; the two
+        # materialized index trees have no further use — don't leave
+        # orphaned parquet under /tmp on every regeneration
+        import shutil
+
+        shutil.rmtree(idx_root, ignore_errors=True)
 
     out = ["# PLANS — captured physical plans (sf0.001, local[8])\n"]
     out.append(
@@ -135,19 +175,8 @@ def main() -> None:
     )
     for title, notes, plan in sections:
         out.append(f"\n## {title}\n\n{notes}\n\n```\n{plan}```\n")
-    plans_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "PLANS.md",
-    )
-    # preserve hand-curated sections (historical narratives, captured
-    # one-off plans) below the marker across regenerations
-    marker = "<!-- MANUAL SECTIONS BELOW"
-    manual_tail = ""
-    if os.path.exists(plans_path):
-        old = open(plans_path).read()
-        i = old.find(marker)
-        if i != -1:
-            manual_tail = "\n" + old[i:]
+    # manual_tail was read (and the marker validated) before the
+    # plan capture started — see _read_manual_tail
     with open(plans_path, "w") as f:
         f.write("".join(out) + manual_tail)
     print("wrote PLANS.md")
