@@ -404,3 +404,47 @@ def test_packed_code_capacity_guard():
     m._n_tok = 1 << 21  # simulate an exhausted batch window
     with pytest.raises(RuntimeError, match="packed emission-code"):
         m._intern_token("overflow-token")
+
+
+def test_prepared_rows_byte_identical(spark):
+    """prepare_fit_rows + prepared= (the k-fold reuse path: featurize
+    once, filter per cut executor-side) must be byte-identical to the
+    turns= path — same shards, same full-triple sort, same features —
+    for both a full fit and a tag-filtered cut, pruned and unpruned."""
+    from pyspark import StorageLevel
+
+    from webstruct_spark.operators.trained import (
+        prepare_fit_rows,
+        train_crf_distributed,
+    )
+
+    turns = spark.read.parquet(CORPUS)
+    # tag = parity of crc32(conv_id): a stand-in for a CV fold column
+    tagged = turns.withColumn(
+        "tag", (F.crc32(F.col("conv_id").cast("binary")) % 2).cast("int")
+    )
+    prepared = prepare_fit_rows(
+        tagged, n_parts=4, tag_col="tag"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # full fit (no filter), default pruning
+        m_pre = train_crf_distributed(
+            None, n_parts=4, rounds=2, prepared=prepared
+        )
+        m_df = train_crf_distributed(turns, n_parts=4, rounds=2)
+        assert m_pre.export() == m_df.export()
+        # tag-filtered cut == explicit subset DataFrame, unpruned
+        sub = tagged.where(F.col("tag") != 0)
+        m_cut = train_crf_distributed(
+            None, n_parts=4, rounds=1, min_feat_df=None,
+            prepared=prepared, prepared_keep=lambda t: t != 0,
+        )
+        m_sub = train_crf_distributed(
+            sub, n_parts=4, rounds=1, min_feat_df=None
+        )
+        assert m_cut.export() == m_sub.export()
+        assert m_cut.export() != m_pre.export()
+    finally:
+        prepared.unpersist()
+    with pytest.raises(ValueError, match="sample"):
+        train_crf_distributed(None, sample=10, prepared=prepared)

@@ -96,12 +96,9 @@ def domain_group_kfold_eval(
     domain-grouped folds.  Returns (fold, n_convs, tp, n_pred, n_gold,
     precision_x1e6, recall_x1e6, f1_x1e6) — one row per non-empty
     fold, ascending."""
-    from webstruct_spark.operators.extract import mentions
-    from webstruct_spark.operators.metrics import set_prf
-    from webstruct_spark.operators.trained import (
-        crf_tagged_mentions,
-        train_crf_distributed,
-    )
+    from pyspark import StorageLevel
+
+    from webstruct_spark.operators.trained import prepare_fit_rows
 
     spark = turns.sparkSession
     # checkpoint the tiny fold table once: its lineage (infer_domain
@@ -129,19 +126,56 @@ def domain_group_kfold_eval(
             "distinct crc32(domain) %% k buckets"
             % (len(fold_sizes), k)
         )
+    # featurize the corpus ONCE: tokenization + gold encoding + token
+    # features are row-local and split-invariant, so the k-1 redundant
+    # passes a per-fold train_crf_distributed(train_turns) would run
+    # collapse into one prepared RDD; each fold's training cut is an
+    # executor-side tag filter over it (fold carried per row via the
+    # broadcast join — no driver-held id sets).  The inner join also
+    # reproduces the old left_semi drop of conv_ids absent from the
+    # folds table.
+    tagged = turns.join(F.broadcast(folds), "conv_id")
+    prepared = prepare_fit_rows(
+        tagged, n_parts=n_parts, tag_col="fold"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out_rows: List[tuple] = []
-    for fold in sorted(fold_sizes):
-        train_ids = F.broadcast(
-            folds.where(F.col("fold") != fold).select("conv_id")
+    try:
+        _kfold_run(
+            out_rows, turns, folds, fold_sizes, prepared,
+            n_parts, rounds, min_feat_df,
         )
+    finally:
+        prepared.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "fold int, n_convs long, tp long, n_pred long, n_gold long, "
+        "precision_x1e6 long, recall_x1e6 long, f1_x1e6 long",
+    )
+
+
+def _kfold_run(
+    out_rows, turns, folds, fold_sizes, prepared,
+    n_parts, rounds, min_feat_df,
+) -> None:
+    """Fold loop of :func:`domain_group_kfold_eval` (split out so the
+    prepared-RDD unpersist wraps it in one finally)."""
+    from webstruct_spark.operators.extract import mentions
+    from webstruct_spark.operators.metrics import set_prf
+    from webstruct_spark.operators.trained import (
+        crf_tagged_mentions,
+        train_crf_distributed,
+    )
+
+    for fold in sorted(fold_sizes):
         test_ids = F.broadcast(
             folds.where(F.col("fold") == fold).select("conv_id")
         )
-        train_turns = turns.join(train_ids, "conv_id", "left_semi")
         test_turns = turns.join(test_ids, "conv_id", "left_semi")
         model = train_crf_distributed(
-            train_turns, n_parts=n_parts, rounds=rounds,
+            None, n_parts=n_parts, rounds=rounds,
             min_feat_df=min_feat_df,
+            prepared=prepared,
+            prepared_keep=lambda t, _f=fold: t != _f,
         )
         # persist both sides: set_prf runs three counting jobs (tp
         # join, n_pred, n_gold) and would otherwise re-execute the
@@ -163,11 +197,6 @@ def domain_group_kfold_eval(
                 row["f1_x1e6"],
             )
         )
-    return spark.createDataFrame(
-        out_rows,
-        "fold int, n_convs long, tp long, n_pred long, n_gold long, "
-        "precision_x1e6 long, recall_x1e6 long, f1_x1e6 long",
-    )
 
 
 # -- single-node twin (pytest gate) ------------------------------------

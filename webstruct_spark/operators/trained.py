@@ -20,7 +20,7 @@ from __future__ import annotations
 import uuid
 from typing import Dict, List, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernel.bilou import encode_tokens
@@ -77,8 +77,73 @@ def train_crf_local(
 # -- distributed training (iterated parameter mixing) -------------------
 
 
-def train_crf_distributed(
+def prepare_fit_rows(
     turns: DataFrame,
+    n_parts: int = 8,
+    text_col: str = "text",
+    tag_col: str | None = None,
+):
+    """Row-granularity fit inputs for :func:`train_crf_distributed`:
+    an RDD of ``(pid, tag, (conv_id, turn_idx, text), seq, feats)``
+    identity-partitioned by ``pid = crc32(conv_id) % n_parts`` — the
+    same shard assignment the trainer uses — with tokenization, gold
+    BILOU encoding, and token-feature extraction already done per row.
+
+    Purpose: cross-validation reuse.  Tokenize/featurize are the
+    expensive, ROW-LOCAL, split-invariant part of every fit; a k-fold
+    caller (:func:`webstruct_spark.operators.domain_cv.
+    domain_group_kfold_eval`) prepares the corpus ONCE, persists the
+    result, and hands each fold's training cut to the trainer via
+    ``prepared=`` + ``prepared_keep=`` — k-1 redundant featurization
+    passes collapse into one, and the fold filter runs executor-side
+    on the per-row ``tag`` (no driver-held id sets).  Byte-identity
+    with the non-prepared path is guaranteed because the trainer
+    re-applies the identical per-shard full-triple sort before
+    grouping (pytest-gated in test_trained_crf).
+
+    ``tag_col`` names an int/str column carried per row (e.g. the CV
+    fold) for ``prepared_keep`` to filter on; None stores 0.
+
+    The caller owns persistence: ``rdd.persist(...)`` before the
+    first fit, ``unpersist()`` after the last.
+    """
+    from pyspark.sql import functions as F
+
+    from ..kernel.crf import token_features
+
+    cols = ["conv_id", "turn_idx", F.col(text_col).alias("text")]
+    if tag_col is not None:
+        cols.append(F.col(tag_col).alias("_tag"))
+    src = turns.select(*cols).withColumn(
+        "pid",
+        (F.crc32(F.col("conv_id").cast("binary")) % n_parts).cast("int"),
+    )
+    has_tag = tag_col is not None
+
+    def _featurize(kv):
+        pid, (key, tag) = kv
+        seq = labeled_sequences(key[2])
+        toks = seq[0]
+        feats = [token_features(toks, i) for i in range(len(toks))]
+        return pid, tag, key, seq, feats
+
+    return (
+        src.rdd.map(
+            lambda r, _t=has_tag: (
+                int(r["pid"]),
+                (
+                    (r["conv_id"], int(r["turn_idx"]), r["text"]),
+                    r["_tag"] if _t else 0,
+                ),
+            )
+        )
+        .partitionBy(n_parts, lambda pid: pid)
+        .map(_featurize, preservesPartitioning=True)
+    )
+
+
+def train_crf_distributed(
+    turns: DataFrame | None,
     entity_types=DEFAULT_TYPES,
     n_parts: int = 8,
     rounds: int = 4,
@@ -86,6 +151,8 @@ def train_crf_distributed(
     text_col: str = "text",
     min_feat_df: int | None = 2,
     feat_hash_dim: int | None = None,
+    prepared=None,
+    prepared_keep=None,
 ) -> CRFTagger:
     """Distributed CRF training over the FULL labeled corpus (or an
     optional bounded head) via iterated parameter mixing (McDonald,
@@ -142,6 +209,17 @@ def train_crf_distributed(
     output — exactly ONE model — is what the driver collects and
     broadcasts; the driver never holds n_parts simultaneous weight
     blobs (the round-3 scale caveat).
+
+    ``prepared``/``prepared_keep``: reuse path for k-fold callers.
+    ``prepared`` is a :func:`prepare_fit_rows` RDD (already
+    featurized, identity-partitioned with the same crc32 shards);
+    ``prepared_keep`` is an executor-side predicate over each row's
+    tag (e.g. ``lambda fold: fold != held_out``).  The trainer then
+    skips the corpus shuffle AND the featurization — only the fold
+    filter, the per-shard sort, and the fit rounds run — and stays
+    byte-identical to the ``turns=`` path (pytest
+    test_prepared_rows_byte_identical).  ``turns`` may be None in
+    this mode; ``sample=`` is rejected.
     """
     from itertools import chain
     from operator import add as _add
@@ -151,48 +229,80 @@ def train_crf_distributed(
 
     import numpy as np
 
-    spark = turns.sparkSession
-    src = turns.select("conv_id", "turn_idx", F.col(text_col).alias("text"))
-    if sample is not None:
-        # full-triple order: ties on (conv_id, turn_idx) would
-        # otherwise truncate nondeterministically, breaking the
-        # byte-identity contract with train_crf_mixed_local (which
-        # sorts whole (conv_id, turn_idx, text) triples)
-        src = src.orderBy("conv_id", "turn_idx", "text").limit(sample)
-    src = src.withColumn(
-        "pid",
-        (F.crc32(F.col("conv_id").cast("binary")) % n_parts).cast("int"),
-    )
-
-    def _prep(it):
-        # one shard per partition (identity partitioner); full-triple
-        # sort matches the single-node twin (a (conv_id, turn_idx)-only
-        # key would leave duplicate-key order to RDD arrival order),
-        # then tokenize + gold-encode + extract token features ONCE —
-        # all three are round-invariant, so the cached partition
-        # carries fit-ready inputs for every round
-        from ..kernel.crf import token_features
-
-        rows = sorted(it, key=lambda kv: kv[1])
-        if rows:
-            seqs = [labeled_sequences(tx) for _p, (_c, _t, tx) in rows]
-            feats = [
-                [token_features(toks, i) for i in range(len(toks))]
-                for toks, _tags in seqs
-            ]
-            yield rows[0][0], seqs, feats
-
-    parted = (
-        src.rdd.map(
-            lambda r: (
-                int(r["pid"]),
-                (r["conv_id"], int(r["turn_idx"]), r["text"]),
+    if prepared is not None:
+        if sample is not None:
+            raise ValueError(
+                "train_crf_distributed: sample= is incompatible with "
+                "prepared= (the head cut happens before featurization)"
             )
+        spark = SparkSession.getActiveSession() or (
+            SparkSession.builder.getOrCreate()
         )
-        .partitionBy(n_parts, lambda pid: pid)
-        .mapPartitions(_prep, preservesPartitioning=True)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+
+        def _prep_pre(it, _keep=prepared_keep):
+            # filter on the per-row tag (e.g. CV fold), then the SAME
+            # per-shard full-triple sort as the non-prepared path —
+            # (pid, seqs, feats) records come out byte-identical, so
+            # the mixed weights match the single-node twin exactly
+            rows = [
+                r for r in it if _keep is None or _keep(r[1])
+            ]
+            rows.sort(key=lambda r: r[2])
+            if rows:
+                yield (
+                    rows[0][0],
+                    [r[3] for r in rows],
+                    [r[4] for r in rows],
+                )
+
+        parted = prepared.mapPartitions(
+            _prep_pre, preservesPartitioning=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        spark = turns.sparkSession
+        src = turns.select(
+            "conv_id", "turn_idx", F.col(text_col).alias("text")
+        )
+        if sample is not None:
+            # full-triple order: ties on (conv_id, turn_idx) would
+            # otherwise truncate nondeterministically, breaking the
+            # byte-identity contract with train_crf_mixed_local (which
+            # sorts whole (conv_id, turn_idx, text) triples)
+            src = src.orderBy("conv_id", "turn_idx", "text").limit(sample)
+        src = src.withColumn(
+            "pid",
+            (F.crc32(F.col("conv_id").cast("binary")) % n_parts).cast("int"),
+        )
+
+        def _prep(it):
+            # one shard per partition (identity partitioner); full-triple
+            # sort matches the single-node twin (a (conv_id, turn_idx)-only
+            # key would leave duplicate-key order to RDD arrival order),
+            # then tokenize + gold-encode + extract token features ONCE —
+            # all three are round-invariant, so the cached partition
+            # carries fit-ready inputs for every round
+            from ..kernel.crf import token_features
+
+            rows = sorted(it, key=lambda kv: kv[1])
+            if rows:
+                seqs = [labeled_sequences(tx) for _p, (_c, _t, tx) in rows]
+                feats = [
+                    [token_features(toks, i) for i in range(len(toks))]
+                    for toks, _tags in seqs
+                ]
+                yield rows[0][0], seqs, feats
+
+        parted = (
+            src.rdd.map(
+                lambda r: (
+                    int(r["pid"]),
+                    (r["conv_id"], int(r["turn_idx"]), r["text"]),
+                )
+            )
+            .partitionBy(n_parts, lambda pid: pid)
+            .mapPartitions(_prep, preservesPartitioning=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     bc_wl = None
     try:
         prune = min_feat_df is not None and min_feat_df > 1
