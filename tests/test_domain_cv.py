@@ -111,3 +111,48 @@ def test_gold_domain_cv_matches_eval(spark, corpus_dir):
         ).to_pylist()
     )
     assert got == want
+
+
+def test_duplicate_conv_domain_rows_are_idempotent(spark):
+    """A conv_domains table that lists a conv_id twice (the API never
+    requires uniqueness) must not double that conversation's training
+    rows or inflate n_convs — the folds table dedups per conv, like
+    the twin's conv_id->domain dict."""
+    from webstruct_spark.operators.domain_cv import domain_group_kfold_eval
+
+    turns, cd = _conv_domains(spark)
+    doubled = cd.union(cd.limit(5))
+    base = sorted(
+        tuple(r)
+        for r in domain_group_kfold_eval(
+            turns, cd, k=3, n_parts=4, rounds=1
+        ).collect()
+    )
+    dup = sorted(
+        tuple(r)
+        for r in domain_group_kfold_eval(
+            turns, doubled, k=3, n_parts=4, rounds=1
+        ).collect()
+    )
+    assert dup == base
+
+
+def test_prepared_shard_mismatch_rejected(spark):
+    """prepare_fit_rows(n_parts=A) handed to the trainer with
+    n_parts=B must raise — shard layout comes from the prepared RDD,
+    so a silent mismatch would break the twin contract."""
+    import pytest
+
+    from webstruct_spark.operators.trained import (
+        prepare_fit_rows,
+        train_crf_distributed,
+    )
+
+    turns = spark.read.parquet(os.path.join(CORPUS, "transcripts.parquet"))
+    prepared = prepare_fit_rows(turns, n_parts=4)
+    with pytest.raises(ValueError, match="shards"):
+        train_crf_distributed(None, n_parts=8, prepared=prepared)
+    with pytest.raises(ValueError, match="turns= or prepared="):
+        train_crf_distributed(None, n_parts=4)
+    with pytest.raises(ValueError, match="prepared_keep"):
+        train_crf_distributed(turns, prepared_keep=lambda t: True)

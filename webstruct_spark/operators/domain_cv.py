@@ -107,6 +107,11 @@ def domain_group_kfold_eval(
     folds = (
         with_fold(conv_domains, k)
         .select("conv_id", "fold")
+        # one row per conversation, like the twin's conv_id->domain
+        # dict: a duplicated conv_id in conv_domains would otherwise
+        # duplicate its turns through the inner join below (the old
+        # left_semi cut was idempotent) and inflate n_convs
+        .dropDuplicates(["conv_id"])
         .localCheckpoint(eager=True)
     )
     fold_sizes = {

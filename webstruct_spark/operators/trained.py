@@ -20,7 +20,7 @@ from __future__ import annotations
 import uuid
 from typing import Dict, List, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel.bilou import encode_tokens
@@ -235,31 +235,28 @@ def train_crf_distributed(
                 "train_crf_distributed: sample= is incompatible with "
                 "prepared= (the head cut happens before featurization)"
             )
-        spark = SparkSession.getActiveSession() or (
-            SparkSession.builder.getOrCreate()
-        )
-
-        def _prep_pre(it, _keep=prepared_keep):
-            # filter on the per-row tag (e.g. CV fold), then the SAME
-            # per-shard full-triple sort as the non-prepared path —
-            # (pid, seqs, feats) records come out byte-identical, so
-            # the mixed weights match the single-node twin exactly
-            rows = [
-                r for r in it if _keep is None or _keep(r[1])
-            ]
-            rows.sort(key=lambda r: r[2])
-            if rows:
-                yield (
-                    rows[0][0],
-                    [r[3] for r in rows],
-                    [r[4] for r in rows],
-                )
-
-        parted = prepared.mapPartitions(
-            _prep_pre, preservesPartitioning=True
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if prepared.getNumPartitions() != n_parts:
+            # shard assignment comes from the prepared RDD, so a
+            # layout/n_parts mismatch would silently fit a different
+            # shard count than the caller (and the twin) believe
+            raise ValueError(
+                "train_crf_distributed: prepared RDD has %d shards "
+                "but n_parts=%d — prepare_fit_rows must be built "
+                "with the same n_parts"
+                % (prepared.getNumPartitions(), n_parts)
+            )
+        rows_src = prepared
+        keep = prepared_keep
     else:
-        spark = turns.sparkSession
+        if turns is None:
+            raise ValueError(
+                "train_crf_distributed: need turns= or prepared="
+            )
+        if prepared_keep is not None:
+            raise ValueError(
+                "train_crf_distributed: prepared_keep= requires "
+                "prepared= (it filters prepared rows, not turns)"
+            )
         src = turns.select(
             "conv_id", "turn_idx", F.col(text_col).alias("text")
         )
@@ -269,40 +266,33 @@ def train_crf_distributed(
             # byte-identity contract with train_crf_mixed_local (which
             # sorts whole (conv_id, turn_idx, text) triples)
             src = src.orderBy("conv_id", "turn_idx", "text").limit(sample)
-        src = src.withColumn(
-            "pid",
-            (F.crc32(F.col("conv_id").cast("binary")) % n_parts).cast("int"),
-        )
+        rows_src = prepare_fit_rows(src, n_parts=n_parts)
+        keep = None
+    # broadcasts must go through the context that owns the fit rows
+    # (not a thread-local "active" session, which can differ in
+    # multi-session drivers)
+    sc = rows_src.context
 
-        def _prep(it):
-            # one shard per partition (identity partitioner); full-triple
-            # sort matches the single-node twin (a (conv_id, turn_idx)-only
-            # key would leave duplicate-key order to RDD arrival order),
-            # then tokenize + gold-encode + extract token features ONCE —
-            # all three are round-invariant, so the cached partition
-            # carries fit-ready inputs for every round
-            from ..kernel.crf import token_features
-
-            rows = sorted(it, key=lambda kv: kv[1])
-            if rows:
-                seqs = [labeled_sequences(tx) for _p, (_c, _t, tx) in rows]
-                feats = [
-                    [token_features(toks, i) for i in range(len(toks))]
-                    for toks, _tags in seqs
-                ]
-                yield rows[0][0], seqs, feats
-
-        parted = (
-            src.rdd.map(
-                lambda r: (
-                    int(r["pid"]),
-                    (r["conv_id"], int(r["turn_idx"]), r["text"]),
-                )
+    def _prep_grp(it, _keep=keep):
+        # filter on the per-row tag (e.g. CV fold — None keeps all),
+        # then the per-shard FULL-TRIPLE sort: a (conv_id, turn_idx)-
+        # only key would leave duplicate-key order to RDD arrival
+        # order.  Both the turns= and prepared= paths group through
+        # this one function, so their (pid, seqs, feats) records are
+        # byte-identical BY CONSTRUCTION (and pytest-pinned vs the
+        # single-node twin).
+        rows = [r for r in it if _keep is None or _keep(r[1])]
+        rows.sort(key=lambda r: r[2])
+        if rows:
+            yield (
+                rows[0][0],
+                [r[3] for r in rows],
+                [r[4] for r in rows],
             )
-            .partitionBy(n_parts, lambda pid: pid)
-            .mapPartitions(_prep, preservesPartitioning=True)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+
+    parted = rows_src.mapPartitions(
+        _prep_grp, preservesPartitioning=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bc_wl = None
     try:
         prune = min_feat_df is not None and min_feat_df > 1
@@ -310,7 +300,7 @@ def train_crf_distributed(
             # global per-sequence document frequency over the cached
             # fit inputs; the whitelist collect is bounded by the
             # SHARED vocabulary (features appearing in >=2 sequences)
-            keep = (
+            wl_feats = (
                 parted.flatMap(
                     lambda rec: (
                         (f, 1)
@@ -323,7 +313,7 @@ def train_crf_distributed(
                 .keys()
                 .collect()
             )
-            bc_wl = spark.sparkContext.broadcast(frozenset(keep))
+            bc_wl = sc.broadcast(frozenset(wl_feats))
         model = CRFTagger(entity_types, feat_hash_dim=feat_hash_dim)
         if prune or feat_hash_dim:
             # one transform pass bakes BOTH round-invariant feature
@@ -358,7 +348,7 @@ def train_crf_distributed(
 
         tags = tuple(model.tags)
         for _round in range(rounds):
-            bc = spark.sparkContext.broadcast(model.export())
+            bc = sc.broadcast(model.export())
 
             def fit_part(it, _bc=bc):
                 for pid, seqs, feats in it:
