@@ -156,3 +156,60 @@ def test_prepared_shard_mismatch_rejected(spark):
         train_crf_distributed(None, n_parts=4)
     with pytest.raises(ValueError, match="prepared_keep"):
         train_crf_distributed(turns, prepared_keep=lambda t: True)
+
+
+def test_conflicting_domain_rows_deterministic_min(spark):
+    """A conv listed under TWO different domains must land in the
+    fold of min(domain) — deterministically — not whichever row a
+    dropDuplicates happens to keep."""
+    from pyspark.sql import functions as F
+
+    from webstruct_spark.operators.domain_cv import with_fold
+    from webstruct_spark.operators.domain_cv import domain_group_kfold_eval
+
+    turns, cd = _conv_domains(spark)
+    one = cd.orderBy("conv_id").limit(1).collect()[0]
+    conflict = spark.createDataFrame(
+        [(one["conv_id"], "aaa-first.example")], "conv_id string, domain string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in domain_group_kfold_eval(
+            turns, cd.union(conflict), k=3, n_parts=4, rounds=1
+        ).collect()
+    )
+    # min-collapsed explicitly == the conflicted table, run twice
+    collapsed = cd.union(conflict).groupBy("conv_id").agg(
+        F.min("domain").alias("domain")
+    )
+    want = sorted(
+        tuple(r)
+        for r in domain_group_kfold_eval(
+            turns, collapsed, k=3, n_parts=4, rounds=1
+        ).collect()
+    )
+    assert got == want
+    # and the conflicted conv's fold is pinned by the min domain
+    f = (
+        with_fold(collapsed, 3)
+        .where(F.col("conv_id") == one["conv_id"])
+        .collect()[0]
+    )
+    assert f["domain"] == min(one["domain"], "aaa-first.example")
+    assert f["fold"] == zlib.crc32(f["domain"].encode("utf-8")) % 3
+
+
+def test_prepared_partitioner_loss_rejected(spark):
+    """repartition() keeps the shard COUNT but destroys pid purity —
+    the trainer must reject a prepared RDD without a partitioner."""
+    import pytest
+
+    from webstruct_spark.operators.trained import (
+        prepare_fit_rows,
+        train_crf_distributed,
+    )
+
+    turns = spark.read.parquet(os.path.join(CORPUS, "transcripts.parquet"))
+    broken = prepare_fit_rows(turns, n_parts=4).repartition(4)
+    with pytest.raises(ValueError, match="partitioner"):
+        train_crf_distributed(None, n_parts=4, prepared=broken)

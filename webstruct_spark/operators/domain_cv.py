@@ -105,13 +105,21 @@ def domain_group_kfold_eval(
     # regex parse + rank windows in the synthetic pairing) would
     # otherwise re-execute for every train/test cut of every fold
     folds = (
-        with_fold(conv_domains, k)
+        with_fold(
+            # one row per conversation, like the twin's conv_id->domain
+            # dict: a duplicated conv_id in conv_domains would otherwise
+            # duplicate its turns through the inner join below (the old
+            # left_semi cut was idempotent) and inflate n_convs.  The
+            # collapse is min(domain) — DETERMINISTIC, unlike
+            # dropDuplicates' arbitrary row pick, so a conv listed with
+            # two CONFLICTING domains always lands in the same fold
+            # (a twin caller must apply the same min rule to its dict)
+            conv_domains.groupBy("conv_id").agg(
+                F.min("domain").alias("domain")
+            ),
+            k,
+        )
         .select("conv_id", "fold")
-        # one row per conversation, like the twin's conv_id->domain
-        # dict: a duplicated conv_id in conv_domains would otherwise
-        # duplicate its turns through the inner join below (the old
-        # left_semi cut was idempotent) and inflate n_convs
-        .dropDuplicates(["conv_id"])
         .localCheckpoint(eager=True)
     )
     fold_sizes = {
@@ -219,7 +227,9 @@ def domain_group_kfold_local(
     (conv_id, turn_idx, text) triples and a conv_id→domain dict:
     identical folds, byte-identical per-fold fits
     (train_crf_mixed_local), identical metric arithmetic.  Must stay
-    in lockstep."""
+    in lockstep.  If the source table lists one conv under several
+    domains, build the dict with the eval side's min(domain) rule —
+    ``domains[cid] = min(candidate_domains)`` — or folds diverge."""
     from webstruct_spark.kernel.bilou import decode_mentions
     from webstruct_spark.kernel.smartjoin import smart_join
     from webstruct_spark.operators.tagger import plain_tokens

@@ -245,6 +245,16 @@ def train_crf_distributed(
                 "with the same n_parts"
                 % (prepared.getNumPartitions(), n_parts)
             )
+        if prepared.partitioner is None:
+            # count alone can't prove shard purity: a repartition()
+            # or a pickle-file round-trip keeps 'n_parts partitions'
+            # but mixes pids within them, and _prep_grp labels each
+            # partition by its first row's pid — silent shard mixing
+            raise ValueError(
+                "train_crf_distributed: prepared RDD lost its "
+                "partitioner (repartitioned or reloaded?) — pass the "
+                "RDD exactly as prepare_fit_rows returned it"
+            )
         rows_src = prepared
         keep = prepared_keep
     else:
