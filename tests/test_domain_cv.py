@@ -213,3 +213,25 @@ def test_prepared_partitioner_loss_rejected(spark):
     broken = prepare_fit_rows(turns, n_parts=4).repartition(4)
     with pytest.raises(ValueError, match="partitioner"):
         train_crf_distributed(None, n_parts=4, prepared=broken)
+
+
+def test_fold_concurrency_identical(spark):
+    """Concurrent fold jobs (default fold_concurrency=4) must produce
+    exactly the sequential results — folds share only read-only
+    state, so this pins the thread path against regressions."""
+    from webstruct_spark.operators.domain_cv import domain_group_kfold_eval
+
+    turns, cd = _conv_domains(spark)
+    seq = sorted(
+        tuple(r)
+        for r in domain_group_kfold_eval(
+            turns, cd, k=3, n_parts=4, rounds=2, fold_concurrency=1
+        ).collect()
+    )
+    par = sorted(
+        tuple(r)
+        for r in domain_group_kfold_eval(
+            turns, cd, k=3, n_parts=4, rounds=2
+        ).collect()
+    )
+    assert par == seq
