@@ -30,6 +30,10 @@ def main() -> None:
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--n-parts", type=int, default=8)
     p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--fold-concurrency", type=int, default=4,
+                   help="concurrent fold jobs (1 = sequential; lower "
+                        "it on memory-tight clusters — each in-flight "
+                        "fold caches its own training cut)")
     p.add_argument("--cores", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = p.parse_args()
@@ -51,7 +55,8 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     cd = conv_domains_from_pages(turns, pages)
     res = domain_group_kfold_eval(
-        turns, cd, k=args.k, n_parts=args.n_parts, rounds=args.rounds
+        turns, cd, k=args.k, n_parts=args.n_parts, rounds=args.rounds,
+        fold_concurrency=args.fold_concurrency,
     )
     res.show(truncate=False)
     spark.stop()

@@ -107,7 +107,15 @@ def domain_group_kfold_eval(
     stages fill.  Measured at sf0.1/32 cores: 3 folds 25-27 s
     sequential vs 14.7-14.9 s concurrent (−42%).  On a cluster the
     same holds via the scheduler's FIFO interleave of independent
-    jobs."""
+    jobs.
+
+    Memory trade: each in-flight fold persists its own grouped
+    (k-1)/k training cut on top of the shared prepared RDD, so
+    steady-state cache is ~1 + concurrency*(k-1)/k corpus-featurized
+    copies (all MEMORY_AND_DISK — spills, never OOMs).  On
+    memory-tight clusters set fold_concurrency=1 (CLI:
+    ``--fold-concurrency``) to restore the sequential ~1 + (k-1)/k
+    bound."""
     from pyspark import StorageLevel
 
     from webstruct_spark.operators.trained import prepare_fit_rows
@@ -185,10 +193,14 @@ def _kfold_run(
     """Fold loop of :func:`domain_group_kfold_eval` (split out so the
     prepared-RDD unpersist wraps it in one finally).  Folds share only
     read-only state (the persisted prepared RDD, the checkpointed
-    folds table), so they are safe to run as concurrent Spark jobs;
-    ``ThreadPoolExecutor.map`` preserves ascending fold order and
-    re-raises the first fold's exception."""
-    from concurrent.futures import ThreadPoolExecutor
+    folds table), so they are safe to run as concurrent Spark jobs.
+    Threads go through :func:`pyspark.inheritable_thread_target` so
+    the caller's job group / local properties propagate and the
+    pinned-mode JVM peer threads are cleaned up on thread exit; the
+    first fold failure cancels every still-QUEUED fold (an in-flight
+    fold's Spark job runs out — cancellation is queue-level) and
+    re-raises.  Output rows are ascending by fold either way."""
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
     from webstruct_spark.operators.extract import mentions
     from webstruct_spark.operators.metrics import set_prf
@@ -231,9 +243,28 @@ def _kfold_run(
     workers = max(1, min(int(fold_concurrency), len(fold_ids)))
     if workers == 1:
         out_rows.extend(run_fold(f) for f in fold_ids)
-    else:
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            out_rows.extend(ex.map(run_fold, fold_ids))
+        return
+    try:
+        from pyspark import inheritable_thread_target
+        try:
+            # Spark >= 4: session-form also inherits session tags
+            target = inheritable_thread_target(turns.sparkSession)(
+                run_fold
+            )
+        except Exception:  # pragma: no cover — pre-tag pyspark
+            target = inheritable_thread_target(run_fold)
+    except ImportError:  # pragma: no cover — ancient pyspark
+        target = run_fold
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {ex.submit(target, f): f for f in fold_ids}
+        done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+        failed = next((f for f in done if f.exception() is not None), None)
+        if failed is not None:
+            for fut in not_done:
+                fut.cancel()
+            raise failed.exception()
+        results = {futs[fut]: fut.result() for fut in done}
+        out_rows.extend(results[f] for f in fold_ids)
 
 
 # -- single-node twin (pytest gate) ------------------------------------

@@ -506,7 +506,12 @@ def crf_tagged_mentions(
         m = _CRF_CACHE.get(cache_key)
         if m is None:
             m = CRFTagger.from_export(bc.value)
-            _CRF_CACHE.clear()
+            # small LRU, not clear-all: concurrent jobs (e.g. the CV
+            # workflow's parallel folds) interleave tasks with
+            # DIFFERENT models on reused worker processes — a single
+            # slot would rebuild from the broadcast on every switch
+            while len(_CRF_CACHE) >= 4:
+                _CRF_CACHE.pop(next(iter(_CRF_CACHE)))
             _CRF_CACHE[cache_key] = m
         return m
 
