@@ -30,6 +30,9 @@ def main() -> None:
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument("--force", action="store_true",
                    help="ignore committed stages and rebuild everything")
+    p.add_argument("--stage-concurrency", type=int, default=4,
+                   help="independent DAG stages run as this many "
+                        "concurrent Spark jobs (1 = strict sequential)")
     args = p.parse_args()
 
     from webstruct_spark.plans.pipeline import build_kg
@@ -40,7 +43,9 @@ def main() -> None:
 
     spark = get_spark("kg_build", cores=args.cores)
     try:
-        paths = build_kg(spark, args.corpus_dir, args.out, resume=not args.force)
+        paths = build_kg(spark, args.corpus_dir, args.out,
+                         resume=not args.force,
+                         stage_concurrency=args.stage_concurrency)
         summary = {
             stage: spark.read.parquet(path).count()
             for stage, path in paths.items()

@@ -173,3 +173,34 @@ def test_manifest_lineage_counters(spark, corpus_dir, tmp_path):
         assert rec["rows_out"] == spark.read.parquet(path).count()
         assert rec["n_files"] >= 1
         assert all(f["rows"] >= 0 for f in rec["files"])
+
+
+def test_concurrent_stages_equal_sequential(spark, corpus_dir, tmp_path):
+    """stage_concurrency > 1 runs independent DAG stages as concurrent
+    Spark jobs; every stage table must equal the strict-sequential
+    build row-for-row, and the manifest must hold exactly one commit
+    per stage (completion order is free)."""
+    import json
+
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import STAGES, build_kg
+
+    seq_dir = str(tmp_path / "seq")
+    con_dir = str(tmp_path / "con")
+    seq = build_kg(spark, corpus_dir, seq_dir, stage_concurrency=1)
+    con = build_kg(spark, corpus_dir, con_dir, stage_concurrency=4)
+    assert set(seq) == set(con) == set(STAGES)
+    for stage in STAGES:
+        a = spark.read.parquet(seq[stage])
+        b = spark.read.parquet(con[stage])
+        assert _rows(a, a.columns) == _rows(b, b.columns), stage
+    for d in (seq_dir, con_dir):
+        recs = [
+            json.loads(line)
+            for line in open(Manifest(d).path)
+            if line.strip()
+        ]
+        counts = {}
+        for r in recs:
+            counts[r["stage"]] = counts.get(r["stage"], 0) + 1
+        assert counts == {s: 1 for s in STAGES}

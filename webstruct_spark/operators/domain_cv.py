@@ -193,15 +193,15 @@ def _kfold_run(
     """Fold loop of :func:`domain_group_kfold_eval` (split out so the
     prepared-RDD unpersist wraps it in one finally).  Folds share only
     read-only state (the persisted prepared RDD, the checkpointed
-    folds table), so they are safe to run as concurrent Spark jobs.
-    Threads go through :func:`pyspark.inheritable_thread_target` so
-    the caller's job group / local properties propagate and the
-    pinned-mode JVM peer threads are cleaned up on thread exit; the
-    first fold failure cancels every still-QUEUED fold (an in-flight
-    fold's Spark job runs out — cancellation is queue-level) and
-    re-raises.  Output rows are ascending by fold either way."""
-    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+    folds table), so they are safe to run as concurrent Spark jobs via
+    :func:`webstruct_spark.concurrency.run_concurrent_jobs` — the
+    first fold failure cancels every still-QUEUED fold AND interrupts
+    the in-flight folds' Spark jobs (shared job group,
+    ``interruptOnCancel``), then re-raises.  Output rows are ascending
+    by fold either way."""
+    import functools
 
+    from webstruct_spark.concurrency import run_concurrent_jobs
     from webstruct_spark.operators.extract import mentions
     from webstruct_spark.operators.metrics import set_prf
     from webstruct_spark.operators.trained import (
@@ -241,30 +241,12 @@ def _kfold_run(
 
     fold_ids = sorted(fold_sizes)
     workers = max(1, min(int(fold_concurrency), len(fold_ids)))
-    if workers == 1:
-        out_rows.extend(run_fold(f) for f in fold_ids)
-        return
-    try:
-        from pyspark import inheritable_thread_target
-        try:
-            # Spark >= 4: session-form also inherits session tags
-            target = inheritable_thread_target(turns.sparkSession)(
-                run_fold
-            )
-        except Exception:  # pragma: no cover — pre-tag pyspark
-            target = inheritable_thread_target(run_fold)
-    except ImportError:  # pragma: no cover — ancient pyspark
-        target = run_fold
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        futs = {ex.submit(target, f): f for f in fold_ids}
-        done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
-        failed = next((f for f in done if f.exception() is not None), None)
-        if failed is not None:
-            for fut in not_done:
-                fut.cancel()
-            raise failed.exception()
-        results = {futs[fut]: fut.result() for fut in done}
-        out_rows.extend(results[f] for f in fold_ids)
+    results = run_concurrent_jobs(
+        turns.sparkSession,
+        [(str(f), functools.partial(run_fold, f)) for f in fold_ids],
+        workers,
+    )
+    out_rows.extend(results[str(f)] for f in fold_ids)
 
 
 # -- single-node twin (pytest gate) ------------------------------------

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -25,21 +26,43 @@ import pyarrow.parquet as pq
 
 
 class Manifest:
+    """Commit records are append-only JSON lines; :meth:`commit` holds a
+    per-instance lock so stages finishing on concurrent driver threads
+    (pipeline.build_kg ``stage_concurrency`` > 1) never interleave
+    partial lines.  Record ORDER in the file is completion order and
+    carries no meaning — resume reads the whole file into a per-stage
+    dict."""
+
     def __init__(self, out_dir: str, layout_version: str = "1"):
         self.out_dir = out_dir
         self.layout_version = layout_version
         self.path = os.path.join(out_dir, "manifest.jsonl")
+        self._append_lock = threading.Lock()
         os.makedirs(out_dir, exist_ok=True)
 
     def committed(self) -> Dict[str, dict]:
-        out: Dict[str, dict] = {}
-        if os.path.exists(self.path):
+        # the lock also serializes reads against same-process appends
+        # (a commit record can exceed one write() syscall once `files`
+        # lists hundreds of part files); a torn TRAILING line — a
+        # different-process writer killed mid-append — is treated as
+        # uncommitted, but a corrupt interior line still raises
+        with self._append_lock:
+            if not os.path.exists(self.path):
+                return {}
             with open(self.path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        rec = json.loads(line)
-                        out[rec["stage"]] = rec
+                lines = f.read().splitlines()
+        out: Dict[str, dict] = {}
+        for i, line in enumerate(lines):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    break
+                raise
+            out[rec["stage"]] = rec
         return out
 
     def is_committed(self, stage: str) -> bool:
@@ -86,6 +109,7 @@ class Manifest:
             wall_sec=round(wall_sec, 3),
             committed_utc_ns=time.time_ns(),
         )
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        with self._append_lock:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         return rec

@@ -26,8 +26,9 @@ import os
 import time
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
+from ..concurrency import run_concurrent_jobs
 from ..operators.canon import canonicalize
 from ..operators.extract import extract_rows, mentions_from_rows
 from ..operators.grouping_op import DEFAULT_DONT_PENALIZE, group_entities
@@ -58,8 +59,25 @@ def build_kg(
     out_dir: str,
     resume: bool = True,
     dont_penalize=DEFAULT_DONT_PENALIZE,
+    stage_concurrency: int = 4,
 ) -> Dict[str, str]:
-    """Run (or resume) the staged build. Returns stage -> output path."""
+    """Run (or resume) the staged build. Returns stage -> output path.
+
+    ``stage_concurrency``: independent stages of the DAG run as
+    concurrent Spark jobs from driver threads (1 = strict sequential).
+    mentions ∥ group_entities once `extracted` commits, then
+    groups ∥ triples ∥ canonicalize — safe because every stage reads
+    only COMMITTED upstream parquet (immutable once written), writes
+    its own directory, and manifest appends are lock-serialized.  The
+    win is the same as domain_cv's fold concurrency: canonicalize is
+    an iterative driver-barrier loop (large-star/small-star rounds)
+    whose executor gaps the groups/triples scans fill; on a cluster
+    the scheduler's FIFO interleave of independent jobs does the same.
+    Tasks are submitted in topological order, so a worker can only
+    block on futures submitted earlier — no deadlock at any pool
+    size ≥ 1 (see :func:`..concurrency.run_concurrent_jobs`, which
+    also cancels queued stages AND interrupts in-flight sibling Spark
+    jobs on the first stage failure)."""
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
 
     def committed(stage: str) -> bool:
@@ -93,49 +111,83 @@ def build_kg(
         os.path.join(corpus_dir, "gazetteer.parquet")
     )
 
-    paths: Dict[str, str] = {}
+    # -- stage tasks (each waits on its deps' futures, then builds) ----
+    futs: Dict[str, object] = {}
 
-    paths["extracted"] = run_stage(
-        "extracted", lambda: extract_rows(transcripts)
-    )
-    extracted = spark.read.parquet(paths["extracted"])
+    def _dep(name: str) -> str:
+        f = futs[name]
+        return f if isinstance(f, str) else f.result()
 
-    paths["mentions"] = run_stage(
-        "mentions", lambda: mentions_from_rows(extracted)
-    )
-    mentions_df = spark.read.parquet(paths["mentions"])
+    def t_extracted() -> str:
+        return run_stage("extracted", lambda: extract_rows(transcripts))
 
-    paths["group_entities"] = run_stage(
-        "group_entities",
-        lambda: group_entities(extracted, dont_penalize=dont_penalize),
-    )
-    ge = spark.read.parquet(paths["group_entities"])
+    def t_mentions() -> str:
+        ex = spark.read.parquet(_dep("extracted"))
+        return run_stage("mentions", lambda: mentions_from_rows(ex))
 
-    paths["groups"] = run_stage("groups", lambda: groups_summary(ge))
-    paths["triples"] = run_stage("triples", lambda: triples_op(ge))
+    def t_group_entities() -> str:
+        ex = spark.read.parquet(_dep("extracted"))
+        return run_stage(
+            "group_entities",
+            lambda: group_entities(ex, dont_penalize=dont_penalize),
+        )
 
-    if not (committed("links") and committed("nodes")):
-        links_df, nodes_df = canonicalize(mentions_df, gazetteer)
-        t0 = time.time()
-        if not committed("links"):
-            links_df.write.mode("overwrite").parquet(man.stage_path("links"))
-            man.commit("links", time.time() - t0,
-                       inputs=STAGE_INPUTS["links"])
-        t0 = time.time()
-        if not committed("nodes"):
-            nodes_df.write.mode("overwrite").parquet(man.stage_path("nodes"))
-            man.commit("nodes", time.time() - t0,
-                       inputs=STAGE_INPUTS["nodes"])
-    paths["links"] = man.stage_path("links")
-    paths["nodes"] = man.stage_path("nodes")
+    def t_groups() -> str:
+        ge = spark.read.parquet(_dep("group_entities"))
+        return run_stage("groups", lambda: groups_summary(ge))
 
-    links_tbl = spark.read.parquet(paths["links"])
-    triples_tbl = spark.read.parquet(paths["triples"])
+    def t_triples() -> str:
+        ge = spark.read.parquet(_dep("group_entities"))
+        return run_stage("triples", lambda: triples_op(ge))
 
-    def edges_builder() -> DataFrame:
+    def t_canon() -> str:
+        # links+nodes share one canonicalize() computation, so they
+        # commit as one task; returns the links path (nodes path is
+        # man.stage_path("nodes")).
+        if not (committed("links") and committed("nodes")):
+            mentions_df = spark.read.parquet(_dep("mentions"))
+            links_df, nodes_df = canonicalize(mentions_df, gazetteer)
+            t0 = time.time()
+            if not committed("links"):
+                links_df.write.mode("overwrite").parquet(
+                    man.stage_path("links")
+                )
+                man.commit("links", time.time() - t0,
+                           inputs=STAGE_INPUTS["links"])
+            t0 = time.time()
+            if not committed("nodes"):
+                nodes_df.write.mode("overwrite").parquet(
+                    man.stage_path("nodes")
+                )
+                man.commit("nodes", time.time() - t0,
+                           inputs=STAGE_INPUTS["nodes"])
+        return man.stage_path("links")
+
+    def t_edges() -> str:
         from ..operators.graph import materialize_edges
 
-        return materialize_edges(triples_tbl, links_tbl)
+        links_tbl = spark.read.parquet(_dep("canon"))
+        triples_tbl = spark.read.parquet(_dep("triples"))
+        return run_stage(
+            "edges", lambda: materialize_edges(triples_tbl, links_tbl)
+        )
 
-    paths["edges"] = run_stage("edges", edges_builder)
+    # topological submission order (every task's deps appear earlier)
+    TASKS = [
+        ("extracted", t_extracted),
+        ("mentions", t_mentions),
+        ("group_entities", t_group_entities),
+        ("groups", t_groups),
+        ("triples", t_triples),
+        ("canon", t_canon),
+        ("edges", t_edges),
+    ]
+
+    run_concurrent_jobs(
+        spark, TASKS, max(1, int(stage_concurrency)), futs=futs
+    )
+
+    paths = {name: _dep(name) for name, _fn in TASKS if name != "canon"}
+    paths["links"] = man.stage_path("links")
+    paths["nodes"] = man.stage_path("nodes")
     return paths
