@@ -33,9 +33,16 @@ def main() -> None:
     p.add_argument("--stage-concurrency", type=int, default=4,
                    help="independent DAG stages run as this many "
                         "concurrent Spark jobs (1 = strict sequential)")
+    p.add_argument("--append", action="store_true",
+                   help="treat --corpus-dir as a DELTA of new "
+                        "conversations appended to the existing build "
+                        "at --out (per-conversation stages file-append; "
+                        "links/nodes/edges recompute over the union)")
     args = p.parse_args()
+    if args.append and args.force:
+        p.error("--append and --force are mutually exclusive")
 
-    from webstruct_spark.plans.pipeline import build_kg
+    from webstruct_spark.plans.pipeline import append_kg, build_kg
     from webstruct_spark.session import get_spark
 
     if args.force and os.path.exists(args.out):
@@ -43,9 +50,13 @@ def main() -> None:
 
     spark = get_spark("kg_build", cores=args.cores)
     try:
-        paths = build_kg(spark, args.corpus_dir, args.out,
-                         resume=not args.force,
-                         stage_concurrency=args.stage_concurrency)
+        if args.append:
+            paths = append_kg(spark, args.corpus_dir, args.out,
+                              stage_concurrency=args.stage_concurrency)
+        else:
+            paths = build_kg(spark, args.corpus_dir, args.out,
+                             resume=not args.force,
+                             stage_concurrency=args.stage_concurrency)
         summary = {
             stage: spark.read.parquet(path).count()
             for stage, path in paths.items()

@@ -204,3 +204,133 @@ def test_concurrent_stages_equal_sequential(spark, corpus_dir, tmp_path):
         for r in recs:
             counts[r["stage"]] = counts.get(r["stage"], 0) + 1
         assert counts == {s: 1 for s in STAGES}
+
+
+def test_resume_refuses_changed_corpus(spark, corpus_dir, tmp_path):
+    """resume=True against a DIFFERENT corpus must rebuild every
+    stage from the new source, not serve the old corpus's committed
+    outputs (source fingerprints are recorded per commit)."""
+    import shutil
+
+    from webstruct_spark.plans.pipeline import build_kg
+
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_dir, out)
+    stale_mentions = _rows(
+        spark.read.parquet(os.path.join(out, "mentions")),
+        ["conv_id", "turn_idx", "mention_idx", "text"],
+    )
+
+    # corpus B: same tables, half the conversations
+    corpus_b = str(tmp_path / "corpus_b")
+    os.makedirs(corpus_b)
+    t = spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+    keep = set(convs[: len(convs) // 2])
+    t.where(F.col("conv_id").isin(keep)).write.parquet(
+        os.path.join(corpus_b, "transcripts.parquet")
+    )
+    gaz_src = os.path.join(corpus_dir, "gazetteer.parquet")
+    gaz_dst = os.path.join(corpus_b, "gazetteer.parquet")
+    if os.path.isdir(gaz_src):
+        shutil.copytree(gaz_src, gaz_dst)
+    else:
+        shutil.copy(gaz_src, gaz_dst)
+
+    paths = build_kg(spark, corpus_b, out)  # resume=True (default)
+    fresh = _rows(
+        spark.read.parquet(paths["mentions"]),
+        ["conv_id", "turn_idx", "mention_idx", "text"],
+    )
+    assert fresh != stale_mentions
+    assert {r[0] for r in fresh} <= keep
+
+
+def _split_corpus(spark, corpus_dir, tmp_path):
+    """corpus_dir split by conv_id into (corpus_a, corpus_b, union)."""
+    import shutil
+
+    t = spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+    out = []
+    for name, pred in (
+        ("corpus_a", F.col("conv_id").isin(half)),
+        ("corpus_b", ~F.col("conv_id").isin(half)),
+        ("corpus_u", F.lit(True)),
+    ):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        t.where(pred).write.parquet(os.path.join(d, "transcripts.parquet"))
+        gaz_src = os.path.join(corpus_dir, "gazetteer.parquet")
+        gaz_dst = os.path.join(d, "gazetteer.parquet")
+        if os.path.isdir(gaz_src):
+            shutil.copytree(gaz_src, gaz_dst)
+        else:
+            shutil.copy(gaz_src, gaz_dst)
+        out.append(d)
+    return out
+
+
+def test_append_kg_equals_fresh_union_build(spark, corpus_dir, tmp_path):
+    """build on corpus A, append corpus B: every stage table must be
+    row-identical to a fresh build over A∪B — including the GLOBAL
+    tables (links/nodes/edges), where B's surfaces can merge A's
+    components and relabel node ids."""
+    from webstruct_spark.plans.pipeline import STAGES, append_kg, build_kg
+
+    corpus_a, corpus_b, corpus_u = _split_corpus(spark, corpus_dir, tmp_path)
+
+    inc_dir = str(tmp_path / "inc")
+    build_kg(spark, corpus_a, inc_dir)
+    inc = append_kg(spark, corpus_b, inc_dir)
+
+    fresh_dir = str(tmp_path / "fresh")
+    fresh = build_kg(spark, corpus_u, fresh_dir)
+
+    def none_safe_rows(df):
+        cols = sorted(df.columns)
+        return sorted(
+            repr(tuple(r[c] for c in cols))
+            for r in df.select(*cols).collect()
+        )
+
+    for stage in STAGES:
+        a = spark.read.parquet(inc[stage])
+        b = spark.read.parquet(fresh[stage])
+        assert none_safe_rows(a) == none_safe_rows(b), stage
+
+
+def test_append_kg_guards(spark, corpus_dir, tmp_path):
+    """Overlapping conv_ids and a changed gazetteer must raise; so
+    must an incomplete base build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from webstruct_spark.plans.pipeline import append_kg, build_kg
+
+    corpus_a, corpus_b, _ = _split_corpus(spark, corpus_dir, tmp_path)
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    # same conv_ids again -> at-least-once double-append hazard
+    with pytest.raises(ValueError, match="conv_ids"):
+        append_kg(spark, corpus_a, out)
+
+    # changed gazetteer -> node identity would silently shift
+    import shutil
+
+    corpus_c = str(tmp_path / "corpus_c")
+    shutil.copytree(corpus_b, corpus_c)
+    gaz = os.path.join(corpus_c, "gazetteer.parquet")
+    if os.path.isdir(gaz):
+        tbl_file = sorted(
+            f for f in os.listdir(gaz) if f.endswith(".parquet")
+        )[0]
+        tbl_path = os.path.join(gaz, tbl_file)
+    else:
+        tbl_path = gaz
+    tbl = pq_mod.read_table(tbl_path)
+    pq_mod.write_table(tbl.slice(0, max(1, tbl.num_rows - 1)), tbl_path)
+    with pytest.raises(ValueError, match="gazetteer"):
+        append_kg(spark, corpus_c, out)

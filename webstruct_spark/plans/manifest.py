@@ -25,6 +25,27 @@ from typing import Dict, List, Optional
 import pyarrow.parquet as pq
 
 
+def table_fingerprint(path: str) -> dict:
+    """rows+bytes of a parquet table (single file or Spark-written
+    part-file dir) from the footers — no data scan.  A swapped or
+    regenerated source table virtually never keeps both identical, so
+    this is the resume-identity check for `Manifest.is_committed`."""
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = [
+            os.path.join(path, n)
+            for n in sorted(os.listdir(path))
+            if n.endswith(".parquet")
+        ]
+    rows = 0
+    nbytes = 0
+    for fp in files:
+        rows += pq.read_metadata(fp).num_rows
+        nbytes += os.path.getsize(fp)
+    return {"rows": rows, "bytes": nbytes}
+
+
 class Manifest:
     """Commit records are append-only JSON lines; :meth:`commit` holds a
     per-instance lock so stages finishing on concurrent driver threads
@@ -65,13 +86,22 @@ class Manifest:
             out[rec["stage"]] = rec
         return out
 
-    def is_committed(self, stage: str) -> bool:
+    def is_committed(self, stage: str,
+                     source_fp: Optional[dict] = None) -> bool:
         rec = self.committed().get(stage)
         if not rec:
             return False
         # a commit from an older table layout must not be resumed into
         # — rebuild instead of silently serving stale-schema outputs
         if rec.get("layout", "1") != self.layout_version:
+            return False
+        # a commit built from DIFFERENT source tables must not be
+        # resumed into either: every stage records the run's source
+        # fingerprint (rows+bytes per input table, from the parquet
+        # footers), so pointing the same out_dir at a changed corpus
+        # rebuilds instead of serving stale outputs.  A record without
+        # one (pre-fingerprint manifest) is unverifiable → rebuild.
+        if source_fp is not None and rec.get("source_fp") != source_fp:
             return False
         # the stage dir must still look committed on disk
         return os.path.exists(
@@ -82,7 +112,8 @@ class Manifest:
         return os.path.join(self.out_dir, stage)
 
     def commit(self, stage: str, wall_sec: float,
-               inputs: Optional[List[str]] = None) -> dict:
+               inputs: Optional[List[str]] = None,
+               source_fp: Optional[dict] = None) -> dict:
         """Collect lineage from the written parquet dir and append the
         commit record."""
         path = self.stage_path(stage)
@@ -102,6 +133,7 @@ class Manifest:
             stage=stage,
             layout=self.layout_version,
             inputs=list(inputs or []),
+            **({"source_fp": source_fp} if source_fp is not None else {}),
             rows_out=rows,
             n_files=len(files),
             bytes=total_bytes,

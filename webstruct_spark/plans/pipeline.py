@@ -26,14 +26,14 @@ import os
 import time
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from ..concurrency import run_concurrent_jobs
 from ..operators.canon import canonicalize
 from ..operators.extract import extract_rows, mentions_from_rows
 from ..operators.grouping_op import DEFAULT_DONT_PENALIZE, group_entities
 from ..operators.triples_op import groups_summary, triples as triples_op
-from .manifest import Manifest
+from .manifest import Manifest, table_fingerprint
 
 from pyspark.sql import functions as F
 
@@ -51,6 +51,17 @@ STAGES = [
     "nodes",
     "edges",
 ]
+
+STAGE_INPUTS = {
+    "extracted": ["transcripts"],
+    "mentions": ["extracted"],
+    "group_entities": ["extracted"],
+    "groups": ["group_entities"],
+    "triples": ["group_entities"],
+    "links": ["mentions", "gazetteer"],
+    "nodes": ["mentions", "gazetteer"],
+    "edges": ["triples", "links"],
+}
 
 
 def build_kg(
@@ -80,19 +91,20 @@ def build_kg(
     jobs on the first stage failure)."""
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
 
-    def committed(stage: str) -> bool:
-        return resume and man.is_committed(stage)
-
-    STAGE_INPUTS = {
-        "extracted": ["transcripts"],
-        "mentions": ["extracted"],
-        "group_entities": ["extracted"],
-        "groups": ["group_entities"],
-        "triples": ["group_entities"],
-        "links": ["mentions", "gazetteer"],
-        "nodes": ["mentions", "gazetteer"],
-        "edges": ["triples", "links"],
+    # run identity: a resume against a CHANGED corpus must rebuild, not
+    # serve stale stages — every commit records the source tables'
+    # footer fingerprints and is_committed refuses a mismatch
+    source_fp = {
+        "transcripts": table_fingerprint(
+            os.path.join(corpus_dir, "transcripts.parquet")
+        ),
+        "gazetteer": table_fingerprint(
+            os.path.join(corpus_dir, "gazetteer.parquet")
+        ),
     }
+
+    def committed(stage: str) -> bool:
+        return resume and man.is_committed(stage, source_fp=source_fp)
 
     def run_stage(stage: str, df_builder) -> str:
         path = man.stage_path(stage)
@@ -101,7 +113,8 @@ def build_kg(
         t0 = time.time()
         df = df_builder()
         df.write.mode("overwrite").parquet(path)
-        man.commit(stage, time.time() - t0, inputs=STAGE_INPUTS.get(stage))
+        man.commit(stage, time.time() - t0, inputs=STAGE_INPUTS.get(stage),
+                   source_fp=source_fp)
         return path
 
     transcripts = spark.read.parquet(
@@ -153,14 +166,16 @@ def build_kg(
                     man.stage_path("links")
                 )
                 man.commit("links", time.time() - t0,
-                           inputs=STAGE_INPUTS["links"])
+                           inputs=STAGE_INPUTS["links"],
+                           source_fp=source_fp)
             t0 = time.time()
             if not committed("nodes"):
                 nodes_df.write.mode("overwrite").parquet(
                     man.stage_path("nodes")
                 )
                 man.commit("nodes", time.time() - t0,
-                           inputs=STAGE_INPUTS["nodes"])
+                           inputs=STAGE_INPUTS["nodes"],
+                           source_fp=source_fp)
         return man.stage_path("links")
 
     def t_edges() -> str:
@@ -187,6 +202,197 @@ def build_kg(
         spark, TASKS, max(1, int(stage_concurrency)), futs=futs
     )
 
+    paths = {name: _dep(name) for name, _fn in TASKS if name != "canon"}
+    paths["links"] = man.stage_path("links")
+    paths["nodes"] = man.stage_path("nodes")
+    return paths
+
+
+def append_kg(
+    spark: SparkSession,
+    new_corpus_dir: str,
+    out_dir: str,
+    dont_penalize=DEFAULT_DONT_PENALIZE,
+    stage_concurrency: int = 4,
+) -> Dict[str, str]:
+    """Append NEW conversations to an existing KG build — the
+    incremental path for a corpus that grows after the initial build
+    (counterpart of similarity.append_to_ann_index for the flagship
+    pipeline).  Output is row-identical to a fresh :func:`build_kg`
+    over the union corpus (pytest-gated), because:
+
+    * extracted/mentions/group_entities/groups/triples are strictly
+      per-conversation (ids are ``conv_id:gNNNN``; every window is
+      partitioned by conv_id), so for DISJOINT conv_ids the delta's
+      rows are exactly the union's new rows — parquet
+      ``mode("append")`` file-adds, the 100 TB history is never
+      re-extracted or re-shuffled.
+    * links/nodes/edges are GLOBAL (a new surface can merge two old
+      components, relabeling node_ids to a new min member key), so
+      they are recomputed over the union and overwritten.  That
+      recompute scans only the slim union mentions/triples tables —
+      orders of magnitude smaller than the corpus — and the CC runs
+      on the distinct-surface star graph (1-2 rounds), so the
+      expensive corpus-scale work stays append-only.
+
+    Guards: every stage of the base build must be committed; the
+    gazetteer must be byte-identical (same footer fingerprint) to the
+    base build's — node identity depends on it; overlapping conv_ids
+    raise (an at-least-once retry that re-appends the same delta
+    would silently double every per-conversation table — re-run
+    build_kg from scratch or de-duplicate the delta first).  The same
+    check makes a CRASHED append fail-safe: once the delta's
+    extracted rows landed, a blind retry sees the overlap and raises
+    instead of double-appending — recovery is a fresh build_kg (or
+    removing the delta's part files by hand).  On a real deployment
+    each appended stage would be one Iceberg append snapshot and the
+    retry story becomes snapshot rollback.
+
+    Each appended/recomputed stage appends a fresh manifest record
+    whose source fingerprint is the element-wise SUM of the base's
+    and the delta's (the union identity) — so a later
+    ``build_kg(resume=True)`` against either original corpus alone
+    correctly refuses to resume into the appended output.
+    """
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
+    base = man.committed()
+    missing = [s for s in STAGES if not man.is_committed(s)]
+    if missing:
+        raise ValueError(
+            "append_kg needs a fully committed base build; missing "
+            "stages: %s" % ", ".join(missing)
+        )
+
+    new_fp = {
+        "transcripts": table_fingerprint(
+            os.path.join(new_corpus_dir, "transcripts.parquet")
+        ),
+        "gazetteer": table_fingerprint(
+            os.path.join(new_corpus_dir, "gazetteer.parquet")
+        ),
+    }
+    base_fp = base["extracted"].get("source_fp")
+    if base_fp is None:
+        raise ValueError(
+            "append_kg needs a base build with recorded source "
+            "fingerprints (rebuild once with this version)"
+        )
+    if base_fp["gazetteer"] != new_fp["gazetteer"]:
+        raise ValueError(
+            "append_kg: gazetteer differs from the base build's "
+            "(%r vs %r) — node identity depends on it; rebuild"
+            % (base_fp["gazetteer"], new_fp["gazetteer"])
+        )
+    union_fp = {
+        "transcripts": {
+            k: base_fp["transcripts"][k] + new_fp["transcripts"][k]
+            for k in ("rows", "bytes")
+        },
+        "gazetteer": base_fp["gazetteer"],
+    }
+
+    transcripts_b = spark.read.parquet(
+        os.path.join(new_corpus_dir, "transcripts.parquet")
+    )
+    gazetteer = spark.read.parquet(
+        os.path.join(new_corpus_dir, "gazetteer.parquet")
+    )
+
+    overlap = (
+        spark.read.parquet(man.stage_path("extracted"))
+        .select("conv_id").distinct()
+        .join(transcripts_b.select("conv_id").distinct(), "conv_id")
+        .limit(1).count()
+    )
+    if overlap:
+        raise ValueError(
+            "append_kg: delta shares conv_ids with the base build — "
+            "appending would double their rows; de-duplicate first"
+        )
+
+    def commit_write(stage: str, df, mode: str) -> str:
+        path = man.stage_path(stage)
+        t0 = time.time()
+        df.write.mode(mode).parquet(path)
+        man.commit(
+            stage, time.time() - t0,
+            inputs=[("delta:" if mode == "append" else "union:") + i
+                    for i in STAGE_INPUTS[stage]],
+            source_fp=union_fp,
+        )
+        return path
+
+    futs: Dict[str, object] = {}
+    # delta DataFrames shared across tasks — each is localCheckpointed
+    # by its producer BEFORE the producer's future resolves, so a
+    # consumer that has waited on _dep(producer) reads computed blocks
+    state: Dict[str, DataFrame] = {}
+
+    def _dep(name: str) -> str:
+        f = futs[name]
+        return f if isinstance(f, str) else f.result()
+
+    def t_extracted() -> str:
+        ex_b = extract_rows(transcripts_b).localCheckpoint(eager=True)
+        state["ex_b"] = ex_b
+        return commit_write("extracted", ex_b, "append")
+
+    def t_mentions() -> str:
+        _dep("extracted")
+        return commit_write(
+            "mentions", mentions_from_rows(state["ex_b"]), "append"
+        )
+
+    def t_group_entities() -> str:
+        _dep("extracted")
+        ge_b = group_entities(
+            state["ex_b"], dont_penalize=dont_penalize
+        ).localCheckpoint(eager=True)
+        state["ge_b"] = ge_b
+        return commit_write("group_entities", ge_b, "append")
+
+    def t_groups() -> str:
+        _dep("group_entities")
+        return commit_write(
+            "groups", groups_summary(state["ge_b"]), "append"
+        )
+
+    def t_triples() -> str:
+        _dep("group_entities")
+        return commit_write(
+            "triples", triples_op(state["ge_b"]), "append"
+        )
+
+    def t_canon() -> str:
+        # global: recompute over the UNION mentions (slim table)
+        mentions_union = spark.read.parquet(_dep("mentions"))
+        links_df, nodes_df = canonicalize(mentions_union, gazetteer)
+        commit_write("links", links_df, "overwrite")
+        commit_write("nodes", nodes_df, "overwrite")
+        return man.stage_path("links")
+
+    def t_edges() -> str:
+        from ..operators.graph import materialize_edges
+
+        links_tbl = spark.read.parquet(_dep("canon"))
+        triples_union = spark.read.parquet(_dep("triples"))
+        return commit_write(
+            "edges", materialize_edges(triples_union, links_tbl),
+            "overwrite",
+        )
+
+    TASKS = [
+        ("extracted", t_extracted),
+        ("mentions", t_mentions),
+        ("group_entities", t_group_entities),
+        ("groups", t_groups),
+        ("triples", t_triples),
+        ("canon", t_canon),
+        ("edges", t_edges),
+    ]
+    run_concurrent_jobs(
+        spark, TASKS, max(1, int(stage_concurrency)), futs=futs
+    )
     paths = {name: _dep(name) for name, _fn in TASKS if name != "canon"}
     paths["links"] = man.stage_path("links")
     paths["nodes"] = man.stage_path("nodes")
