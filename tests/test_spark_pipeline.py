@@ -206,46 +206,6 @@ def test_concurrent_stages_equal_sequential(spark, corpus_dir, tmp_path):
         assert counts == {s: 1 for s in STAGES}
 
 
-def test_resume_refuses_changed_corpus(spark, corpus_dir, tmp_path):
-    """resume=True against a DIFFERENT corpus must rebuild every
-    stage from the new source, not serve the old corpus's committed
-    outputs (source fingerprints are recorded per commit)."""
-    import shutil
-
-    from webstruct_spark.plans.pipeline import build_kg
-
-    out = str(tmp_path / "kg")
-    build_kg(spark, corpus_dir, out)
-    stale_mentions = _rows(
-        spark.read.parquet(os.path.join(out, "mentions")),
-        ["conv_id", "turn_idx", "mention_idx", "text"],
-    )
-
-    # corpus B: same tables, half the conversations
-    corpus_b = str(tmp_path / "corpus_b")
-    os.makedirs(corpus_b)
-    t = spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))
-    convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
-    keep = set(convs[: len(convs) // 2])
-    t.where(F.col("conv_id").isin(keep)).write.parquet(
-        os.path.join(corpus_b, "transcripts.parquet")
-    )
-    gaz_src = os.path.join(corpus_dir, "gazetteer.parquet")
-    gaz_dst = os.path.join(corpus_b, "gazetteer.parquet")
-    if os.path.isdir(gaz_src):
-        shutil.copytree(gaz_src, gaz_dst)
-    else:
-        shutil.copy(gaz_src, gaz_dst)
-
-    paths = build_kg(spark, corpus_b, out)  # resume=True (default)
-    fresh = _rows(
-        spark.read.parquet(paths["mentions"]),
-        ["conv_id", "turn_idx", "mention_idx", "text"],
-    )
-    assert fresh != stale_mentions
-    assert {r[0] for r in fresh} <= keep
-
-
 def _split_corpus(spark, corpus_dir, tmp_path):
     """corpus_dir split by conv_id into (corpus_a, corpus_b, union)."""
     import shutil
@@ -270,6 +230,36 @@ def _split_corpus(spark, corpus_dir, tmp_path):
             shutil.copy(gaz_src, gaz_dst)
         out.append(d)
     return out
+
+
+def test_resume_refuses_changed_corpus(spark, corpus_dir, tmp_path):
+    """resume=True against a DIFFERENT corpus must rebuild every
+    stage from the new source, not serve the old corpus's committed
+    outputs (source fingerprints are recorded per commit)."""
+    from webstruct_spark.plans.pipeline import build_kg
+
+    corpus_a, _corpus_b, _ = _split_corpus(spark, corpus_dir, tmp_path)
+    keep = {
+        r[0]
+        for r in spark.read.parquet(
+            os.path.join(corpus_a, "transcripts.parquet")
+        ).select("conv_id").distinct().collect()
+    }
+
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_dir, out)
+    stale_mentions = _rows(
+        spark.read.parquet(os.path.join(out, "mentions")),
+        ["conv_id", "turn_idx", "mention_idx", "text"],
+    )
+
+    paths = build_kg(spark, corpus_a, out)  # resume=True (default)
+    fresh = _rows(
+        spark.read.parquet(paths["mentions"]),
+        ["conv_id", "turn_idx", "mention_idx", "text"],
+    )
+    assert fresh != stale_mentions
+    assert {r[0] for r in fresh} <= keep
 
 
 def test_append_kg_equals_fresh_union_build(spark, corpus_dir, tmp_path):
@@ -317,6 +307,32 @@ def test_append_kg_guards(spark, corpus_dir, tmp_path):
     with pytest.raises(ValueError, match="conv_ids"):
         append_kg(spark, corpus_a, out)
 
+    # different grouping params than the base -> delta's groups/triples
+    # would not match a fresh union build
+    with pytest.raises(ValueError, match="params"):
+        append_kg(spark, corpus_b, out, dont_penalize={"TEL"})
+
+    # torn base (a crashed earlier append left stages at different
+    # source identities) -> refuse before appending anything
+    import json
+
+    from webstruct_spark.plans.manifest import Manifest
+
+    man = Manifest(out)
+    rec = dict(man.committed()["groups"])
+    rec["source_fp"] = dict(rec["source_fp"],
+                            transcripts={"rows": 1, "bytes": 1,
+                                         "n_files": 1})
+    with open(man.path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    with pytest.raises(ValueError, match="source identity"):
+        append_kg(spark, corpus_b, out)
+    # restore a consistent manifest for the gazetteer check below
+    recs = [json.loads(l) for l in open(man.path) if l.strip()]
+    with open(man.path, "w") as f:
+        for r in recs[:-1]:
+            f.write(json.dumps(r) + "\n")
+
     # changed gazetteer -> node identity would silently shift
     import shutil
 
@@ -334,3 +350,14 @@ def test_append_kg_guards(spark, corpus_dir, tmp_path):
     pq_mod.write_table(tbl.slice(0, max(1, tbl.num_rows - 1)), tbl_path)
     with pytest.raises(ValueError, match="gazetteer"):
         append_kg(spark, corpus_c, out)
+
+
+def test_table_fingerprint_raises_on_empty_dir(tmp_path):
+    """An all-zero fingerprint would compare equal across every
+    unsupported layout — fail loudly instead."""
+    from webstruct_spark.plans.manifest import table_fingerprint
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    with pytest.raises(ValueError, match="no .parquet files"):
+        table_fingerprint(d)

@@ -26,10 +26,17 @@ import pyarrow.parquet as pq
 
 
 def table_fingerprint(path: str) -> dict:
-    """rows+bytes of a parquet table (single file or Spark-written
-    part-file dir) from the footers — no data scan.  A swapped or
-    regenerated source table virtually never keeps both identical, so
-    this is the resume-identity check for `Manifest.is_committed`."""
+    """(row count, total bytes, file count) of a parquet table (single
+    file or flat Spark-written part-file dir) from the footers — no
+    data scan.  This is the resume-identity check for
+    `Manifest.is_committed`: a swapped or regenerated table virtually
+    never keeps all three identical.  NOT a content hash — a
+    same-size, same-row-count in-place edit passes; the guard's job is
+    catching pointed-at-the-wrong-corpus and regenerated-corpus
+    mistakes, not adversarial substitution.  Raises on a dir with no
+    top-level .parquet files (nested/Hive-partitioned layouts are
+    unsupported) rather than returning an all-zero fingerprint every
+    such dir would share."""
     if os.path.isfile(path):
         files = [path]
     else:
@@ -38,12 +45,17 @@ def table_fingerprint(path: str) -> dict:
             for n in sorted(os.listdir(path))
             if n.endswith(".parquet")
         ]
+    if not files:
+        raise ValueError(
+            "table_fingerprint: no .parquet files at %r (nested/"
+            "partitioned layouts are not supported)" % path
+        )
     rows = 0
     nbytes = 0
     for fp in files:
         rows += pq.read_metadata(fp).num_rows
         nbytes += os.path.getsize(fp)
-    return {"rows": rows, "bytes": nbytes}
+    return {"rows": rows, "bytes": nbytes, "n_files": len(files)}
 
 
 class Manifest:

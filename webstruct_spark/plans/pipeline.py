@@ -26,6 +26,7 @@ import os
 import time
 from typing import Dict, List, Optional, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 from ..concurrency import run_concurrent_jobs
@@ -91,9 +92,11 @@ def build_kg(
     jobs on the first stage failure)."""
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
 
-    # run identity: a resume against a CHANGED corpus must rebuild, not
-    # serve stale stages — every commit records the source tables'
-    # footer fingerprints and is_committed refuses a mismatch
+    # run identity: a resume against a CHANGED corpus (or changed
+    # grouping params — they shape group_entities/groups/triples just
+    # as the gazetteer shapes nodes) must rebuild, not serve stale
+    # stages — every commit records the source tables' footer
+    # fingerprints + params and is_committed refuses a mismatch
     source_fp = {
         "transcripts": table_fingerprint(
             os.path.join(corpus_dir, "transcripts.parquet")
@@ -101,6 +104,7 @@ def build_kg(
         "gazetteer": table_fingerprint(
             os.path.join(corpus_dir, "gazetteer.parquet")
         ),
+        "params": {"dont_penalize": sorted(dont_penalize or [])},
     }
 
     def committed(stage: str) -> bool:
@@ -235,10 +239,12 @@ def append_kg(
       on the distinct-surface star graph (1-2 rounds), so the
       expensive corpus-scale work stays append-only.
 
-    Guards: every stage of the base build must be committed; the
-    gazetteer must be byte-identical (same footer fingerprint) to the
-    base build's — node identity depends on it; overlapping conv_ids
-    raise (an at-least-once retry that re-appends the same delta
+    Guards: every stage of the base build must be committed and agree
+    on source identity; the gazetteer and the grouping params must
+    match the base build's (gazetteer by footer fingerprint —
+    rows+bytes+file count, not a content hash, see
+    :func:`.manifest.table_fingerprint` — node identity depends on
+    it); overlapping conv_ids raise (an at-least-once retry that re-appends the same delta
     would silently double every per-conversation table — re-run
     build_kg from scratch or de-duplicate the delta first).  The same
     check makes a CRASHED append fail-safe: once the delta's
@@ -277,18 +283,40 @@ def append_kg(
             "append_kg needs a base build with recorded source "
             "fingerprints (rebuild once with this version)"
         )
+    # every stage must carry the SAME source identity: a crashed
+    # earlier append can leave extracted at A+B while groups is still
+    # at A — a later disjoint delta would then build on a base with
+    # permanently missing rows, with no guard tripping
+    torn = [
+        s for s in STAGES if base[s].get("source_fp") != base_fp
+    ]
+    if torn:
+        raise ValueError(
+            "append_kg: base stages disagree on source identity "
+            "(%s) — a previous append crashed mid-run; rebuild with "
+            "build_kg" % ", ".join(torn)
+        )
     if base_fp["gazetteer"] != new_fp["gazetteer"]:
         raise ValueError(
             "append_kg: gazetteer differs from the base build's "
             "(%r vs %r) — node identity depends on it; rebuild"
             % (base_fp["gazetteer"], new_fp["gazetteer"])
         )
+    params = {"dont_penalize": sorted(dont_penalize or [])}
+    if base_fp.get("params") != params:
+        raise ValueError(
+            "append_kg: grouping params differ from the base build's "
+            "(%r vs %r) — the delta's groups/triples would not match "
+            "a fresh union build; pass the base's params or rebuild"
+            % (base_fp.get("params"), params)
+        )
     union_fp = {
         "transcripts": {
             k: base_fp["transcripts"][k] + new_fp["transcripts"][k]
-            for k in ("rows", "bytes")
+            for k in ("rows", "bytes", "n_files")
         },
         "gazetteer": base_fp["gazetteer"],
+        "params": params,
     }
 
     transcripts_b = spark.read.parquet(
@@ -323,9 +351,11 @@ def append_kg(
         return path
 
     futs: Dict[str, object] = {}
-    # delta DataFrames shared across tasks — each is localCheckpointed
-    # by its producer BEFORE the producer's future resolves, so a
-    # consumer that has waited on _dep(producer) reads computed blocks
+    # delta DataFrames shared across tasks — each producer persists
+    # its DataFrame and materializes it (via its own append write)
+    # BEFORE its future resolves, so a consumer that has waited on
+    # _dep(producer) reads cached blocks instead of recomputing the
+    # extract/grouping chain; the finally below frees them
     state: Dict[str, DataFrame] = {}
 
     def _dep(name: str) -> str:
@@ -333,7 +363,9 @@ def append_kg(
         return f if isinstance(f, str) else f.result()
 
     def t_extracted() -> str:
-        ex_b = extract_rows(transcripts_b).localCheckpoint(eager=True)
+        ex_b = extract_rows(transcripts_b).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         state["ex_b"] = ex_b
         return commit_write("extracted", ex_b, "append")
 
@@ -347,7 +379,7 @@ def append_kg(
         _dep("extracted")
         ge_b = group_entities(
             state["ex_b"], dont_penalize=dont_penalize
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         state["ge_b"] = ge_b
         return commit_write("group_entities", ge_b, "append")
 
@@ -390,9 +422,16 @@ def append_kg(
         ("canon", t_canon),
         ("edges", t_edges),
     ]
-    run_concurrent_jobs(
-        spark, TASKS, max(1, int(stage_concurrency)), futs=futs
-    )
+    try:
+        run_concurrent_jobs(
+            spark, TASKS, max(1, int(stage_concurrency)), futs=futs
+        )
+    finally:
+        # release the delta's cached blocks deterministically — a
+        # long-lived driver running periodic appends must not rely on
+        # GC + ContextCleaner to free executor storage
+        for df in state.values():
+            df.unpersist()
     paths = {name: _dep(name) for name, _fn in TASKS if name != "canon"}
     paths["links"] = man.stage_path("links")
     paths["nodes"] = man.stage_path("nodes")
