@@ -1,0 +1,118 @@
+# -*- coding: utf-8 -*-
+"""Streaming KG ingestion: file-drop micro-batches folded into an
+existing build via foreachBatch + append_kg_frames, exactly-once."""
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _none_safe_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        repr(tuple(r[c] for c in cols))
+        for r in df.select(*cols).collect()
+    )
+
+
+@pytest.fixture()
+def thirds(spark, corpus_dir, tmp_path):
+    """Corpus split by conv_id into three conversation-complete
+    parts: A (base build corpus dir), B and C (delta DataFrames)."""
+    t = spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+    third = len(convs) // 3
+    a, b = set(convs[:third]), set(convs[third : 2 * third])
+
+    corpus_a = str(tmp_path / "corpus_a")
+    os.makedirs(corpus_a)
+    t.where(F.col("conv_id").isin(a)).write.parquet(
+        os.path.join(corpus_a, "transcripts.parquet")
+    )
+    gaz_src = os.path.join(corpus_dir, "gazetteer.parquet")
+    gaz_dst = os.path.join(corpus_a, "gazetteer.parquet")
+    if os.path.isdir(gaz_src):
+        shutil.copytree(gaz_src, gaz_dst)
+    else:
+        shutil.copy(gaz_src, gaz_dst)
+    df_b = t.where(F.col("conv_id").isin(b))
+    df_c = t.where(~F.col("conv_id").isin(a | b))
+    return corpus_a, df_b, df_c, gaz_dst
+
+
+def test_stream_ingest_equals_fresh_union(spark, corpus_dir, tmp_path, thirds):
+    """Two conversation-complete file drops consumed as separate
+    micro-batches (maxFilesPerTrigger=1) must leave every stage table
+    row-identical to a fresh batch build over the full corpus, and a
+    second availableNow run over the same input dir must be a no-op
+    (checkpoint remembers consumed files)."""
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import STAGES, build_kg
+    from webstruct_spark.streaming.kg_ingest import ingest_transcripts_stream
+
+    corpus_a, df_b, df_c, gaz_path = thirds
+
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    # two file drops, one part file each (conversation-complete)
+    input_dir = str(tmp_path / "drops")
+    for df in (df_b, df_c):
+        df.repartition(1).write.mode("append").parquet(input_dir)
+
+    ckpt = str(tmp_path / "ckpt")
+    ingest_transcripts_stream(
+        spark, input_dir, out, gaz_path, ckpt, max_files_per_trigger=1
+    )
+
+    fresh_dir = str(tmp_path / "fresh")
+    fresh = build_kg(spark, corpus_dir, fresh_dir)
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(fresh[stage])
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+    # the ids of both micro-batches were stamped into the manifest
+    last_fp = Manifest(out).committed()["edges"]["source_fp"]
+    assert last_fp["stream_batch_id"] == 1
+    assert last_fp["transcripts"]["bytes"] == -1  # not file-backed
+
+    # re-run over the same input: checkpoint yields no new files
+    before = os.path.getmtime(os.path.join(out, "manifest.jsonl"))
+    ingest_transcripts_stream(
+        spark, input_dir, out, gaz_path, ckpt, max_files_per_trigger=1
+    )
+    assert os.path.getmtime(os.path.join(out, "manifest.jsonl")) == before
+
+
+def test_replayed_batch_is_noop(spark, tmp_path, thirds):
+    """foreachBatch is at-least-once: re-applying an already-committed
+    batch_id must not write anything (exactly-once via the manifest's
+    stream_batch_id stamp)."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    append_kg_frames(spark, df_b, gaz, gaz_fp, out, batch_id=0)
+    man = Manifest(out)
+    recs_before = open(man.path).read()
+    rows_before = spark.read.parquet(
+        os.path.join(out, "extracted")
+    ).count()
+
+    # replay of batch 0 — and an empty later batch — are both no-ops
+    append_kg_frames(spark, df_b, gaz, gaz_fp, out, batch_id=0)
+    append_kg_frames(
+        spark, df_b.limit(0), gaz, gaz_fp, out, batch_id=1
+    )
+    assert open(man.path).read() == recs_before
+    assert (
+        spark.read.parquet(os.path.join(out, "extracted")).count()
+        == rows_before
+    )

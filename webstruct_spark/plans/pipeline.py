@@ -260,6 +260,65 @@ def append_kg(
     ``build_kg(resume=True)`` against either original corpus alone
     correctly refuses to resume into the appended output.
     """
+    transcripts_b = spark.read.parquet(
+        os.path.join(new_corpus_dir, "transcripts.parquet")
+    )
+    gazetteer = spark.read.parquet(
+        os.path.join(new_corpus_dir, "gazetteer.parquet")
+    )
+    return append_kg_frames(
+        spark, transcripts_b, gazetteer,
+        gazetteer_fp=table_fingerprint(
+            os.path.join(new_corpus_dir, "gazetteer.parquet")
+        ),
+        out_dir=out_dir,
+        dont_penalize=dont_penalize,
+        stage_concurrency=stage_concurrency,
+        delta_transcripts_fp=table_fingerprint(
+            os.path.join(new_corpus_dir, "transcripts.parquet")
+        ),
+    )
+
+
+def _fp_add(a: dict, b: dict) -> dict:
+    """Element-wise fingerprint sum; -1 (not file-backed, e.g. a
+    streaming micro-batch) is absorbing."""
+    return {
+        k: (a[k] + b[k] if a[k] >= 0 and b[k] >= 0 else -1)
+        for k in ("rows", "bytes", "n_files")
+    }
+
+
+def append_kg_frames(
+    spark: SparkSession,
+    transcripts_b: DataFrame,
+    gazetteer: DataFrame,
+    gazetteer_fp: dict,
+    out_dir: str,
+    dont_penalize=DEFAULT_DONT_PENALIZE,
+    stage_concurrency: int = 4,
+    delta_transcripts_fp: Optional[dict] = None,
+    batch_id: Optional[int] = None,
+) -> Dict[str, str]:
+    """DataFrame-based core of :func:`append_kg` — also the
+    foreachBatch body for streaming ingestion
+    (:mod:`webstruct_spark.streaming.kg_ingest`).
+
+    ``delta_transcripts_fp``: footer fingerprint of the delta when it
+    is file-backed; None means a frame-only delta (streaming batch) —
+    its row count is measured and bytes/n_files recorded as the -1
+    "not file-backed" sentinel (after which build_kg can never
+    resume-match this out_dir against a corpus dir, which is correct:
+    it no longer corresponds to one).
+
+    ``batch_id``: monotone micro-batch id for EXACTLY-ONCE streaming
+    appends — the id is stamped into every commit record's source
+    fingerprint, and a replayed batch (foreachBatch is at-least-once
+    after a failure) with id ≤ the last committed one returns without
+    writing anything.  The conv_id-overlap guard remains the backstop
+    for replays that slip past (e.g. a new checkpoint dir restarting
+    ids at 0): they raise instead of double-appending.
+    """
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
     base = man.committed()
     missing = [s for s in STAGES if not man.is_committed(s)]
@@ -269,14 +328,6 @@ def append_kg(
             "stages: %s" % ", ".join(missing)
         )
 
-    new_fp = {
-        "transcripts": table_fingerprint(
-            os.path.join(new_corpus_dir, "transcripts.parquet")
-        ),
-        "gazetteer": table_fingerprint(
-            os.path.join(new_corpus_dir, "gazetteer.parquet")
-        ),
-    }
     base_fp = base["extracted"].get("source_fp")
     if base_fp is None:
         raise ValueError(
@@ -296,11 +347,11 @@ def append_kg(
             "(%s) — a previous append crashed mid-run; rebuild with "
             "build_kg" % ", ".join(torn)
         )
-    if base_fp["gazetteer"] != new_fp["gazetteer"]:
+    if base_fp["gazetteer"] != gazetteer_fp:
         raise ValueError(
             "append_kg: gazetteer differs from the base build's "
             "(%r vs %r) — node identity depends on it; rebuild"
-            % (base_fp["gazetteer"], new_fp["gazetteer"])
+            % (base_fp["gazetteer"], gazetteer_fp)
         )
     params = {"dont_penalize": sorted(dont_penalize or [])}
     if base_fp.get("params") != params:
@@ -310,21 +361,32 @@ def append_kg(
             "a fresh union build; pass the base's params or rebuild"
             % (base_fp.get("params"), params)
         )
+
+    def _paths() -> Dict[str, str]:
+        return {s: man.stage_path(s) for s in STAGES}
+
+    last_batch = base_fp.get("stream_batch_id")
+    if (batch_id is not None and last_batch is not None
+            and batch_id <= last_batch):
+        return _paths()  # replayed micro-batch — already applied
+
+    if delta_transcripts_fp is None:
+        n_delta = transcripts_b.count()
+        if n_delta == 0:
+            return _paths()  # empty micro-batch
+        delta_transcripts_fp = {
+            "rows": n_delta, "bytes": -1, "n_files": -1
+        }
     union_fp = {
-        "transcripts": {
-            k: base_fp["transcripts"][k] + new_fp["transcripts"][k]
-            for k in ("rows", "bytes", "n_files")
-        },
+        "transcripts": _fp_add(
+            base_fp["transcripts"], delta_transcripts_fp
+        ),
         "gazetteer": base_fp["gazetteer"],
         "params": params,
     }
-
-    transcripts_b = spark.read.parquet(
-        os.path.join(new_corpus_dir, "transcripts.parquet")
-    )
-    gazetteer = spark.read.parquet(
-        os.path.join(new_corpus_dir, "gazetteer.parquet")
-    )
+    next_batch = batch_id if batch_id is not None else last_batch
+    if next_batch is not None:
+        union_fp["stream_batch_id"] = next_batch
 
     overlap = (
         spark.read.parquet(man.stage_path("extracted"))

@@ -1,0 +1,95 @@
+# -*- coding: utf-8 -*-
+"""Streaming ingestion of transcript file-drops into an existing KG
+build: Structured Streaming file source → foreachBatch →
+:func:`webstruct_spark.plans.pipeline.append_kg_frames`.
+
+This closes the loop between the batch pipeline and the streaming
+modules: a corpus that arrives as periodic parquet drops (the 100 TB
+deployment's usual shape — an upstream job lands conversation-complete
+files) is folded into the KG incrementally, with Structured
+Streaming's checkpoint tracking WHICH files were consumed and the
+manifest's ``stream_batch_id`` stamp making each micro-batch append
+EXACTLY-ONCE:
+
+* foreachBatch is at-least-once after a failure — a replayed batch
+  re-invokes the handler with the SAME batch_id, and append_kg_frames
+  returns without writing because the id is ≤ the last committed one.
+* a replay that slips past the id check (someone deleted the
+  checkpoint dir, restarting ids at 0 over consumed files) hits the
+  conv_id-overlap guard and raises instead of double-appending.
+
+Contract: file drops must be CONVERSATION-COMPLETE — one conversation
+never spans two drops (with ``max_files_per_trigger`` set, never two
+files).  A split conversation would put the same conv_id in two
+micro-batches and the second one raises on the overlap guard — loud,
+not corrupting.  Bootstrap the base build with
+:func:`~webstruct_spark.plans.pipeline.build_kg` first; this job only
+appends.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from ..operators.grouping_op import DEFAULT_DONT_PENALIZE
+from ..plans.manifest import table_fingerprint
+from ..plans.pipeline import append_kg_frames
+
+
+def ingest_transcripts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    gazetteer_path: str,
+    checkpoint_dir: str,
+    dont_penalize=DEFAULT_DONT_PENALIZE,
+    stage_concurrency: int = 4,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Consume every unprocessed transcript parquet file under
+    ``input_dir`` (availableNow trigger: drains the backlog in one or
+    more micro-batches, then stops) and append each micro-batch to the
+    KG at ``out_dir``.  Re-running with the same ``checkpoint_dir``
+    picks up only files that arrived since the last run — the
+    streaming analog of build_kg's kill-and-resume.
+
+    Returns the finished StreamingQuery (stopped; inspect
+    ``lastProgress`` for batch counts).
+    """
+    # file-source streams need an explicit schema; peek it statically
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    stream = reader.parquet(input_dir)
+
+    gazetteer_fp = table_fingerprint(gazetteer_path)
+
+    def _fold_batch(batch_df, batch_id: int) -> None:
+        # foreachBatch runs under the micro-batch's session clone —
+        # build every input DataFrame on THAT session, never capture
+        # one from the outer session
+        session = batch_df.sparkSession
+        append_kg_frames(
+            session,
+            batch_df,
+            session.read.parquet(gazetteer_path),
+            gazetteer_fp=gazetteer_fp,
+            out_dir=out_dir,
+            dont_penalize=dont_penalize,
+            stage_concurrency=stage_concurrency,
+            batch_id=int(batch_id),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_fold_batch)
+        .option("checkpointLocation", os.fspath(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
