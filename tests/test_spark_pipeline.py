@@ -361,3 +361,52 @@ def test_table_fingerprint_raises_on_empty_dir(tmp_path):
     os.makedirs(d)
     with pytest.raises(ValueError, match="no .parquet files"):
         table_fingerprint(d)
+
+
+def test_gazetteer_refresh_resume_keeps_corpus_stages(
+    spark, corpus_dir, tmp_path
+):
+    """Per-stage source identity: after ONLY the gazetteer changes, a
+    resume must keep the corpus-scale stages (extracted..triples) and
+    rebuild just the canonicalization family (links/nodes/edges) —
+    re-linking against a refreshed gazetteer must not re-extract the
+    history."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq_mod
+
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import build_kg
+
+    corpus = str(tmp_path / "corpus")
+    shutil.copytree(corpus_dir, corpus)
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus, out)
+
+    # refresh the gazetteer (drop one row)
+    gaz = os.path.join(corpus, "gazetteer.parquet")
+    if os.path.isdir(gaz):
+        part = sorted(
+            f for f in os.listdir(gaz) if f.endswith(".parquet")
+        )[0]
+        gaz_file = os.path.join(gaz, part)
+    else:
+        gaz_file = gaz
+    tbl = pq_mod.read_table(gaz_file)
+    pq_mod.write_table(tbl.slice(0, tbl.num_rows - 1), gaz_file)
+
+    build_kg(spark, corpus, out)  # resume
+    recs = [
+        json.loads(line)
+        for line in open(Manifest(out).path)
+        if line.strip()
+    ]
+    counts = {}
+    for r in recs:
+        counts[r["stage"]] = counts.get(r["stage"], 0) + 1
+    for stage in ("extracted", "mentions", "group_entities",
+                  "groups", "triples"):
+        assert counts[stage] == 1, stage  # resumed, not rebuilt
+    for stage in ("links", "nodes", "edges"):
+        assert counts[stage] == 2, stage  # rebuilt with the new gaz

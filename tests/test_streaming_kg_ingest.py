@@ -74,9 +74,18 @@ def test_stream_ingest_equals_fresh_union(spark, corpus_dir, tmp_path, thirds):
         assert _none_safe_rows(got) == _none_safe_rows(want), stage
 
     # the ids of both micro-batches were stamped into the manifest
-    last_fp = Manifest(out).committed()["edges"]["source_fp"]
+    committed = Manifest(out).committed()
+    last_fp = committed["edges"]["source_fp"]
     assert last_fp["stream_batch_id"] == 1
     assert last_fp["transcripts"]["bytes"] == -1  # not file-backed
+    # append commits carry delta-only file lineage with rolled-forward
+    # totals (O(delta) per commit, not O(total files))
+    ex_rec = committed["extracted"]
+    assert ex_rec.get("files_delta") is True
+    assert ex_rec["rows_out"] == spark.read.parquet(
+        os.path.join(out, "extracted")
+    ).count()
+    assert ex_rec["n_files"] > len(ex_rec["files"])
 
     # re-run over the same input: checkpoint yields no new files
     before = os.path.getmtime(os.path.join(out, "manifest.jsonl"))
@@ -116,3 +125,43 @@ def test_replayed_batch_is_noop(spark, tmp_path, thirds):
         spark.read.parquet(os.path.join(out, "extracted")).count()
         == rows_before
     )
+
+
+def test_reset_checkpoint_with_new_files_raises(spark, tmp_path, thirds):
+    """A lost checkpoint replays batch ids from 0 over the whole input
+    dir; if new conversations landed meanwhile, the mixed batch must
+    RAISE (skipping would drop the new data, appending would double
+    the old)."""
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
+
+    corpus_a, df_b, df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    append_kg_frames(spark, df_b, gaz, gaz_fp, out, batch_id=0)
+    # checkpoint reset: "batch 0" now carries consumed B plus new C
+    with pytest.raises(ValueError, match="checkpoint"):
+        append_kg_frames(
+            spark, df_b.unionByName(df_c), gaz, gaz_fp, out, batch_id=0
+        )
+    # a true replay of just B stays a no-op
+    append_kg_frames(spark, df_b, gaz, gaz_fp, out, batch_id=0)
+
+
+def test_ingest_before_first_drop_is_noop(spark, tmp_path, thirds):
+    """A scheduled ingest run that starts before any file landed must
+    return without error."""
+    from webstruct_spark.plans.pipeline import build_kg
+    from webstruct_spark.streaming.kg_ingest import ingest_transcripts_stream
+
+    corpus_a, _b, _c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    q = ingest_transcripts_stream(
+        spark, str(tmp_path / "no_drops_yet"), out, gaz_path,
+        str(tmp_path / "ckpt"),
+    )
+    assert q is None

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import threading
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 _JOB_GROUP_SEQ = itertools.count()

@@ -99,8 +99,14 @@ class Manifest:
         return out
 
     def is_committed(self, stage: str,
-                     source_fp: Optional[dict] = None) -> bool:
-        rec = self.committed().get(stage)
+                     source_fp: Optional[dict] = None,
+                     rec: Optional[dict] = None) -> bool:
+        """``rec``: pass the stage's record from an already-loaded
+        :meth:`committed` snapshot to skip re-reading the manifest —
+        callers that check many stages (build resume, append
+        preamble) parse the file once instead of once per stage."""
+        if rec is None:
+            rec = self.committed().get(stage)
         if not rec:
             return False
         # a commit from an older table layout must not be resumed into
@@ -125,14 +131,35 @@ class Manifest:
 
     def commit(self, stage: str, wall_sec: float,
                inputs: Optional[List[str]] = None,
-               source_fp: Optional[dict] = None) -> dict:
+               source_fp: Optional[dict] = None,
+               only_files: Optional[List[str]] = None,
+               prior_rec: Optional[dict] = None) -> dict:
         """Collect lineage from the written parquet dir and append the
-        commit record."""
+        commit record.
+
+        Full-build commits enumerate every part file's footer.  For
+        APPEND commits pass ``only_files`` (the part files this write
+        added — snapshot the dir listing before and after the write)
+        plus ``prior_rec`` (the stage's previous record): footers are
+        read for the delta only and the record's ``rows_out``/
+        ``bytes``/``n_files`` totals are the prior totals plus the
+        delta — O(delta) per commit instead of O(total files ever
+        written), and each record's ``files`` lineage lists only what
+        that commit added (``files_delta: true``)."""
         path = self.stage_path(stage)
+        if only_files is not None:
+            if prior_rec is None:
+                raise ValueError(
+                    "commit(only_files=...) needs prior_rec for the "
+                    "running totals"
+                )
+            names = sorted(only_files)
+        else:
+            names = sorted(os.listdir(path))
         files: List[dict] = []
         rows = 0
         total_bytes = 0
-        for name in sorted(os.listdir(path)):
+        for name in names:
             if not name.endswith(".parquet"):
                 continue
             fp = os.path.join(path, name)
@@ -141,15 +168,21 @@ class Manifest:
             files.append(dict(name=name, rows=meta.num_rows, bytes=nbytes))
             rows += meta.num_rows
             total_bytes += nbytes
+        n_files = len(files)
+        if only_files is not None:
+            rows += prior_rec["rows_out"]
+            total_bytes += prior_rec["bytes"]
+            n_files += prior_rec["n_files"]
         rec = dict(
             stage=stage,
             layout=self.layout_version,
             inputs=list(inputs or []),
             **({"source_fp": source_fp} if source_fp is not None else {}),
             rows_out=rows,
-            n_files=len(files),
+            n_files=n_files,
             bytes=total_bytes,
             files=files,
+            **({"files_delta": True} if only_files is not None else {}),
             wall_sec=round(wall_sec, 3),
             committed_utc_ns=time.time_ns(),
         )

@@ -64,6 +64,35 @@ STAGE_INPUTS = {
     "edges": ["triples", "links"],
 }
 
+# which parts of the run identity each stage's output actually depends
+# on (the transitive closure of STAGE_INPUTS down to the source tables
+# plus the grouping params): a resume after ONLY the gazetteer changed
+# keeps the corpus-scale extracted/mentions stages and rebuilds just
+# the canonicalization family — re-linking against a refreshed
+# gazetteer must not re-extract 100 TB of history
+STAGE_IDENTITY_KEYS = {
+    "extracted": ("transcripts",),
+    "mentions": ("transcripts",),
+    "group_entities": ("transcripts", "params"),
+    "groups": ("transcripts", "params"),
+    "triples": ("transcripts", "params"),
+    "links": ("transcripts", "gazetteer"),
+    "nodes": ("transcripts", "gazetteer"),
+    "edges": ("transcripts", "params", "gazetteer"),
+}
+
+# side table of every ingested conv_id (tiny: one row per
+# conversation) — lets the append-path disjointness guards run
+# O(delta) instead of re-scanning the full extracted table per append
+CONV_IDS = "_conv_ids"
+
+
+def _stage_identity(stage: str, full_fp: dict) -> dict:
+    out = {k: full_fp[k] for k in STAGE_IDENTITY_KEYS[stage]}
+    if "stream_batch_id" in full_fp:
+        out["stream_batch_id"] = full_fp["stream_batch_id"]
+    return out
+
 
 def build_kg(
     spark: SparkSession,
@@ -107,8 +136,16 @@ def build_kg(
         "params": {"dont_penalize": sorted(dont_penalize or [])},
     }
 
+    # one manifest parse for all resume checks (stages committed by
+    # THIS run are never re-checked: each task decides before writing)
+    base0 = man.committed()
+
     def committed(stage: str) -> bool:
-        return resume and man.is_committed(stage, source_fp=source_fp)
+        return resume and man.is_committed(
+            stage,
+            source_fp=_stage_identity(stage, source_fp),
+            rec=base0.get(stage, {}),
+        )
 
     def run_stage(stage: str, df_builder) -> str:
         path = man.stage_path(stage)
@@ -118,7 +155,7 @@ def build_kg(
         df = df_builder()
         df.write.mode("overwrite").parquet(path)
         man.commit(stage, time.time() - t0, inputs=STAGE_INPUTS.get(stage),
-                   source_fp=source_fp)
+                   source_fp=_stage_identity(stage, source_fp))
         return path
 
     transcripts = spark.read.parquet(
@@ -136,7 +173,18 @@ def build_kg(
         return f if isinstance(f, str) else f.result()
 
     def t_extracted() -> str:
-        return run_stage("extracted", lambda: extract_rows(transcripts))
+        ran = not committed("extracted")
+        path = run_stage("extracted", lambda: extract_rows(transcripts))
+        conv_path = os.path.join(out_dir, CONV_IDS)
+        if ran or not os.path.exists(conv_path):
+            # tiny side table (one row per conversation) that keeps
+            # the append-path disjointness guards O(delta); rebuilt
+            # here whenever extracted is, so it can only ever be a
+            # SUPERSET of ingested convs mid-crash (false-raise safe)
+            spark.read.parquet(path).select(
+                "conv_id"
+            ).distinct().write.mode("overwrite").parquet(conv_path)
+        return path
 
     def t_mentions() -> str:
         ex = spark.read.parquet(_dep("extracted"))
@@ -171,7 +219,7 @@ def build_kg(
                 )
                 man.commit("links", time.time() - t0,
                            inputs=STAGE_INPUTS["links"],
-                           source_fp=source_fp)
+                           source_fp=_stage_identity("links", source_fp))
             t0 = time.time()
             if not committed("nodes"):
                 nodes_df.write.mode("overwrite").parquet(
@@ -179,7 +227,7 @@ def build_kg(
                 )
                 man.commit("nodes", time.time() - t0,
                            inputs=STAGE_INPUTS["nodes"],
-                           source_fp=source_fp)
+                           source_fp=_stage_identity("nodes", source_fp))
         return man.stage_path("links")
 
     def t_edges() -> str:
@@ -202,11 +250,27 @@ def build_kg(
         ("edges", t_edges),
     ]
 
-    run_concurrent_jobs(
-        spark, TASKS, max(1, int(stage_concurrency)), futs=futs
-    )
+    return _run_stage_dag(spark, TASKS, stage_concurrency, futs, man)
 
-    paths = {name: _dep(name) for name, _fn in TASKS if name != "canon"}
+
+def _run_stage_dag(spark, tasks, stage_concurrency, futs, man,
+                   cleanup=()) -> Dict[str, str]:
+    """Shared tail of build_kg / append_kg_frames: run the task DAG as
+    concurrent Spark jobs, release any shared cached inputs, assemble
+    the stage→path dict (the fused "canon" task covers links+nodes)."""
+    try:
+        run_concurrent_jobs(
+            spark, tasks, max(1, int(stage_concurrency)), futs=futs
+        )
+    finally:
+        for df in cleanup:
+            df.unpersist()
+    paths = {}
+    for name, _fn in tasks:
+        if name == "canon":
+            continue
+        f = futs[name]
+        paths[name] = f if isinstance(f, str) else f.result()
     paths["links"] = man.stage_path("links")
     paths["nodes"] = man.stage_path("nodes")
     return paths
@@ -314,32 +378,49 @@ def append_kg_frames(
     ``batch_id``: monotone micro-batch id for EXACTLY-ONCE streaming
     appends — the id is stamped into every commit record's source
     fingerprint, and a replayed batch (foreachBatch is at-least-once
-    after a failure) with id ≤ the last committed one returns without
-    writing anything.  The conv_id-overlap guard remains the backstop
-    for replays that slip past (e.g. a new checkpoint dir restarting
-    ids at 0): they raise instead of double-appending.
+    after a failure) with id ≤ the last committed one is verified to
+    be a TRUE replay (no conversations outside the base) and then
+    skipped.  A reset checkpoint whose "replay" gained new files
+    raises — silently skipping would drop the new conversations,
+    appending would double the old ones.
     """
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
     base = man.committed()
-    missing = [s for s in STAGES if not man.is_committed(s)]
+    missing = [
+        s for s in STAGES
+        if not man.is_committed(s, rec=base.get(s, {}))
+    ]
     if missing:
         raise ValueError(
             "append_kg needs a fully committed base build; missing "
             "stages: %s" % ", ".join(missing)
         )
-
-    base_fp = base["extracted"].get("source_fp")
-    if base_fp is None:
+    if any(base[s].get("source_fp") is None for s in STAGES):
         raise ValueError(
             "append_kg needs a base build with recorded source "
             "fingerprints (rebuild once with this version)"
         )
-    # every stage must carry the SAME source identity: a crashed
+
+    # per-stage identities (STAGE_IDENTITY_KEYS): transcripts + the
+    # stream batch id are shared by every stage; params/gazetteer by
+    # the stages that depend on them
+    fp_of = {s: base[s]["source_fp"] for s in STAGES}
+    base_transcripts = fp_of["extracted"]["transcripts"]
+    base_params = fp_of["group_entities"].get("params")
+    base_gazetteer = fp_of["links"].get("gazetteer")
+    last_batch = fp_of["extracted"].get("stream_batch_id")
+    # every stage must agree on the shared identity parts: a crashed
     # earlier append can leave extracted at A+B while groups is still
     # at A — a later disjoint delta would then build on a base with
     # permanently missing rows, with no guard tripping
     torn = [
-        s for s in STAGES if base[s].get("source_fp") != base_fp
+        s for s in STAGES
+        if fp_of[s].get("transcripts") != base_transcripts
+        or fp_of[s].get("stream_batch_id") != last_batch
+        or ("params" in STAGE_IDENTITY_KEYS[s]
+            and fp_of[s].get("params") != base_params)
+        or ("gazetteer" in STAGE_IDENTITY_KEYS[s]
+            and fp_of[s].get("gazetteer") != base_gazetteer)
     ]
     if torn:
         raise ValueError(
@@ -347,28 +428,55 @@ def append_kg_frames(
             "(%s) — a previous append crashed mid-run; rebuild with "
             "build_kg" % ", ".join(torn)
         )
-    if base_fp["gazetteer"] != gazetteer_fp:
+    if base_gazetteer != gazetteer_fp:
         raise ValueError(
             "append_kg: gazetteer differs from the base build's "
             "(%r vs %r) — node identity depends on it; rebuild"
-            % (base_fp["gazetteer"], gazetteer_fp)
+            % (base_gazetteer, gazetteer_fp)
         )
     params = {"dont_penalize": sorted(dont_penalize or [])}
-    if base_fp.get("params") != params:
+    if base_params != params:
         raise ValueError(
             "append_kg: grouping params differ from the base build's "
             "(%r vs %r) — the delta's groups/triples would not match "
             "a fresh union build; pass the base's params or rebuild"
-            % (base_fp.get("params"), params)
+            % (base_params, params)
         )
 
     def _paths() -> Dict[str, str]:
         return {s: man.stage_path(s) for s in STAGES}
 
-    last_batch = base_fp.get("stream_batch_id")
+    # the _conv_ids side table keeps these guards O(delta); older
+    # builds without one get it backfilled from extracted once
+    conv_path = os.path.join(out_dir, CONV_IDS)
+    if not os.path.exists(conv_path):
+        spark.read.parquet(man.stage_path("extracted")).select(
+            "conv_id"
+        ).distinct().write.mode("overwrite").parquet(conv_path)
+    existing_convs = spark.read.parquet(conv_path)
+    delta_convs = transcripts_b.select("conv_id").distinct()
+
     if (batch_id is not None and last_batch is not None
             and batch_id <= last_batch):
-        return _paths()  # replayed micro-batch — already applied
+        # an already-committed id is only skippable if it is a TRUE
+        # replay: a lost/reset streaming checkpoint restarts ids at 0
+        # over the whole input dir, and if NEW files landed meanwhile
+        # the replayed "batch 0" mixes consumed and unseen
+        # conversations — skipping it would silently drop the new
+        # ones, so that case raises instead
+        unseen = delta_convs.join(
+            existing_convs, "conv_id", "left_anti"
+        ).limit(1).count()
+        if unseen:
+            raise ValueError(
+                "append_kg: batch_id %d <= last committed %d but the "
+                "batch contains conversations not in the base — the "
+                "streaming checkpoint was lost or reset over an input "
+                "dir that gained new files; restore the checkpoint, "
+                "or ingest the new files with a fresh input dir"
+                % (batch_id, last_batch)
+            )
+        return _paths()  # true replay — already applied
 
     if delta_transcripts_fp is None:
         n_delta = transcripts_b.count()
@@ -378,10 +486,8 @@ def append_kg_frames(
             "rows": n_delta, "bytes": -1, "n_files": -1
         }
     union_fp = {
-        "transcripts": _fp_add(
-            base_fp["transcripts"], delta_transcripts_fp
-        ),
-        "gazetteer": base_fp["gazetteer"],
+        "transcripts": _fp_add(base_transcripts, delta_transcripts_fp),
+        "gazetteer": base_gazetteer,
         "params": params,
     }
     next_batch = batch_id if batch_id is not None else last_batch
@@ -389,27 +495,45 @@ def append_kg_frames(
         union_fp["stream_batch_id"] = next_batch
 
     overlap = (
-        spark.read.parquet(man.stage_path("extracted"))
-        .select("conv_id").distinct()
-        .join(transcripts_b.select("conv_id").distinct(), "conv_id")
-        .limit(1).count()
+        existing_convs.join(delta_convs, "conv_id").limit(1).count()
     )
     if overlap:
         raise ValueError(
             "append_kg: delta shares conv_ids with the base build — "
             "appending would double their rows; de-duplicate first"
         )
+    # record the delta's conv_ids BEFORE any stage write: if the run
+    # crashes mid-append, the side table is a SUPERSET of what landed
+    # and a blind retry trips the overlap guard (fail-safe) instead of
+    # double-appending
+    delta_convs.write.mode("append").parquet(conv_path)
 
     def commit_write(stage: str, df, mode: str) -> str:
         path = man.stage_path(stage)
         t0 = time.time()
-        df.write.mode(mode).parquet(path)
-        man.commit(
-            stage, time.time() - t0,
-            inputs=[("delta:" if mode == "append" else "union:") + i
-                    for i in STAGE_INPUTS[stage]],
-            source_fp=union_fp,
-        )
+        if mode == "append":
+            # O(delta) lineage: footer-read only the part files this
+            # write adds; totals roll forward from the prior record
+            pre = set(os.listdir(path))
+            df.write.mode("append").parquet(path)
+            new_files = [
+                n for n in os.listdir(path)
+                if n not in pre and n.endswith(".parquet")
+            ]
+            man.commit(
+                stage, time.time() - t0,
+                inputs=["delta:" + i for i in STAGE_INPUTS[stage]],
+                source_fp=_stage_identity(stage, union_fp),
+                only_files=new_files,
+                prior_rec=base[stage],
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
+            man.commit(
+                stage, time.time() - t0,
+                inputs=["union:" + i for i in STAGE_INPUTS[stage]],
+                source_fp=_stage_identity(stage, union_fp),
+            )
         return path
 
     futs: Dict[str, object] = {}
@@ -484,17 +608,12 @@ def append_kg_frames(
         ("canon", t_canon),
         ("edges", t_edges),
     ]
-    try:
-        run_concurrent_jobs(
-            spark, TASKS, max(1, int(stage_concurrency)), futs=futs
-        )
-    finally:
-        # release the delta's cached blocks deterministically — a
-        # long-lived driver running periodic appends must not rely on
-        # GC + ContextCleaner to free executor storage
-        for df in state.values():
-            df.unpersist()
-    paths = {name: _dep(name) for name, _fn in TASKS if name != "canon"}
-    paths["links"] = man.stage_path("links")
-    paths["nodes"] = man.stage_path("nodes")
-    return paths
+    # cleanup releases the delta's cached blocks deterministically — a
+    # long-lived driver running periodic appends must not rely on GC +
+    # ContextCleaner to free executor storage.  state.values() is
+    # evaluated lazily inside _run_stage_dag's finally, AFTER the
+    # producers have registered their DataFrames.
+    return _run_stage_dag(
+        spark, TASKS, stage_concurrency, futs, man,
+        cleanup=state.values(),
+    )

@@ -12,11 +12,15 @@ manifest's ``stream_batch_id`` stamp making each micro-batch append
 EXACTLY-ONCE:
 
 * foreachBatch is at-least-once after a failure — a replayed batch
-  re-invokes the handler with the SAME batch_id, and append_kg_frames
-  returns without writing because the id is ≤ the last committed one.
-* a replay that slips past the id check (someone deleted the
-  checkpoint dir, restarting ids at 0 over consumed files) hits the
-  conv_id-overlap guard and raises instead of double-appending.
+  re-invokes the handler with the SAME batch_id; append_kg_frames
+  verifies it is a TRUE replay (no conversations outside the base)
+  and returns without writing.
+* a lost/reset checkpoint restarts ids at 0 over the whole input dir:
+  if only consumed files are present that is a verified replay
+  (no-op); if new files landed meanwhile, the batch mixes consumed
+  and unseen conversations and append_kg_frames RAISES rather than
+  skipping (which would drop the new data) or appending (which would
+  double the old).
 
 Contract: file drops must be CONVERSATION-COMPLETE — one conversation
 never spans two drops (with ``max_files_per_trigger`` set, never two
@@ -58,8 +62,13 @@ def ingest_transcripts_stream(
     Returns the finished StreamingQuery (stopped; inspect
     ``lastProgress`` for batch counts).
     """
-    # file-source streams need an explicit schema; peek it statically
-    schema = spark.read.parquet(input_dir).schema
+    # file-source streams need an explicit schema; peek it statically.
+    # An empty/missing input dir is the scheduled-before-first-drop
+    # case: nothing to ingest, return None instead of crashing.
+    try:
+        schema = spark.read.parquet(input_dir).schema
+    except Exception:
+        return None
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option(
@@ -67,18 +76,19 @@ def ingest_transcripts_stream(
         )
     stream = reader.parquet(input_dir)
 
-    gazetteer_fp = table_fingerprint(gazetteer_path)
-
     def _fold_batch(batch_df, batch_id: int) -> None:
         # foreachBatch runs under the micro-batch's session clone —
         # build every input DataFrame on THAT session, never capture
-        # one from the outer session
+        # one from the outer session.  The gazetteer fingerprint is
+        # taken HERE, beside the read, so a mid-stream gazetteer swap
+        # trips the node-identity guard instead of slipping past a
+        # stale stream-start fingerprint.
         session = batch_df.sparkSession
         append_kg_frames(
             session,
             batch_df,
             session.read.parquet(gazetteer_path),
-            gazetteer_fp=gazetteer_fp,
+            gazetteer_fp=table_fingerprint(gazetteer_path),
             out_dir=out_dir,
             dont_penalize=dont_penalize,
             stage_concurrency=stage_concurrency,
