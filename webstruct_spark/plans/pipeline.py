@@ -94,6 +94,22 @@ def _stage_identity(stage: str, full_fp: dict) -> dict:
     return out
 
 
+def _conv_ids_ready(conv_path: str) -> bool:
+    # a dir without Spark's _SUCCESS marker is a crashed partial write
+    return os.path.exists(os.path.join(conv_path, "_SUCCESS"))
+
+
+def _rebuild_conv_ids(spark, extracted_path: str, conv_path: str) -> None:
+    """(Re)derive the _conv_ids side table from the extracted table.
+    MUST run before the extracted stage's manifest commit so the
+    invariant 'extracted committed ⇒ side table covers ≥ its convs'
+    survives a crash at any point (a missing/partial side table next
+    to an uncommitted extracted stage is rebuilt along with it)."""
+    spark.read.parquet(extracted_path).select(
+        "conv_id"
+    ).distinct().write.mode("overwrite").parquet(conv_path)
+
+
 def build_kg(
     spark: SparkSession,
     corpus_dir: str,
@@ -173,17 +189,22 @@ def build_kg(
         return f if isinstance(f, str) else f.result()
 
     def t_extracted() -> str:
-        ran = not committed("extracted")
-        path = run_stage("extracted", lambda: extract_rows(transcripts))
+        path = man.stage_path("extracted")
         conv_path = os.path.join(out_dir, CONV_IDS)
-        if ran or not os.path.exists(conv_path):
-            # tiny side table (one row per conversation) that keeps
-            # the append-path disjointness guards O(delta); rebuilt
-            # here whenever extracted is, so it can only ever be a
-            # SUPERSET of ingested convs mid-crash (false-raise safe)
-            spark.read.parquet(path).select(
-                "conv_id"
-            ).distinct().write.mode("overwrite").parquet(conv_path)
+        if committed("extracted"):
+            if not _conv_ids_ready(conv_path):  # pre-side-table build
+                _rebuild_conv_ids(spark, path, conv_path)
+            return path
+        t0 = time.time()
+        extract_rows(transcripts).write.mode("overwrite").parquet(path)
+        # side table BEFORE the manifest commit: a crash in between
+        # leaves extracted uncommitted, so the next run rebuilds both
+        # — the append guards can never see a committed extracted
+        # beside a stale-subset side table
+        _rebuild_conv_ids(spark, path, conv_path)
+        man.commit("extracted", time.time() - t0,
+                   inputs=STAGE_INPUTS["extracted"],
+                   source_fp=_stage_identity("extracted", source_fp))
         return path
 
     def t_mentions() -> str:
@@ -447,12 +468,11 @@ def append_kg_frames(
         return {s: man.stage_path(s) for s in STAGES}
 
     # the _conv_ids side table keeps these guards O(delta); older
-    # builds without one get it backfilled from extracted once
+    # builds without one (or with a crashed partial write) get it
+    # rebuilt from extracted once
     conv_path = os.path.join(out_dir, CONV_IDS)
-    if not os.path.exists(conv_path):
-        spark.read.parquet(man.stage_path("extracted")).select(
-            "conv_id"
-        ).distinct().write.mode("overwrite").parquet(conv_path)
+    if not _conv_ids_ready(conv_path):
+        _rebuild_conv_ids(spark, man.stage_path("extracted"), conv_path)
     existing_convs = spark.read.parquet(conv_path)
     delta_convs = transcripts_b.select("conv_id").distinct()
 
@@ -463,9 +483,20 @@ def append_kg_frames(
         # over the whole input dir, and if NEW files landed meanwhile
         # the replayed "batch 0" mixes consumed and unseen
         # conversations — skipping it would silently drop the new
-        # ones, so that case raises instead
+        # ones, so that case raises instead.  The check reads the
+        # COMMITTED extracted table, not the _conv_ids superset: a
+        # crashed append leaves its convs in the side table but NOT in
+        # the KG, and trusting the superset here would skip their
+        # replay — permanent silent loss.  (Exact-set cost is fine:
+        # this branch only runs on the rare replayed-id path; the
+        # every-append overlap guard below stays on the O(delta) side
+        # table, where superset errs toward raising, never skipping.)
+        committed_convs = (
+            spark.read.parquet(man.stage_path("extracted"))
+            .select("conv_id").distinct()
+        )
         unseen = delta_convs.join(
-            existing_convs, "conv_id", "left_anti"
+            committed_convs, "conv_id", "left_anti"
         ).limit(1).count()
         if unseen:
             raise ValueError(

@@ -60,15 +60,18 @@ def ingest_transcripts_stream(
     streaming analog of build_kg's kill-and-resume.
 
     Returns the finished StreamingQuery (stopped; inspect
-    ``lastProgress`` for batch counts).
+    ``lastProgress`` for batch counts), or None when ``input_dir``
+    does not exist or holds no parquet files yet — the
+    scheduled-before-first-drop case is a no-op, while a real read
+    failure over existing files (corrupt footer, permissions, FS
+    errors) still raises.
     """
-    # file-source streams need an explicit schema; peek it statically.
-    # An empty/missing input dir is the scheduled-before-first-drop
-    # case: nothing to ingest, return None instead of crashing.
-    try:
-        schema = spark.read.parquet(input_dir).schema
-    except Exception:
+    if not os.path.isdir(input_dir) or not any(
+        n.endswith(".parquet") for n in os.listdir(input_dir)
+    ):
         return None
+    # file-source streams need an explicit schema; peek it statically
+    schema = spark.read.parquet(input_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option(
