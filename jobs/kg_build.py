@@ -22,8 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--corpus-dir", required=True,
-                   help="dir with transcripts.parquet + gazetteer.parquet")
+    p.add_argument("--corpus-dir",
+                   help="dir with transcripts.parquet + gazetteer.parquet"
+                        " (not used with --compact)")
     p.add_argument("--out", required=True, help="output dir for KG tables")
     p.add_argument("--cores", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -37,15 +38,33 @@ def main() -> None:
                         "conversations appended to the existing build "
                         "at --out (per-conversation stages file-append; "
                         "links/nodes/edges recompute over the union)")
+    p.add_argument("--compact", action="store_true",
+                   help="maintenance mode: rewrite the append-mode "
+                        "stages of the build at --out into "
+                        "target-sized files (run between appends; "
+                        "idempotent, crash-safe, no corpus needed)")
+    p.add_argument("--compact-target-mb", type=int, default=128,
+                   help="target part-file size for --compact (MiB)")
     args = p.parse_args()
     if args.append and args.force:
         p.error("--append and --force are mutually exclusive")
+    if args.compact and (args.append or args.force):
+        p.error("--compact is a standalone maintenance mode")
+    if not args.compact and not args.corpus_dir:
+        p.error("--corpus-dir is required unless --compact")
 
     from webstruct_spark.plans.pipeline import append_kg, build_kg
     from webstruct_spark.session import get_spark
 
     spark = get_spark("kg_build", cores=args.cores)
     try:
+        if args.compact:
+            from webstruct_spark.plans.compaction import compact_kg
+
+            res = compact_kg(spark, args.out,
+                             target_bytes=args.compact_target_mb << 20)
+            print(json.dumps({"out": args.out, "compact": res}))
+            return
         if args.force:
             # fsio routes URI out dirs (hdfs://, s3a://, file:) through
             # the JVM Hadoop FS — a driver-local rmtree would silently

@@ -16,6 +16,49 @@ def spark():
     s.stop()
 
 
+def arm_fs_tripwire(monkeypatch, marker="TRIPWIRE_OUT_DIR"):
+    """Arm Python-side local-FS entry points to raise on any path
+    containing ``marker``.  Catches driver-local access to a path
+    that, on a real deployment, only the Hadoop FS can reach.  Tests
+    that must first STAGE data under the marked path call this
+    directly after staging; the ``fs_tripwire`` fixture arms it
+    before the test body."""
+
+    def guard(fn):
+        def wrapped(path, *a, **kw):
+            if marker in str(path):
+                raise AssertionError(
+                    "driver-local fs call %s(%r) on a cluster-only "
+                    "path" % (getattr(fn, "__name__", fn), path)
+                )
+            return fn(path, *a, **kw)
+
+        return wrapped
+
+    import builtins
+
+    for mod, name in (
+        (builtins, "open"),
+        (os, "listdir"),
+        (os, "makedirs"),
+        (os, "replace"),
+        (os, "remove"),
+        (os, "rename"),
+        (os.path, "exists"),
+        (os.path, "isfile"),
+        (os.path, "isdir"),
+        (os.path, "getsize"),
+        (os.path, "getmtime"),
+    ):
+        monkeypatch.setattr(mod, name, guard(getattr(mod, name)))
+    return marker
+
+
+@pytest.fixture()
+def fs_tripwire(monkeypatch):
+    return arm_fs_tripwire(monkeypatch)
+
+
 @pytest.fixture(scope="session")
 def corpus_dir():
     """sf0.001 synthetic corpus + gold tables (generated once)."""

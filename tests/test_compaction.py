@@ -1,0 +1,232 @@
+# -*- coding: utf-8 -*-
+"""Small-file compaction (:mod:`webstruct_spark.plans.compaction`):
+row-identity, manifest lineage refresh, resume/append compatibility,
+crash-window repair, and the Hadoop-route (file: URI) deployment
+shape with the driver-local FS tripwire armed."""
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from webstruct_spark.plans import fsio
+from webstruct_spark.plans.compaction import (
+    APPEND_STAGES, SUF_OLD, SUF_TMP, compact_kg,
+)
+from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+from webstruct_spark.plans.pipeline import (
+    CONV_IDS, STAGES, append_kg, build_kg,
+)
+
+
+@pytest.fixture(scope="module")
+def kg_built(spark, corpus_dir, tmp_path_factory):
+    """One base-build + one append (so every append-mode stage holds
+    at least two writes' part files).  Mutating tests copy the dir."""
+    base = tmp_path_factory.mktemp("compact")
+    t = spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+    # corpus_c: a DISJOINT post-compaction delta (conv_ids remapped so
+    # they overlap neither half)
+    df_c = t.where(F.col("conv_id").isin(set(convs[:4]))).withColumn(
+        "conv_id", F.concat(F.lit("zz_"), F.col("conv_id"))
+    )
+    for name, df in (
+        ("corpus_a", t.where(F.col("conv_id").isin(half))),
+        ("corpus_b", t.where(~F.col("conv_id").isin(half))),
+        ("corpus_c", df_c),
+    ):
+        d = base / name
+        os.makedirs(str(d))
+        df.write.parquet(str(d / "transcripts.parquet"))
+        # byte-identical gazetteer copies: the append guard compares
+        # footer fingerprints, so don't re-encode via Spark
+        src = os.path.join(corpus_dir, "gazetteer.parquet")
+        dst = str(d / "gazetteer.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    out = str(base / "kg")
+    build_kg(spark, str(base / "corpus_a"), out)
+    append_kg(spark, str(base / "corpus_b"), out)
+    return {"out": out, "base": str(base), "corpus_dir": corpus_dir}
+
+
+def _stage_rows(spark, out, stage):
+    return sorted(map(repr, spark.read.parquet(out + "/" + stage).collect()))
+
+
+def _copy_kg(kg_built, tmp_path):
+    out = os.path.join(str(tmp_path), "kg")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    shutil.copytree(kg_built["out"], out)
+    return out
+
+
+def test_compact_preserves_rows_and_lineage(spark, kg_built, tmp_path):
+    out = _copy_kg(kg_built, tmp_path)
+    before = {s: _stage_rows(spark, out, s) for s in STAGES}
+    fp_before = {
+        s: table_fingerprint(out + "/" + s, spark=spark)
+        for s in APPEND_STAGES
+    }
+    # the append guarantees ≥ 2 writes' files per append-mode stage
+    assert all(fp_before[s]["n_files"] >= 2 for s in APPEND_STAGES)
+
+    res = compact_kg(spark, out, force=True)
+    for s in APPEND_STAGES:
+        assert res[s]["compacted"], s
+        assert res[s]["rows"] == fp_before[s]["rows"], s
+        assert res[s]["n_files_after"] <= res[s]["n_files_before"], s
+        assert _stage_rows(spark, out, s) == before[s], s
+    # overwrite stages untouched
+    for s in ("links", "nodes", "edges"):
+        assert _stage_rows(spark, out, s) == before[s], s
+    # side table compacted too, distinct convs preserved
+    assert res[CONV_IDS]["compacted"]
+    n_convs = spark.read.parquet(out + "/" + CONV_IDS).distinct().count()
+    assert res[CONV_IDS]["rows"] == n_convs
+
+    # manifest: fresh physical lineage, unchanged source identity
+    man = Manifest(out, spark=spark)
+    base_rec = {
+        r["stage"]: r for r in man.records() if not r.get("files_delta")
+    }
+    for s in APPEND_STAGES:
+        rec = man.committed()[s]
+        assert rec["inputs"][0].startswith("compact:"), s
+        assert rec["rows_out"] == fp_before[s]["rows"], s
+        assert not rec.get("files_delta"), s
+        on_disk = sorted(
+            n for n in fsio.listdir_names(spark, out + "/" + s)
+            if n.endswith(".parquet")
+        )
+        assert sorted(f["name"] for f in rec["files"]) == on_disk, s
+
+    # idempotent: nothing left to do, no new commits
+    n_rec = len(man.records())
+    res2 = compact_kg(spark, out)
+    assert not any(v["compacted"] for v in res2.values())
+    assert len(Manifest(out, spark=spark).records()) == n_rec
+
+
+def test_resume_and_append_after_compaction(spark, kg_built, tmp_path):
+    out = _copy_kg(kg_built, tmp_path)
+    compact_kg(spark, out, force=True)
+
+    # resume over the compacted build: every stage skipped
+    man = Manifest(out, spark=spark)
+    n_rec = len(man.records())
+    build_kg(spark, kg_built["base"] + "/corpus_a", out)
+    # NOTE resume identity is the BASE corpus only for a never-
+    # appended build; this one was appended, so resume must REFUSE to
+    # skip (union fingerprint ≠ corpus_a's) — compaction must not have
+    # weakened that guard into a false skip.
+    assert len(Manifest(out, spark=spark).records()) > n_rec
+
+    # the real post-compaction contract: a further (disjoint) append
+    # still works
+    out2 = _copy_kg(kg_built, str(tmp_path / "again"))
+    compact_kg(spark, out2, force=True)
+    append_kg(spark, kg_built["base"] + "/corpus_c", out2)
+
+
+def test_append_then_compact_round_trip(spark, kg_built, tmp_path):
+    """compact → append → compact keeps every stage row-identical to
+    the never-compacted twin."""
+    out = _copy_kg(kg_built, tmp_path)
+    compact_kg(spark, out, force=True)
+    append_kg(spark, kg_built["base"] + "/corpus_c", out)
+    compact_kg(spark, out, force=True)
+
+    twin = _copy_kg(kg_built, str(tmp_path / "twin"))
+    append_kg(spark, kg_built["base"] + "/corpus_c", twin)
+    for s in STAGES:
+        assert _stage_rows(spark, out, s) == _stage_rows(spark, twin, s), s
+
+
+def test_repair_windows(spark, kg_built, tmp_path):
+    stage = "mentions"
+
+    # (a) pre-swap orphan tmp: dropped, stage untouched
+    out = _copy_kg(kg_built, tmp_path)
+    rows = _stage_rows(spark, out, stage)
+    path = out + "/" + stage
+    shutil.copytree(path, path + SUF_TMP)
+    res = compact_kg(spark, out, stages=[stage], include_conv_ids=False)
+    assert res[stage]["repair"] == "dropped_tmp"
+    assert not fsio.exists(spark, path + SUF_TMP)
+    assert _stage_rows(spark, out, stage) == rows
+
+    # (b) crash between the two renames, tmp fully written (_SUCCESS):
+    # roll forward + re-commit
+    out = _copy_kg(kg_built, str(tmp_path / "b"))
+    path = out + "/" + stage
+    spark.read.parquet(path).coalesce(1).write.parquet(path + SUF_TMP)
+    fsio.rename(spark, path, path + SUF_OLD)
+    res = compact_kg(spark, out, stages=[stage], include_conv_ids=False)
+    assert res[stage]["repair"] == "rolled_forward"
+    assert _stage_rows(spark, out, stage) == rows
+    assert not fsio.exists(spark, path + SUF_OLD)
+    rec = Manifest(out, spark=spark).committed()[stage]
+    assert rec["inputs"][0].startswith("compact:")
+
+    # (c) crash between the renames with a PARTIAL tmp (no _SUCCESS):
+    # roll back to the old dir
+    out = _copy_kg(kg_built, str(tmp_path / "c"))
+    path = out + "/" + stage
+    shutil.copytree(path, path + SUF_TMP)
+    os.remove(path + SUF_TMP + "/_SUCCESS")
+    fsio.rename(spark, path, path + SUF_OLD)
+    res = compact_kg(spark, out, stages=[stage], include_conv_ids=False)
+    assert _stage_rows(spark, out, stage) == rows
+    assert not fsio.exists(spark, path + SUF_OLD)
+    assert not fsio.exists(spark, path + SUF_TMP)
+
+    # (d) crash after the swap, old dir left behind: cleaned up +
+    # re-committed
+    out = _copy_kg(kg_built, str(tmp_path / "d"))
+    path = out + "/" + stage
+    shutil.copytree(path, path + SUF_OLD)
+    res = compact_kg(spark, out, stages=[stage], include_conv_ids=False)
+    assert res[stage]["repair"] == "finished_swap"
+    assert not fsio.exists(spark, path + SUF_OLD)
+    assert _stage_rows(spark, out, stage) == rows
+
+
+def test_refuses_row_mismatch_and_unknown_stage(spark, kg_built, tmp_path):
+    out = _copy_kg(kg_built, tmp_path)
+    path = out + "/mentions"
+    victim = next(
+        n for n in sorted(os.listdir(path)) if n.endswith(".parquet")
+    )
+    os.remove(os.path.join(path, victim))
+    with pytest.raises(ValueError, match="manifest says"):
+        compact_kg(spark, out, stages=["mentions"],
+                   include_conv_ids=False)
+    with pytest.raises(ValueError, match="not append-mode"):
+        compact_kg(spark, out, stages=["links"])
+
+
+def test_compact_via_file_uri_tripwire(spark, kg_built, tmp_path,
+                                       monkeypatch):
+    """The whole compaction (inspect, rewrite, swap, re-commit) over a
+    ``file:`` URI with the driver-local FS tripwire armed — the
+    HDFS/S3 deployment shape.  The KG copy is staged under the marked
+    path FIRST, then the tripwire is armed, so every access after this
+    line must go through fsio's Hadoop route or Spark itself."""
+    from conftest import arm_fs_tripwire
+
+    marked = tmp_path / "uri_TRIPWIRE_OUT_DIR"
+    shutil.copytree(kg_built["out"], str(marked / "kg"))
+    arm_fs_tripwire(monkeypatch)
+    out = "file:" + str(marked / "kg")
+    before = {s: _stage_rows(spark, out, s) for s in APPEND_STAGES}
+    res = compact_kg(spark, out, force=True)
+    for s in APPEND_STAGES:
+        assert res[s]["compacted"], s
+        assert _stage_rows(spark, out, s) == before[s], s
+    rec = Manifest(out, spark=spark).committed()["mentions"]
+    assert rec["inputs"][0].startswith("compact:")

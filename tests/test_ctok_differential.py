@@ -130,18 +130,28 @@ def test_random_fuzz():
     assert n_ok > 4000  # most samples exercise the happy path
 
 
+def _sf001_texts():
+    """Synthetic sf0.01 transcript texts, generated-if-missing (the
+    corpus is deterministic, so the sample is stable) and read back
+    via DuckDB — an independent parquet reader."""
+    import duckdb
+
+    from webstruct_spark.sources.transcripts import ensure_corpus_for_sf
+
+    d = ensure_corpus_for_sf(0.01)
+    return [
+        r[0]
+        for r in duckdb.sql(
+            "select text from read_parquet('%s/transcripts.parquet')"
+            % d
+        ).fetchall()
+    ]
+
+
 @pytest.mark.skipif(ctok is None, reason="C kernel unavailable")
 def test_corpus_sample():
     """Real synthetic-transcript texts (marker-bearing)."""
-    import duckdb
-
-    texts = [
-        r[0]
-        for r in duckdb.sql(
-            "select text from read_parquet("
-            "'/root/repo/data/transcripts/sf0.01/transcripts.parquet')"
-        ).fetchall()
-    ]
+    texts = _sf001_texts()
     assert len(texts) > 1000
     for s in texts:
         assert extract.extract_turn_entities_c(
@@ -207,14 +217,5 @@ def test_plain_tokens_differential():
     for _ in range(6000):
         s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
         assert ctok.plain_tokens(s) == plain_tokens_py(s), repr(s)
-    import duckdb
-
-    texts = [
-        r[0]
-        for r in duckdb.sql(
-            "select text from read_parquet("
-            "'/root/repo/data/transcripts/sf0.01/transcripts.parquet')"
-        ).fetchall()
-    ]
-    for s in texts:
+    for s in _sf001_texts():
         assert ctok.plain_tokens(s) == plain_tokens_py(s), repr(s)

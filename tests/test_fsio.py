@@ -21,8 +21,6 @@ the sandbox, so the Hadoop branch is proven two ways:
 import json
 import os
 
-import pytest
-
 from webstruct_spark.plans import fsio
 
 
@@ -77,40 +75,8 @@ def test_parquet_footer_read_over_hadoop_route(spark, tmp_path):
     assert fsio.parquet_num_rows(spark, "file:" + local) == 1234
 
 
-@pytest.fixture()
-def fs_tripwire(monkeypatch):
-    """Arm Python-side local-FS entry points to raise on any path
-    containing the returned marker.  Catches driver-local access to a
-    path that, on a real deployment, only the Hadoop FS can reach."""
-    marker = "TRIPWIRE_OUT_DIR"
-
-    def guard(fn):
-        def wrapped(path, *a, **kw):
-            if marker in str(path):
-                raise AssertionError(
-                    "driver-local fs call %s(%r) on a cluster-only "
-                    "path" % (getattr(fn, "__name__", fn), path)
-                )
-            return fn(path, *a, **kw)
-
-        return wrapped
-
-    import builtins
-
-    for mod, name in (
-        (builtins, "open"),
-        (os, "listdir"),
-        (os, "makedirs"),
-        (os, "replace"),
-        (os, "remove"),
-        (os.path, "exists"),
-        (os.path, "isfile"),
-        (os.path, "isdir"),
-        (os.path, "getsize"),
-        (os.path, "getmtime"),
-    ):
-        monkeypatch.setattr(mod, name, guard(getattr(mod, name)))
-    return marker
+# fs_tripwire fixture lives in conftest.py (shared with
+# tests/test_compaction.py)
 
 
 def test_build_resume_append_via_file_uri(

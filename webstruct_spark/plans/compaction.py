@@ -1,0 +1,236 @@
+# -*- coding: utf-8 -*-
+"""Small-file compaction for the append-mode KG stages.
+
+Every :func:`~webstruct_spark.plans.pipeline.append_kg_frames` call —
+and therefore every streaming micro-batch
+(:mod:`webstruct_spark.streaming.kg_ingest`) — adds one set of part
+files to the per-conversation stages (``extracted mentions
+group_entities groups triples``) and to the ``_conv_ids`` side table.
+After weeks of periodic appends a stage dir holds thousands of tiny
+files: scans pay per-file open/footer costs, the driver's file
+listing grows, and at 100 TB the NameNode/object-store listing itself
+becomes the bottleneck.  (The overwrite stages ``links/nodes/edges``
+are rewritten whole on every append, so Spark already sizes them.)
+
+:func:`compact_kg` rewrites each oversized stage into
+``ceil(bytes / target_bytes)`` files via a shuffle-free
+``coalesce`` — compaction merges many small inputs, so reducing
+partitions is the only direction needed — and swaps the result in
+with a crash-safe rename protocol:
+
+1. write ``<stage>.__compact_tmp__``  (Spark parquet, own _SUCCESS)
+2. verify the tmp's footer row total equals the stage's committed
+   ``rows_out`` — a compaction that changes row counts never swaps in
+3. rename ``<stage>`` → ``<stage>.__compact_old__``
+4. rename tmp → ``<stage>``
+5. re-commit the stage's manifest record: same ``source_fp`` (the
+   SOURCE identity is unchanged — compaction is a physical rewrite),
+   fresh file lineage, ``inputs=["compact:<stage>"]``
+6. delete the old dir
+
+A crash at any point is repaired by the next :func:`compact_kg` call
+(:func:`_repair`): tmp-orphan before step 3 → deleted; between 3 and
+4 → roll FORWARD if the tmp carries Spark's ``_SUCCESS`` (it was
+fully written and row-verified before any rename), else roll back;
+after 4 → finish cleanup and re-commit.  Until repair runs, a torn
+window (stage dir momentarily absent) fails
+``Manifest.is_committed``'s ``_SUCCESS`` probe, so a concurrent
+resume REBUILDS rather than reading a half-swapped table — safe, if
+wasteful; like the append path, compaction assumes the
+single-writer-per-out_dir discipline and must not run concurrently
+with a build/append on the same out_dir.
+
+All filesystem access goes through :mod:`.fsio`, so the same code
+runs against HDFS/S3 paths.  On an object store, where a directory
+rename is a non-atomic copy, a real deployment would do this as a
+table format's rewrite-data-files + snapshot swap (Iceberg/Delta);
+this module is that operation for the plain-parquet-dir layout the
+sandbox uses.
+
+Cost honesty: a compaction run rewrites the WHOLE stage —
+O(stage bytes), parallelism ``ceil(bytes/target)`` tasks each
+reading ≈ one target-file of small inputs.  Rewriting only the
+fragmented tail isn't crash-safe on a plain parquet dir (a subset
+swap has a window where readers see old+new files double-counted —
+exactly what a table format's atomic file-list commit exists for),
+so amortize instead: schedule compaction every K appends, and note
+the per-conversation stages downstream of ``extracted`` are 5-10%
+of corpus bytes, so at 100 TB the big rewrite is the ``extracted``
+stage's alone and runs at full cluster width.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional
+
+from pyspark.sql import SparkSession
+
+from . import fsio
+from .manifest import Manifest, table_fingerprint
+
+# stages that accumulate files via mode("append") — the overwrite
+# stages are rewritten whole each append and never fragment
+APPEND_STAGES = [
+    "extracted", "mentions", "group_entities", "groups", "triples",
+]
+
+SUF_TMP = ".__compact_tmp__"
+SUF_OLD = ".__compact_old__"
+
+# default target part-file size: 128 MiB keeps one file ≈ one HDFS
+# block / one comfortable scan task at cluster scale
+DEFAULT_TARGET_BYTES = 128 << 20
+
+
+def _repair(spark, path: str) -> str:
+    """Repair a crashed swap for ``path``.  Returns one of
+    ``"clean"`` (nothing to do), ``"dropped_tmp"`` (pre-swap orphan
+    removed), ``"rolled_forward"`` (stage is now the compacted data;
+    caller must re-commit lineage), ``"finished_swap"`` (swap had
+    completed but cleanup/commit may not have; caller must
+    re-commit)."""
+    tmp = path + SUF_TMP
+    old = path + SUF_OLD
+    if fsio.exists(spark, old):
+        if fsio.exists(spark, path):
+            # crashed after step 4: swap done, cleanup/commit unknown
+            fsio.delete(spark, tmp)
+            fsio.delete(spark, old)
+            return "finished_swap"
+        if fsio.exists(spark, fsio.join(tmp, "_SUCCESS")):
+            # crashed between 3 and 4: tmp was fully written AND
+            # row-verified before any rename — roll forward
+            fsio.rename(spark, tmp, path)
+            fsio.delete(spark, old)
+            return "rolled_forward"
+        # tmp missing/partial with the stage already moved aside can
+        # only mean a rename raced something it shouldn't — roll back
+        fsio.delete(spark, tmp)
+        fsio.rename(spark, old, path)
+        return "clean"
+    if fsio.exists(spark, tmp):
+        # crashed before step 3: stage untouched, tmp is an orphan
+        fsio.delete(spark, tmp)
+        return "dropped_tmp"
+    return "clean"
+
+
+def _compact_dir(
+    spark: SparkSession,
+    path: str,
+    expected_rows: Optional[int],
+    target_bytes: int,
+    force: bool,
+) -> dict:
+    """Compact one parquet dir in place (swap protocol steps 1-4 + 6).
+    Returns ``{rows, n_files_before, n_files_after, compacted}``.
+    Manifest re-commit (step 5) is the caller's job — the ``_conv_ids``
+    side table has no manifest record."""
+    fp = table_fingerprint(path, spark=spark)
+    if expected_rows is not None and fp["rows"] != expected_rows:
+        raise ValueError(
+            "compact: %r holds %d rows but the manifest says %d — "
+            "out_dir corrupted or concurrently modified; refusing to "
+            "rewrite" % (path, fp["rows"], expected_rows)
+        )
+    n_target = max(1, math.ceil(fp["bytes"] / float(target_bytes)))
+    out = {
+        "rows": fp["rows"],
+        "n_files_before": fp["n_files"],
+        "n_files_after": fp["n_files"],
+        "compacted": False,
+    }
+    if fp["n_files"] <= n_target and not force:
+        return out
+    tmp = path + SUF_TMP
+    old = path + SUF_OLD
+    spark.read.parquet(path).coalesce(n_target).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    tmp_fp = table_fingerprint(tmp, spark=spark)
+    if tmp_fp["rows"] != fp["rows"]:
+        fsio.delete(spark, tmp)
+        raise RuntimeError(
+            "compact: rewrite of %r produced %d rows, expected %d — "
+            "tmp discarded, stage untouched"
+            % (path, tmp_fp["rows"], fp["rows"])
+        )
+    fsio.rename(spark, path, old)
+    fsio.rename(spark, tmp, path)
+    fsio.delete(spark, old)
+    out["n_files_after"] = tmp_fp["n_files"]
+    out["compacted"] = True
+    return out
+
+
+def compact_kg(
+    spark: SparkSession,
+    out_dir: str,
+    stages: Optional[List[str]] = None,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    force: bool = False,
+    include_conv_ids: bool = True,
+) -> Dict[str, dict]:
+    """Compact the append-mode stages of a committed KG build at
+    ``out_dir``.  Idempotent and cheap when nothing is fragmented
+    (footer-only inspection per stage); safe to run on a schedule
+    between appends.  ``force=True`` rewrites even already-compact
+    stages (used by tests; also the escape hatch after changing
+    ``target_bytes``).
+
+    Returns ``{stage: {rows, n_files_before, n_files_after,
+    compacted}}``.  Raises if the base build is not fully committed,
+    or if a stage's on-disk row total disagrees with its manifest
+    record (refusing to launder corruption into a "compacted" table).
+    """
+    from .pipeline import CONV_IDS, LAYOUT_VERSION, STAGE_INPUTS
+
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    stages = list(APPEND_STAGES if stages is None else stages)
+    unknown = [s for s in stages if s not in APPEND_STAGES]
+    if unknown:
+        raise ValueError(
+            "compact_kg: %s are not append-mode stages (only %s "
+            "fragment)" % (", ".join(unknown), ", ".join(APPEND_STAGES))
+        )
+
+    results: Dict[str, dict] = {}
+    base = man.committed()
+    for stage in stages:
+        path = man.stage_path(stage)
+        state = _repair(spark, path)
+        rec = base.get(stage)
+        if not man.is_committed(stage, rec=rec or {}):
+            raise ValueError(
+                "compact_kg: stage %r is not committed at %r — "
+                "compact only fully built KGs" % (stage, out_dir)
+            )
+        t0 = time.time()
+        res = _compact_dir(
+            spark, path, rec["rows_out"], target_bytes, force
+        )
+        if res["compacted"] or state in ("rolled_forward",
+                                         "finished_swap"):
+            # step 5: fresh physical lineage, unchanged source
+            # identity — resume/append guards keep matching.  Also
+            # run after a repair that changed/possibly-changed the
+            # dir, so the record's file list never stays stale.
+            man.commit(
+                stage, time.time() - t0,
+                inputs=["compact:%s" % i
+                        for i in STAGE_INPUTS.get(stage, [stage])],
+                source_fp=rec.get("source_fp"),
+            )
+        res["repair"] = state
+        results[stage] = res
+
+    if include_conv_ids:
+        conv_path = fsio.join(out_dir, CONV_IDS)
+        state = _repair(spark, conv_path)
+        if fsio.exists(spark, fsio.join(conv_path, "_SUCCESS")):
+            res = _compact_dir(spark, conv_path, None, target_bytes,
+                               force)
+            res["repair"] = state
+            results[CONV_IDS] = res
+    return results

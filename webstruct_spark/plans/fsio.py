@@ -129,6 +129,27 @@ def delete(spark, path: str, recursive: bool = True) -> None:
         fs.delete(jpath, bool(recursive))
 
 
+def rename(spark, src: str, dst: str) -> None:
+    """Rename a file or directory; ``dst`` must not exist (the
+    compaction swap protocol depends on rename-no-clobber to make its
+    crash windows detectable).  Atomic on POSIX and HDFS; on object
+    stores a directory rename is a copy — there the real deployment
+    answer is a table format's snapshot swap (see
+    :mod:`.compaction`), and this routes through whatever the
+    configured FileSystem provides."""
+    if not is_uri(src):
+        if os.path.exists(dst):
+            raise IOError("fsio: rename target %r already exists" % dst)
+        os.rename(src, dst)
+        return
+    fs, jsrc, jvm = _jfs(spark, src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(jdst):
+        raise IOError("fsio: rename target %r already exists" % dst)
+    if not fs.rename(jsrc, jdst):
+        raise IOError("fsio: rename %r -> %r failed" % (src, dst))
+
+
 def getsize(spark, path: str) -> int:
     if not is_uri(path):
         return os.path.getsize(path)
