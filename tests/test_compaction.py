@@ -89,11 +89,14 @@ def test_compact_preserves_rows_and_lineage(spark, kg_built, tmp_path):
     n_convs = spark.read.parquet(out + "/" + CONV_IDS).distinct().count()
     assert res[CONV_IDS]["rows"] == n_convs
 
-    # manifest: fresh physical lineage, unchanged source identity
+    # manifest: fresh physical lineage, unchanged source identity;
+    # history folded into one snapshot record file
     man = Manifest(out, spark=spark)
-    base_rec = {
-        r["stage"]: r for r in man.records() if not r.get("files_delta")
-    }
+    rec_files = [
+        n for n in os.listdir(out + "/manifest.d") if n.endswith(".json")
+    ]
+    assert len(rec_files) == 1 and "snapshot" in rec_files[0]
+    assert len(man.records()) == len(man.committed())
     for s in APPEND_STAGES:
         rec = man.committed()[s]
         assert rec["inputs"][0].startswith("compact:"), s

@@ -139,9 +139,18 @@ def test_pipeline_resume_equivalence(spark, corpus_dir, tmp_path):
         if stage not in keep:
             shutil.rmtree(os.path.join(partial_dir, stage))
     shutil.rmtree(man.records_dir)  # new-layout records of the "kill"
+    # old builds recorded the FULL run fingerprint on every stage
+    # (pre-STAGE_IDENTITY_KEYS); reconstruct that shape so this test
+    # also pins that such records still resume — is_committed must
+    # compare by PROJECTION onto the stage's identity keys, not dict
+    # equality, or every pre-existing build silently re-extracts
+    full_fp = dict(committed["links"]["source_fp"])
+    full_fp.update(committed["extracted"]["source_fp"])
+    full_fp.update(committed["group_entities"]["source_fp"])
     with open(man.path, "w") as f:
         for stage, rec in committed.items():
             if stage in keep:
+                rec = dict(rec, source_fp=full_fp)
                 f.write(json.dumps(rec) + "\n")
 
     import time
@@ -286,6 +295,44 @@ def test_append_kg_equals_fresh_union_build(spark, corpus_dir, tmp_path):
         a = spark.read.parquet(inc[stage])
         b = spark.read.parquet(fresh[stage])
         assert none_safe_rows(a) == none_safe_rows(b), stage
+
+
+def test_append_retry_after_precommit_crash(spark, corpus_dir, tmp_path):
+    """The conv-id side table is written before any stage file, so a
+    crash in between leaves orphan ids.  The retry must detect that
+    NOTHING landed in the stages and proceed (previously it wedged
+    forever on the overlap guard), while a true double-append still
+    raises."""
+    from webstruct_spark.plans.pipeline import (
+        CONV_IDS, append_kg, build_kg,
+    )
+
+    corpus_a, corpus_b, corpus_u = _split_corpus(spark, corpus_dir, tmp_path)
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    # simulate the crashed attempt: side-table write only
+    delta = spark.read.parquet(
+        os.path.join(corpus_b, "transcripts.parquet")
+    )
+    delta.select("conv_id").distinct().write.mode("append").parquet(
+        os.path.join(out, CONV_IDS)
+    )
+
+    append_kg(spark, corpus_b, out)  # the retry — must recover
+
+    fresh = build_kg(spark, corpus_u, str(tmp_path / "fresh"))
+    got = spark.read.parquet(os.path.join(out, "extracted"))
+    want = spark.read.parquet(fresh["extracted"])
+    assert sorted(map(repr, got.collect())) == sorted(
+        map(repr, want.collect())
+    )
+    # orphan recovery left the side table duplicate-free
+    side = spark.read.parquet(os.path.join(out, CONV_IDS))
+    assert side.count() == side.distinct().count()
+    # rows actually landed -> the same delta now truly double-appends
+    with pytest.raises(ValueError, match="conv_ids"):
+        append_kg(spark, corpus_b, out)
 
 
 def test_append_kg_guards(spark, corpus_dir, tmp_path):

@@ -157,6 +157,63 @@ def test_reset_checkpoint_with_new_files_raises(spark, tmp_path, thirds):
     append_kg_frames(spark, df_b, gaz, gaz_fp, out, batch_id=0)
 
 
+def test_fresh_checkpoint_after_loss_recovers(spark, corpus_dir,
+                                              tmp_path, thirds):
+    """Checkpoint loss is recoverable exactly as the guard's error
+    advises: a FRESH checkpoint dir (new stream identity, so its
+    batch 0 is not mistaken for a replay) pointed at an input dir
+    holding only the un-ingested drop appends normally — while a
+    fresh checkpoint over the ORIGINAL mixed input dir still fails
+    safe on the overlap guard instead of double-appending."""
+    from webstruct_spark.plans.pipeline import STAGES, build_kg
+    from webstruct_spark.streaming.kg_ingest import ingest_transcripts_stream
+
+    corpus_a, df_b, df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    drops1 = str(tmp_path / "drops1")
+    df_b.repartition(1).write.mode("append").parquet(drops1)
+    ckpt1 = str(tmp_path / "ckpt1")
+    ingest_transcripts_stream(spark, drops1, out, gaz_path, ckpt1)
+
+    # checkpoint lost; a new drop lands in the original input dir
+    shutil.rmtree(ckpt1)
+    df_c.repartition(1).write.mode("append").parquet(drops1)
+
+    # fresh checkpoint over the mixed dir: its batch mixes consumed B
+    # with new C -> overlap guard raises (wrapped by the stream)
+    before = _manifest_state(out)
+    with pytest.raises(Exception, match="shares conv_ids"):
+        ingest_transcripts_stream(
+            spark, drops1, out, gaz_path, str(tmp_path / "ckpt2")
+        )
+    assert _manifest_state(out) == before  # nothing landed
+
+    # the documented recovery: fresh checkpoint + an input dir holding
+    # ONLY the un-ingested files
+    drops2 = str(tmp_path / "drops2")
+    df_c.repartition(1).write.mode("append").parquet(drops2)
+    ingest_transcripts_stream(
+        spark, drops2, out, gaz_path, str(tmp_path / "ckpt3")
+    )
+
+    fresh = build_kg(spark, corpus_dir, str(tmp_path / "fresh"))
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(fresh[stage])
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+    # losing the checkpoint over an input dir that did NOT gain files
+    # stays a no-op: the fresh stream's full-replay batch is skipped,
+    # not crash-looped
+    state = _manifest_state(out)
+    ingest_transcripts_stream(
+        spark, drops2, out, gaz_path, str(tmp_path / "ckpt4")
+    )
+    assert _manifest_state(out) == state
+
+
 def test_ingest_before_first_drop_is_noop(spark, tmp_path, thirds):
     """A scheduled ingest run that starts before any file landed must
     return without error."""

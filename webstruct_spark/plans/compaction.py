@@ -158,7 +158,11 @@ def _compact_dir(
         )
     fsio.rename(spark, path, old)
     fsio.rename(spark, tmp, path)
-    fsio.delete(spark, old)
+    # the old dir is NOT deleted here: the caller deletes it AFTER
+    # the manifest re-commit (protocol step 6 after step 5), so a
+    # crash in between is detectable by _repair as "finished_swap"
+    # and the re-commit is retried — deleting first would leave an
+    # unrepairable window with permanently stale file lineage
     out["n_files_after"] = tmp_fp["n_files"]
     out["compacted"] = True
     return out
@@ -171,6 +175,7 @@ def compact_kg(
     target_bytes: int = DEFAULT_TARGET_BYTES,
     force: bool = False,
     include_conv_ids: bool = True,
+    compact_manifest: bool = True,
 ) -> Dict[str, dict]:
     """Compact the append-mode stages of a committed KG build at
     ``out_dir``.  Idempotent and cheap when nothing is fragmented
@@ -222,6 +227,9 @@ def compact_kg(
                         for i in STAGE_INPUTS.get(stage, [stage])],
                 source_fp=rec.get("source_fp"),
             )
+        # step 6, strictly AFTER the commit: a crash before this
+        # line is the "finished_swap" window the next run repairs
+        fsio.delete(spark, path + SUF_OLD)
         res["repair"] = state
         results[stage] = res
 
@@ -231,6 +239,12 @@ def compact_kg(
         if fsio.exists(spark, fsio.join(conv_path, "_SUCCESS")):
             res = _compact_dir(spark, conv_path, None, target_bytes,
                                force)
+            fsio.delete(spark, conv_path + SUF_OLD)  # no manifest rec
             res["repair"] = state
             results[CONV_IDS] = res
+    if compact_manifest:
+        # same pathology, metadata edition: manifest.d gains files
+        # per append forever and every append preamble re-reads all
+        # of them — fold the history into one snapshot record
+        man.compact_records()
     return results

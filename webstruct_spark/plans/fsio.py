@@ -111,7 +111,11 @@ def mkdirs(spark, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         return
     fs, jpath, _ = _jfs(spark, path)
-    fs.mkdirs(jpath)  # no-op if it already exists
+    # no-op if it already exists; a false return is a real failure
+    # (permissions, quota) that must not be silent — callers assume
+    # the directory exists afterwards
+    if not fs.mkdirs(jpath):
+        raise IOError("fsio: mkdirs %r failed" % path)
 
 
 def delete(spark, path: str, recursive: bool = True) -> None:
@@ -126,7 +130,14 @@ def delete(spark, path: str, recursive: bool = True) -> None:
         return
     fs, jpath, _ = _jfs(spark, path)
     if fs.exists(jpath):
-        fs.delete(jpath, bool(recursive))
+        # a false return with the path still present is a REAL failed
+        # delete (permissions, trash-policy interception, partial
+        # object-store delete) — silent failure here let a --force
+        # "rebuild" quietly RESUME into the stale build it was asked
+        # to destroy.  A false return because another writer removed
+        # it first is fine: delete-if-exists semantics held.
+        if not fs.delete(jpath, bool(recursive)) and fs.exists(jpath):
+            raise IOError("fsio: delete %r failed" % path)
 
 
 def rename(spark, src: str, dst: str) -> None:

@@ -43,6 +43,10 @@ from typing import Dict, List, Optional
 
 from . import fsio
 
+# sentinel distinguishing "key absent from the record" from a None
+# value in the projection comparison below
+_MISSING = object()
+
 
 def table_fingerprint(path: str, spark=None) -> dict:
     """(row count, total bytes, file count) of a parquet table (single
@@ -134,7 +138,15 @@ class Manifest:
             )
             # records are tmp+rename'd, so a torn one cannot exist —
             # an unparsable record is real corruption and raises
-            out.append(json.loads(text))
+            rec = json.loads(text)
+            if rec.get("type") == "snapshot":
+                # a folded history checkpoint (see compact_records):
+                # splice its records in at this fold position — any
+                # older record files it superseded (crash mid-delete)
+                # sort before it and are overridden by last-wins
+                out.extend(rec["records"])
+            else:
+                out.append(rec)
         return out
 
     def committed(self) -> Dict[str, dict]:
@@ -164,8 +176,20 @@ class Manifest:
         # footers), so pointing the same out_dir at a changed corpus
         # rebuilds instead of serving stale outputs.  A record without
         # one (pre-fingerprint manifest) is unverifiable → rebuild.
-        if source_fp is not None and rec.get("source_fp") != source_fp:
-            return False
+        # Comparison is PROJECTION onto the expected keys: older
+        # records carry the FULL run fingerprint on every stage
+        # (pre-STAGE_IDENTITY_KEYS layout), and a key the stage does
+        # not depend on (e.g. the gazetteer for `extracted`) must not
+        # invalidate it — without this, every pre-existing build
+        # silently re-extracts its whole corpus on first resume.
+        # Keys the record LACKS still refuse (unverifiable identity).
+        if source_fp is not None:
+            rec_fp = rec.get("source_fp")
+            if not isinstance(rec_fp, dict):
+                return False
+            if any(rec_fp.get(k, _MISSING) != v
+                   for k, v in source_fp.items()):
+                return False
         # the stage dir must still look committed on disk
         return fsio.exists(
             self.spark,
@@ -249,3 +273,54 @@ class Manifest:
             json.dumps(rec),
         )
         return rec
+
+    def compact_records(self) -> int:
+        """Fold the commit history into ONE snapshot record file and
+        delete the record files (and legacy jsonl) it supersedes.
+        Without this, manifest.d gains one file per stage per append
+        forever and every :meth:`records` call — one per append
+        preamble — pays O(total commit history) listing + reads (on
+        the Hadoop route, py4j round trips each): the same unbounded
+        small-file pathology stage compaction fixes for data.  Run
+        from :func:`~webstruct_spark.plans.compaction.compact_kg`.
+
+        Only the LATEST record per stage survives (that is all
+        :meth:`committed` ever uses); older records are history.
+        Crash-safe: the snapshot is tmp+rename'd first, and a crash
+        mid-delete leaves older files that fold BEFORE the snapshot
+        and are overridden by it (last-wins), so readers are correct
+        at every instant.  Returns the number of files removed."""
+        names_before = [
+            n for n in fsio.listdir_names(self.spark, self.records_dir)
+            if n.endswith(".json")
+        ]
+        latest = self.committed()
+        if not latest:
+            return 0
+        snap = dict(
+            type="snapshot",
+            records=[latest[s] for s in sorted(latest)],
+            committed_utc_ns=time.time_ns(),
+        )
+        with self._lock:
+            seq = self._seq
+            self._seq += 1
+        name = "rec-%020d-%06d-%07d-%s.json" % (
+            snap["committed_utc_ns"], seq, os.getpid(), "snapshot"
+        )
+        fsio.write_text_atomic(
+            self.spark, fsio.join(self.records_dir, name),
+            json.dumps(snap),
+        )
+        removed = 0
+        for n in names_before:
+            if n < name:
+                fsio.delete(
+                    self.spark, fsio.join(self.records_dir, n),
+                    recursive=False,
+                )
+                removed += 1
+        if fsio.exists(self.spark, self.path):
+            fsio.delete(self.spark, self.path, recursive=False)
+            removed += 1
+        return removed

@@ -89,8 +89,9 @@ CONV_IDS = "_conv_ids"
 
 def _stage_identity(stage: str, full_fp: dict) -> dict:
     out = {k: full_fp[k] for k in STAGE_IDENTITY_KEYS[stage]}
-    if "stream_batch_id" in full_fp:
-        out["stream_batch_id"] = full_fp["stream_batch_id"]
+    for k in ("stream_batch_id", "stream_id"):
+        if k in full_fp:
+            out[k] = full_fp[k]
     return out
 
 
@@ -384,10 +385,16 @@ def append_kg_frames(
     stage_concurrency: int = 4,
     delta_transcripts_fp: Optional[dict] = None,
     batch_id: Optional[int] = None,
+    stream_id: Optional[str] = None,
 ) -> Dict[str, str]:
     """DataFrame-based core of :func:`append_kg` — also the
     foreachBatch body for streaming ingestion
     (:mod:`webstruct_spark.streaming.kg_ingest`).
+
+    The delta is persisted for the duration of the call: the guards
+    (conv-id distinct, overlap checks, side-table write) and the
+    extract each take an action over it, and without the cache every
+    action re-reads the delta's input files.
 
     ``delta_transcripts_fp``: footer fingerprint of the delta when it
     is file-backed; None means a frame-only delta (streaming batch) —
@@ -404,7 +411,44 @@ def append_kg_frames(
     skipped.  A reset checkpoint whose "replay" gained new files
     raises — silently skipping would drop the new conversations,
     appending would double the old ones.
+
+    ``stream_id``: identity of the CHECKPOINT the batch ids are
+    monotone within (kg_ingest persists one per checkpoint dir).
+    Spark's batch ids restart at 0 for every new checkpoint, so
+    without this a lost checkpoint bricked the out_dir: any fresh
+    stream's batch 0 hit the ≤-last-committed replay branch and
+    raised forever, making the error's own "fresh input dir"
+    recovery advice impossible.  Ids from a DIFFERENT stream skip
+    the replay branch entirely and rely on the conv-id overlap guard
+    (so a fresh checkpoint + an input dir of only-new files appends
+    normally).  None matches any stream — the pre-stream_id upgrade
+    path.
     """
+    tb = transcripts_b.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _append_kg_frames_impl(
+            spark, tb, gazetteer, gazetteer_fp, out_dir,
+            dont_penalize=dont_penalize,
+            stage_concurrency=stage_concurrency,
+            delta_transcripts_fp=delta_transcripts_fp,
+            batch_id=batch_id, stream_id=stream_id,
+        )
+    finally:
+        tb.unpersist()
+
+
+def _append_kg_frames_impl(
+    spark: SparkSession,
+    transcripts_b: DataFrame,
+    gazetteer: DataFrame,
+    gazetteer_fp: dict,
+    out_dir: str,
+    dont_penalize,
+    stage_concurrency: int,
+    delta_transcripts_fp: Optional[dict],
+    batch_id: Optional[int],
+    stream_id: Optional[str],
+) -> Dict[str, str]:
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
     base = man.committed()
     missing = [
@@ -430,6 +474,7 @@ def append_kg_frames(
     base_params = fp_of["group_entities"].get("params")
     base_gazetteer = fp_of["links"].get("gazetteer")
     last_batch = fp_of["extracted"].get("stream_batch_id")
+    last_stream = fp_of["extracted"].get("stream_id")
     # every stage must agree on the shared identity parts: a crashed
     # earlier append can leave extracted at A+B while groups is still
     # at A — a later disjoint delta would then build on a base with
@@ -438,6 +483,7 @@ def append_kg_frames(
         s for s in STAGES
         if fp_of[s].get("transcripts") != base_transcripts
         or fp_of[s].get("stream_batch_id") != last_batch
+        or fp_of[s].get("stream_id") != last_stream
         or ("params" in STAGE_IDENTITY_KEYS[s]
             and fp_of[s].get("params") != base_params)
         or ("gazetteer" in STAGE_IDENTITY_KEYS[s]
@@ -476,8 +522,15 @@ def append_kg_frames(
     existing_convs = spark.read.parquet(conv_path)
     delta_convs = transcripts_b.select("conv_id").distinct()
 
+    # a replayed id only means "already applied" if it belongs to the
+    # SAME stream: every new checkpoint restarts Spark's batch ids at
+    # 0, so a fresh stream's ids say nothing about this out_dir.
+    # None on either side matches any stream (pre-stream_id builds /
+    # direct callers) — the overlap guard below stays the backstop.
+    same_stream = (last_stream is None or stream_id is None
+                   or stream_id == last_stream)
     if (batch_id is not None and last_batch is not None
-            and batch_id <= last_batch):
+            and same_stream and batch_id <= last_batch):
         # an already-committed id is only skippable if it is a TRUE
         # replay: a lost/reset streaming checkpoint restarts ids at 0
         # over the whole input dir, and if NEW files landed meanwhile
@@ -500,11 +553,13 @@ def append_kg_frames(
         ).limit(1).count()
         if unseen:
             raise ValueError(
-                "append_kg: batch_id %d <= last committed %d but the "
-                "batch contains conversations not in the base — the "
-                "streaming checkpoint was lost or reset over an input "
-                "dir that gained new files; restore the checkpoint, "
-                "or ingest the new files with a fresh input dir"
+                "append_kg: batch_id %d <= last committed %d (same "
+                "stream) but the batch contains conversations not in "
+                "the base — the streaming checkpoint was reset over "
+                "an input dir that gained new files; restore the "
+                "checkpoint, or start over with a FRESH checkpoint "
+                "dir (new stream identity) pointed at an input dir "
+                "holding only the un-ingested files"
                 % (batch_id, last_batch)
             )
         return _paths()  # true replay — already applied
@@ -524,20 +579,65 @@ def append_kg_frames(
     next_batch = batch_id if batch_id is not None else last_batch
     if next_batch is not None:
         union_fp["stream_batch_id"] = next_batch
+        # the ids' stream identity travels with them; a batch without
+        # its own keeps the base's (plain append_kg into a streamed
+        # build must not erase it)
+        next_stream = stream_id if stream_id is not None else last_stream
+        if next_stream is not None:
+            union_fp["stream_id"] = next_stream
 
     overlap = (
         existing_convs.join(delta_convs, "conv_id").limit(1).count()
     )
     if overlap:
-        raise ValueError(
-            "append_kg: delta shares conv_ids with the base build — "
-            "appending would double their rows; de-duplicate first"
+        # the side table is a deliberate SUPERSET (ids land before
+        # any stage write), so overlap is ambiguous: a true
+        # double-append, a full replay under a NEW stream identity
+        # (lost checkpoint re-ingesting an unchanged input dir), or
+        # orphans of a crashed attempt that never wrote a stage
+        # file.  Disambiguate EXACTLY against the extracted table's
+        # data files (rare path — the exact read is acceptable here,
+        # the every-append guard above stays O(delta)); "landed"
+        # includes stray part files of a half-landed crash, which
+        # must never be doubled.
+        landed = (
+            spark.read.parquet(man.stage_path("extracted"))
+            .select("conv_id").distinct()
         )
+        any_landed = bool(
+            delta_convs.join(landed, "conv_id").limit(1).count()
+        )
+        any_unseen = bool(
+            delta_convs.join(landed, "conv_id", "left_anti")
+            .limit(1).count()
+        )
+        if any_landed and not any_unseen and batch_id is not None:
+            # every conversation already fully ingested + an
+            # automated (streaming) caller: a fresh checkpoint
+            # re-draining a static input dir — exactly-once means
+            # skip, not crash-loop
+            return _paths()
+        if any_landed:
+            # mixed (skipping loses the unseen part, appending
+            # doubles the landed part) or an EXPLICIT batch append
+            # of already-ingested conversations — both raise
+            raise ValueError(
+                "append_kg: delta shares conv_ids with the base "
+                "build — appending would double their rows; "
+                "de-duplicate first"
+            )
+        # pure side-table orphans: a prior attempt crashed before
+        # any stage write — the retry that previously wedged
+        # forever proceeds
     # record the delta's conv_ids BEFORE any stage write: if the run
     # crashes mid-append, the side table is a SUPERSET of what landed
-    # and a blind retry trips the overlap guard (fail-safe) instead of
-    # double-appending
-    delta_convs.write.mode("append").parquet(conv_path)
+    # and a blind retry trips the guard above, which either fails
+    # safe (any rows landed) or recovers (pure orphans).  left_anti
+    # keeps the side table duplicate-free on the orphan-retry path
+    # (and is a no-op filter on the common disjoint path).
+    delta_convs.join(existing_convs, "conv_id", "left_anti").write.mode(
+        "append"
+    ).parquet(conv_path)
 
     def commit_write(stage: str, df, mode: str) -> str:
         path = man.stage_path(stage)

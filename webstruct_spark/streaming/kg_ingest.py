@@ -14,13 +14,18 @@ EXACTLY-ONCE:
 * foreachBatch is at-least-once after a failure — a replayed batch
   re-invokes the handler with the SAME batch_id; append_kg_frames
   verifies it is a TRUE replay (no conversations outside the base)
-  and returns without writing.
-* a lost/reset checkpoint restarts ids at 0 over the whole input dir:
-  if only consumed files are present that is a verified replay
-  (no-op); if new files landed meanwhile, the batch mixes consumed
-  and unseen conversations and append_kg_frames RAISES rather than
-  skipping (which would drop the new data) or appending (which would
-  double the old).
+  and returns without writing.  Batch ids are only comparable within
+  one checkpoint, so each checkpoint dir carries a persistent stream
+  identity (``_ws_stream_id``, created on first start) that is
+  stamped into the manifest alongside the ids.
+* a LOST checkpoint is recoverable: a fresh checkpoint dir gets a new
+  stream identity, so its batch 0 is never mistaken for a replay of
+  the old id sequence.  Re-draining an input dir that did not gain
+  files is verified (every conversation already ingested) and
+  skipped; an input dir that DID gain files raises on the mixed
+  batch (skipping would drop the new conversations, appending would
+  double the old) — recover by pointing a fresh checkpoint at an
+  input dir holding only the un-ingested files.
 
 Contract: file drops must be CONVERSATION-COMPLETE — one conversation
 never spans two drops (with ``max_files_per_trigger`` set, never two
@@ -41,6 +46,29 @@ from ..operators.grouping_op import DEFAULT_DONT_PENALIZE
 from ..plans import fsio
 from ..plans.manifest import table_fingerprint
 from ..plans.pipeline import append_kg_frames
+
+STREAM_ID_FILE = "_ws_stream_id"
+
+
+def _ensure_stream_id(spark, checkpoint_dir: str) -> str:
+    """Read-or-create the checkpoint's stream identity file (goes
+    through fsio, so a cluster-FS checkpoint dir works).  Created
+    once per checkpoint; every micro-batch of that checkpoint carries
+    it, and a NEW checkpoint gets a new identity."""
+    import uuid
+
+    path = fsio.join(checkpoint_dir, STREAM_ID_FILE)
+    if fsio.exists(spark, path):
+        return fsio.read_text(spark, path).strip()
+    fsio.mkdirs(spark, checkpoint_dir)
+    sid = uuid.uuid4().hex
+    try:
+        fsio.write_text_atomic(spark, path, sid)
+    except IOError:
+        # two racing starts of the same checkpoint: whoever renamed
+        # first wins; re-read theirs
+        return fsio.read_text(spark, path).strip()
+    return sid
 
 
 def ingest_transcripts_stream(
@@ -78,6 +106,14 @@ def ingest_transcripts_stream(
         for n in fsio.listdir_names(spark, input_dir)
     ):
         return None
+    # a stable identity for THIS checkpoint's batch-id sequence, kept
+    # beside Spark's own checkpoint state (same lifetime: lose one,
+    # lose both).  Spark restarts batch ids at 0 for every new
+    # checkpoint, so append_kg_frames must know whether a replayed-
+    # looking id belongs to the id sequence it has already committed
+    # — without this, recovering with a fresh checkpoint dir was
+    # impossible (its batch 0 always looked like a corrupt replay).
+    stream_id = _ensure_stream_id(spark, str(checkpoint_dir))
     # file-source streams need an explicit schema; peek it statically
     schema = spark.read.parquet(input_dir).schema
     reader = spark.readStream.schema(schema)
@@ -105,6 +141,7 @@ def ingest_transcripts_stream(
             dont_penalize=dont_penalize,
             stage_concurrency=stage_concurrency,
             batch_id=int(batch_id),
+            stream_id=stream_id,
         )
 
     q = (
