@@ -233,3 +233,44 @@ def test_compact_via_file_uri_tripwire(spark, kg_built, tmp_path,
         assert _stage_rows(spark, out, s) == before[s], s
     rec = Manifest(out, spark=spark).committed()["mentions"]
     assert rec["inputs"][0].startswith("compact:")
+
+
+def test_repair_recommit_survives_second_crash(spark, kg_built, tmp_path):
+    """The __compact_old__ marker must outlive the repair's manifest
+    re-commit: a run that crashes BETWEEN the repair scan and the
+    re-commit leaves the marker, so the next run retries the commit —
+    marker-first deletion would strand the record's stale file lineage
+    forever (the following run would see "clean" + already-compact and
+    never refresh it)."""
+    from webstruct_spark.plans.compaction import _repair
+
+    stage = "mentions"
+    out = _copy_kg(kg_built, tmp_path)
+    path = out + "/" + stage
+    rows = _stage_rows(spark, out, stage)
+
+    # a real swap's steps 1-4, then crash before the re-commit: the
+    # dir is now ONE coalesced file while the manifest still lists the
+    # pre-compaction part files
+    spark.read.parquet(path).coalesce(1).write.parquet(path + SUF_TMP)
+    fsio.rename(spark, path, path + SUF_OLD)
+    fsio.rename(spark, path + SUF_TMP, path)
+
+    # second crash: a repair pass ran and died before the re-commit —
+    # the marker must survive the repair itself
+    assert _repair(spark, path) == "finished_swap"
+    assert fsio.exists(spark, path + SUF_OLD)
+
+    # third run repairs AND refreshes the lineage
+    res = compact_kg(spark, out, stages=[stage], include_conv_ids=False)
+    assert res[stage]["repair"] == "finished_swap"
+    assert not fsio.exists(spark, path + SUF_OLD)
+    assert _stage_rows(spark, out, stage) == rows
+    rec = Manifest(out, spark=spark).committed()[stage]
+    on_disk = sorted(
+        n for n in fsio.listdir_names(spark, path)
+        if n.endswith(".parquet")
+    )
+    assert sorted(f["name"] for f in rec["files"]) == on_disk
+    assert not rec.get("files_delta")
+    assert rec["rows_out"] == spark.read.parquet(path).count()

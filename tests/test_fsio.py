@@ -173,3 +173,24 @@ def test_manifest_commit_and_read_via_file_uri(spark, tmp_path,
         "garbage",
     )
     assert set(man2.committed()) == {"stage_x"}
+
+
+def test_write_text_atomic_refuses_clobber_both_routes(spark, tmp_path):
+    """Both routes must refuse an existing target with IOError — the
+    stream-identity race recovery (kg_ingest._ensure_stream_id) reads
+    the winner's file when its own write loses, which only works if
+    the loser is TOLD it lost (os.replace would silently overwrite)."""
+    import pytest
+
+    p = str(tmp_path / "one.txt")
+    fsio.write_text_atomic(None, p, "first")
+    with pytest.raises(IOError):
+        fsio.write_text_atomic(None, p, "second")
+    assert fsio.read_text(None, p) == "first"
+    assert not os.path.exists(p + ".tmp")  # loser's tmp cleaned up
+
+    uri = "file:" + str(tmp_path / "two.txt")
+    fsio.write_text_atomic(spark, uri, "first")
+    with pytest.raises(IOError):
+        fsio.write_text_atomic(spark, uri, "second")
+    assert fsio.read_text(spark, uri) == "first"

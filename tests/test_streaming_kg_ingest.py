@@ -228,3 +228,108 @@ def test_ingest_before_first_drop_is_noop(spark, tmp_path, thirds):
         str(tmp_path / "ckpt"),
     )
     assert q is None
+
+
+def test_reconcile_intents_unit(spark, tmp_path):
+    """Manifest-level intent semantics: a matching post identity means
+    the commit landed (files kept); a mismatch means the write crashed
+    uncommitted (files not in the pre listing deleted); no intents =
+    no-op."""
+    from webstruct_spark.plans.manifest import Manifest
+
+    out = str(tmp_path / "t")
+    man = Manifest(out)
+    path = man.stage_path("extracted")
+    spark.range(5).write.parquet(path)
+    fp = {"transcripts": {"rows": 5, "bytes": -1, "n_files": -1}}
+    man.commit("extracted", 0.0, source_fp=fp)
+    pre = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+
+    # (a) crash AFTER the commit, before clear_intent: identity
+    # matches, files stay
+    man.write_intent("extracted", pre, fp)
+    assert man.reconcile_intents() == {"extracted": "committed"}
+    assert sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    ) == pre
+
+    # (b) crash BEFORE the commit: the appended files are strays and
+    # must be deleted, restoring disk == manifest exactly
+    spark.range(3).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 8
+    man.write_intent(
+        "extracted", pre,
+        {"transcripts": {"rows": 8, "bytes": -1, "n_files": -1}},
+    )
+    res = man.reconcile_intents()
+    assert res["extracted"].startswith("reverted")
+    assert sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    ) == pre
+    assert spark.read.parquet(path).count() == 5
+
+    # (c) idempotent: nothing left to settle
+    assert man.reconcile_intents() == {}
+    # intents are invisible to the commit-record fold
+    assert set(man.committed()) == {"extracted"}
+
+
+def test_crashed_append_commit_is_replay_safe(spark, tmp_path, thirds,
+                                              monkeypatch):
+    """THE silent-loss window: the extracted append's Spark job
+    commits (part files visible) but the driver dies before the
+    manifest record lands.  The stream replays the batch with the same
+    id; without the write-ahead intent the overlap guard finds every
+    delta conv_id "landed" in extracted and skips the batch — every
+    downstream stage is then permanently short.  The retry must revert
+    the strays and apply the batch fully, matching a never-crashed
+    twin row-for-row."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg,
+    )
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "extracted" and k.get("only_files") is not None:
+            raise RuntimeError("simulated driver death before commit")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # the crash left extracted's dir ahead of its manifest record
+    man = Manifest(out, spark=spark)
+    rec = man.committed()["extracted"]
+    on_disk = spark.read.parquet(os.path.join(out, "extracted")).count()
+    assert on_disk > rec["rows_out"]
+
+    # replay of the same batch (same stream) must apply it fully
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+    )
+
+    twin = str(tmp_path / "twin")
+    build_kg(spark, corpus_a, twin)
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, twin, batch_id=0, stream_id="s1"
+    )
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage
+    rec2 = Manifest(out, spark=spark).committed()["extracted"]
+    assert rec2["rows_out"] == spark.read.parquet(
+        os.path.join(out, "extracted")
+    ).count()

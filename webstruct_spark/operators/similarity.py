@@ -252,9 +252,11 @@ def ivf_topk(
 
 
 def _sidecar(path: str, name: str) -> str:
-    """Join a sidecar name onto the index path with forward slashes —
-    Hadoop-style URI paths (s3://…, hdfs://…) as well as local ones."""
-    return path.rstrip("/") + "/" + name
+    """Join a sidecar name onto the index path — delegates to the one
+    URI-safe join rule (fsio.join) so the two can never drift."""
+    from ..plans import fsio
+
+    return fsio.join(path, name)
 
 
 def _write_ann_meta(spark: SparkSession, path: str, meta: dict) -> None:

@@ -94,15 +94,20 @@ def _repair(spark, path: str) -> str:
     old = path + SUF_OLD
     if fsio.exists(spark, old):
         if fsio.exists(spark, path):
-            # crashed after step 4: swap done, cleanup/commit unknown
+            # crashed after step 4: swap done, cleanup/commit unknown.
+            # The old dir is NOT deleted here — it is the marker that
+            # routes the next run back into this branch, and the
+            # caller must re-commit the manifest BEFORE dropping it
+            # (deleting first would make a crash between the delete
+            # and the re-commit unrepairable: the next run would see
+            # "clean" and never refresh the stale file lineage).
             fsio.delete(spark, tmp)
-            fsio.delete(spark, old)
             return "finished_swap"
         if fsio.exists(spark, fsio.join(tmp, "_SUCCESS")):
             # crashed between 3 and 4: tmp was fully written AND
-            # row-verified before any rename — roll forward
+            # row-verified before any rename — roll forward.  Same
+            # rule: the old dir outlives the caller's re-commit.
             fsio.rename(spark, tmp, path)
-            fsio.delete(spark, old)
             return "rolled_forward"
         # tmp missing/partial with the stage already moved aside can
         # only mean a rename raced something it shouldn't — roll back
@@ -192,6 +197,10 @@ def compact_kg(
     from .pipeline import CONV_IDS, LAYOUT_VERSION, STAGE_INPUTS
 
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    # settle crashed-append strays first: compaction verifies each
+    # stage's on-disk rows against the manifest, and an uncommitted
+    # stray write would read as corruption when it is repairable
+    man.reconcile_intents()
     stages = list(APPEND_STAGES if stages is None else stages)
     unknown = [s for s in stages if s not in APPEND_STAGES]
     if unknown:
@@ -211,35 +220,50 @@ def compact_kg(
                 "compact_kg: stage %r is not committed at %r — "
                 "compact only fully built KGs" % (stage, out_dir)
             )
+        if state in ("rolled_forward", "finished_swap"):
+            # step 5 retry for the crashed swap _repair just finished:
+            # re-commit the lineage FIRST, and only then drop the
+            # __compact_old__ marker — a crash between the two leaves
+            # the marker, so the next run lands back here and retries
+            # the re-commit (drop-first would strand the stale record
+            # forever: the following run would see "clean" +
+            # already-compact and skip the commit).
+            man.commit(
+                stage, 0.0,
+                inputs=["compact:%s" % i
+                        for i in STAGE_INPUTS.get(stage, [stage])],
+                source_fp=rec.get("source_fp"),
+            )
+            fsio.delete(spark, path + SUF_OLD)
         t0 = time.time()
         res = _compact_dir(
             spark, path, rec["rows_out"], target_bytes, force
         )
-        if res["compacted"] or state in ("rolled_forward",
-                                         "finished_swap"):
+        if res["compacted"]:
             # step 5: fresh physical lineage, unchanged source
-            # identity — resume/append guards keep matching.  Also
-            # run after a repair that changed/possibly-changed the
-            # dir, so the record's file list never stays stale.
+            # identity — resume/append guards keep matching
             man.commit(
                 stage, time.time() - t0,
                 inputs=["compact:%s" % i
                         for i in STAGE_INPUTS.get(stage, [stage])],
                 source_fp=rec.get("source_fp"),
             )
-        # step 6, strictly AFTER the commit: a crash before this
-        # line is the "finished_swap" window the next run repairs
-        fsio.delete(spark, path + SUF_OLD)
+            # step 6, strictly AFTER the commit: a crash before this
+            # line is the "finished_swap" window the next run repairs
+            fsio.delete(spark, path + SUF_OLD)
         res["repair"] = state
         results[stage] = res
 
     if include_conv_ids:
         conv_path = fsio.join(out_dir, CONV_IDS)
         state = _repair(spark, conv_path)
+        # no manifest record to re-sync for the side table, so the
+        # marker can be dropped as soon as the repair settles the dir
+        fsio.delete(spark, conv_path + SUF_OLD)
         if fsio.exists(spark, fsio.join(conv_path, "_SUCCESS")):
             res = _compact_dir(spark, conv_path, None, target_bytes,
                                force)
-            fsio.delete(spark, conv_path + SUF_OLD)  # no manifest rec
+            fsio.delete(spark, conv_path + SUF_OLD)
             res["repair"] = state
             results[CONV_IDS] = res
     if compact_manifest:

@@ -188,13 +188,29 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     reader never observes a torn file and a crash leaves only a
     ``.tmp`` orphan (ignored by every reader here).  ``path`` must be
     NEW — rename-onto-existing is not portable across filesystems
-    (HDFS refuses it), and every caller here writes unique names."""
+    (HDFS refuses it), so BOTH routes refuse to clobber an existing
+    ``path`` with ``IOError``.  (The local route publishes via
+    ``os.link`` — atomic create-if-absent — rather than ``os.replace``,
+    which silently overwrites and would let two racing writers each
+    believe they won; ``_ensure_stream_id``'s race recovery depends on
+    the loser getting the IOError.)"""
     data = text.encode("utf-8")
     if not is_uri(path):
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise IOError(
+                "fsio: atomic write target %r already exists" % path
+            )
+        finally:
+            # published (linked) or lost the race — never leave the tmp
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return
     fs, jpath, jvm = _jfs(spark, path)
     jtmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")

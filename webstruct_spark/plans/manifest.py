@@ -274,6 +274,100 @@ class Manifest:
         )
         return rec
 
+    # -- append write-ahead intents ------------------------------------
+    #
+    # An append-mode stage write has a crash window the commit records
+    # alone cannot repair: the Spark job COMMITS (part files visible)
+    # but the driver dies before `commit()` writes the record.  The
+    # stage dir then holds rows the manifest does not know about, and
+    # — worse — a replayed streaming batch would find every delta
+    # conv_id "already landed" in the extracted data files and skip
+    # the batch, silently dropping it from every downstream stage.
+    # The intent is a tiny WAL entry written BEFORE the append (the
+    # dir's pre-write part-file listing + the identity the commit
+    # would record) and deleted after the commit; reconcile_intents()
+    # at the next run's entry either confirms the commit landed or
+    # deletes the stray uncommitted part files, restoring
+    # disk == manifest exactly.  Intent files use the ``.intent``
+    # suffix so :meth:`records` (``.json`` only) never sees them.
+
+    INTENT_SUF = ".intent"
+
+    def write_intent(self, stage: str, pre_files: List[str],
+                     post_fp: Optional[dict]) -> str:
+        """Record the intent to append to ``stage``; returns the
+        intent's file name (pass to :meth:`clear_intent` after the
+        commit record is written)."""
+        rec = dict(
+            stage=stage,
+            pre_files=sorted(pre_files),
+            post_fp=post_fp,
+            utc_ns=time.time_ns(),
+        )
+        with self._lock:
+            seq = self._seq
+            self._seq += 1
+        name = "intent-%020d-%06d-%07d-%s%s" % (
+            rec["utc_ns"], seq, os.getpid(), stage, self.INTENT_SUF
+        )
+        fsio.write_text_atomic(
+            self.spark, fsio.join(self.records_dir, name),
+            json.dumps(rec),
+        )
+        return name
+
+    def clear_intent(self, name: str) -> None:
+        fsio.delete(
+            self.spark, fsio.join(self.records_dir, name),
+            recursive=False,
+        )
+
+    def reconcile_intents(self) -> Dict[str, str]:
+        """Settle every intent left by a crashed append write: if the
+        stage's committed identity equals the intent's ``post_fp`` the
+        commit landed (drop the intent, keep the files); otherwise
+        delete the stage dir's part files NOT in the intent's
+        pre-write listing — the landed-but-uncommitted strays — so the
+        dir again matches the manifest byte-for-byte.  Idempotent;
+        call at the entry of every append/build/compact over the
+        out_dir (a later full rebuild changes the stage's files, and
+        a stale intent reconciled AFTER that would delete legitimate
+        data — entry-time reconciliation is what makes that
+        impossible).  Returns {stage: "committed" | "reverted(N)"}."""
+        names = [
+            n for n in fsio.listdir_names(self.spark, self.records_dir)
+            if n.endswith(self.INTENT_SUF)
+        ]
+        if not names:
+            return {}
+        out: Dict[str, str] = {}
+        committed = self.committed()
+        for name in sorted(names):
+            it = json.loads(fsio.read_text(
+                self.spark, fsio.join(self.records_dir, name)
+            ))
+            stage = it["stage"]
+            rec = committed.get(stage)
+            if rec and rec.get("source_fp") == it["post_fp"]:
+                out[stage] = "committed"
+            else:
+                path = self.stage_path(stage)
+                n_strays = 0
+                if fsio.exists(self.spark, path):
+                    pre = set(it["pre_files"])
+                    for n in fsio.listdir_names(self.spark, path):
+                        if n.endswith(".parquet") and n not in pre:
+                            fsio.delete(
+                                self.spark, fsio.join(path, n),
+                                recursive=False,
+                            )
+                            n_strays += 1
+                    # job-temp leftovers of the crashed write
+                    fsio.delete(self.spark, fsio.join(path, "_temporary"))
+                out[stage] = "reverted(%d)" % n_strays
+            self.clear_intent(name)
+        return out
+
     def compact_records(self) -> int:
         """Fold the commit history into ONE snapshot record file and
         delete the record files (and legacy jsonl) it supersedes.

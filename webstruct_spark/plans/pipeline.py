@@ -137,6 +137,12 @@ def build_kg(
     also cancels queued stages AND interrupts in-flight sibling Spark
     jobs on the first stage failure)."""
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    # settle crashed-append intents BEFORE any rebuild decision: a
+    # stale intent reconciled AFTER a rebuild rewrites a stage's files
+    # would delete legitimate data (its pre-listing describes the old
+    # dir) — reconciling at entry, while the dir still matches the
+    # crashed state, is what keeps that impossible
+    man.reconcile_intents()
 
     # run identity: a resume against a CHANGED corpus (or changed
     # grouping params — they shape group_entities/groups/triples just
@@ -450,6 +456,11 @@ def _append_kg_frames_impl(
     stream_id: Optional[str],
 ) -> Dict[str, str]:
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    # settle any crashed append's landed-but-uncommitted stage write
+    # FIRST: every read below (the replay check, the overlap
+    # disambiguation, _rebuild_conv_ids) trusts the stage dirs to
+    # match the manifest
+    man.reconcile_intents()
     base = man.committed()
     missing = [
         s for s in STAGES
@@ -646,6 +657,18 @@ def _append_kg_frames_impl(
             # O(delta) lineage: footer-read only the part files this
             # write adds; totals roll forward from the prior record
             pre = set(fsio.listdir_names(spark, path))
+            # write-ahead intent: if we die after the Spark job
+            # commits but before man.commit records it, the next
+            # run's reconcile_intents deletes exactly the files this
+            # write added — without it that crash is SILENT loss (a
+            # replayed batch sees its conv_ids "landed" in extracted
+            # and skips, leaving every downstream stage short)
+            ident = _stage_identity(stage, union_fp)
+            intent = man.write_intent(
+                stage,
+                [n for n in pre if n.endswith(".parquet")],
+                ident,
+            )
             df.write.mode("append").parquet(path)
             new_files = [
                 n for n in fsio.listdir_names(spark, path)
@@ -654,10 +677,11 @@ def _append_kg_frames_impl(
             man.commit(
                 stage, time.time() - t0,
                 inputs=["delta:" + i for i in STAGE_INPUTS[stage]],
-                source_fp=_stage_identity(stage, union_fp),
+                source_fp=ident,
                 only_files=new_files,
                 prior_rec=base[stage],
             )
+            man.clear_intent(intent)
         else:
             df.write.mode("overwrite").parquet(path)
             man.commit(
