@@ -333,3 +333,100 @@ def test_crashed_append_commit_is_replay_safe(spark, tmp_path, thirds,
     assert rec2["rows_out"] == spark.read.parquet(
         os.path.join(out, "extracted")
     ).count()
+
+
+@pytest.mark.parametrize("die_at", ["mentions", "edges"])
+def test_mid_dag_crash_resumes_on_replay(spark, tmp_path, thirds,
+                                         monkeypatch, die_at):
+    """A run killed AFTER some stages committed the batch (torn base)
+    must be resumable by replaying the exact batch: committed stages
+    are skipped by identity, the rest get the delta — no rebuild, and
+    row-identity with a never-crashed twin."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg,
+    )
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == die_at:
+            raise RuntimeError("simulated driver death at %s" % stage)
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # extracted committed the batch, die_at did not — torn base
+    committed = Manifest(out, spark=spark).committed()
+    assert committed["extracted"]["source_fp"].get("stream_batch_id") == 0
+    assert committed[die_at]["source_fp"].get("stream_batch_id") is None
+
+    # a non-replay call over the torn base still fails safe
+    with pytest.raises(ValueError, match="disagree on source identity"):
+        append_kg_frames(spark, df_b, gaz, gaz_fp, out)
+
+    # replaying the exact batch resumes and completes it
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+    )
+
+    twin = str(tmp_path / "twin")
+    build_kg(spark, corpus_a, twin)
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, twin, batch_id=0, stream_id="s1"
+    )
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+    # and the batch is now sealed: a further replay is a pure no-op
+    state = _manifest_state(out)
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+    )
+    assert _manifest_state(out) == state
+
+
+def test_torn_resume_rejects_different_delta(spark, tmp_path, thirds,
+                                             monkeypatch):
+    """Resuming a crashed batch with DIFFERENT data must raise — the
+    behind stages would get a delta the ahead stages never saw."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
+
+    corpus_a, df_b, df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "mentions":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    with pytest.raises(ValueError, match="different data"):
+        append_kg_frames(
+            spark, df_c, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )

@@ -429,6 +429,14 @@ def append_kg_frames(
     (so a fresh checkpoint + an input dir of only-new files appends
     normally).  None matches any stream — the pre-stream_id upgrade
     path.
+
+    Crash resume: a run killed MID-DAG leaves some stages committed
+    at the batch's identity and the rest at the pre-batch one (write-
+    ahead intents revert any landed-but-uncommitted files first).
+    Replaying the exact crashed batch (same stream + id — what the
+    streaming retry does) RESUMES it: already-committed stages are
+    skipped by identity, the rest get the delta.  Any other call over
+    a torn base still raises.
     """
     tb = transcripts_b.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -500,12 +508,62 @@ def _append_kg_frames_impl(
         or ("gazetteer" in STAGE_IDENTITY_KEYS[s]
             and fp_of[s].get("gazetteer") != base_gazetteer)
     ]
+    # A torn base is RESUMABLE when the caller replays the exact
+    # crashed batch (the streaming retry: same stream, same id): the
+    # ahead stages — already committed at the post-batch identity —
+    # are skipped by commit_write's build_kg-style identity check, the
+    # behind stages get the delta.  Anything else (no batch identity
+    # to prove the replay, behind stages disagreeing among themselves,
+    # the tear touching params/gazetteer) still raises: appending on a
+    # guess could double or drop rows.
+    resume_mode = False
     if torn:
-        raise ValueError(
-            "append_kg: base stages disagree on source identity "
-            "(%s) — a previous append crashed mid-run; rebuild with "
-            "build_kg" % ", ".join(torn)
+        ahead_fp = fp_of["extracted"]
+        behind_fp = fp_of[torn[0]]
+
+        def _shared(fp: dict) -> tuple:
+            return (
+                fp.get("transcripts"),
+                fp.get("stream_batch_id"),
+                fp.get("stream_id"),
+            )
+
+        resumable = (
+            batch_id is not None
+            and stream_id is not None
+            and ahead_fp.get("stream_batch_id") == batch_id
+            and ahead_fp.get("stream_id") == stream_id
+            and all(_shared(fp_of[s]) == _shared(behind_fp)
+                    for s in torn)
+            and behind_fp.get("stream_batch_id") != batch_id
+            and behind_fp.get("stream_id") in (None, stream_id)
+            and all(
+                fp_of[s].get("params") == base_params
+                for s in STAGES
+                if "params" in STAGE_IDENTITY_KEYS[s]
+            )
+            and all(
+                fp_of[s].get("gazetteer") == base_gazetteer
+                for s in STAGES
+                if "gazetteer" in STAGE_IDENTITY_KEYS[s]
+            )
         )
+        if not resumable:
+            raise ValueError(
+                "append_kg: base stages disagree on source identity "
+                "(%s) — a previous append crashed mid-run and this "
+                "call does not replay the crashed batch (same stream "
+                "+ batch id); replay it, or rebuild with build_kg"
+                % ", ".join(torn)
+            )
+        resume_mode = True
+        # the TRUE pre-batch base is the behind stages' identity; the
+        # union computed from it must reconstruct the ahead stages'
+        # identity exactly (verified below, once the delta fingerprint
+        # is known)
+        base_transcripts = behind_fp["transcripts"]
+        last_batch = behind_fp.get("stream_batch_id")
+        last_stream = behind_fp.get("stream_id")
     if base_gazetteer != gazetteer_fp:
         raise ValueError(
             "append_kg: gazetteer differs from the base build's "
@@ -596,11 +654,47 @@ def _append_kg_frames_impl(
         next_stream = stream_id if stream_id is not None else last_stream
         if next_stream is not None:
             union_fp["stream_id"] = next_stream
+    if resume_mode and (
+        union_fp["transcripts"] != fp_of["extracted"]["transcripts"]
+    ):
+        raise ValueError(
+            "append_kg: resuming a crashed batch %d but this delta "
+            "does not reconstruct the committed stages' identity "
+            "(%r + delta -> %r, committed %r) — the replay carries "
+            "different data; restore the original batch or rebuild "
+            "with build_kg" % (
+                batch_id, base_transcripts, union_fp["transcripts"],
+                fp_of["extracted"]["transcripts"],
+            )
+        )
+
+    if resume_mode:
+        # row totals can collide across different deltas (the frame
+        # fingerprint is rows-only); also require every replayed
+        # conversation to be one the ahead stages actually committed
+        landed = (
+            spark.read.parquet(man.stage_path("extracted"))
+            .select("conv_id").distinct()
+        )
+        unseen = delta_convs.join(
+            landed, "conv_id", "left_anti"
+        ).limit(1).count()
+        if unseen:
+            raise ValueError(
+                "append_kg: resuming crashed batch %d but the delta "
+                "holds conversations the committed stages never saw "
+                "— the replay carries different data; restore the "
+                "original batch or rebuild with build_kg" % batch_id
+            )
 
     overlap = (
         existing_convs.join(delta_convs, "conv_id").limit(1).count()
     )
-    if overlap:
+    # in resume mode the overlap with the ahead stages is EXPECTED
+    # (that is what is being resumed) and exactly characterized by the
+    # identity checks above — the heuristic disambiguation below would
+    # misread it as "fully applied" and skip the behind stages
+    if overlap and not resume_mode:
         # the side table is a deliberate SUPERSET (ids land before
         # any stage write), so overlap is ambiguous: a true
         # double-append, a full replay under a NEW stream identity
@@ -652,6 +746,17 @@ def _append_kg_frames_impl(
 
     def commit_write(stage: str, df, mode: str) -> str:
         path = man.stage_path(stage)
+        # build_kg-style resume skip: a stage already committed at
+        # THIS union identity holds the batch (the ahead stages of a
+        # resumed crashed append; unreachable for a fresh batch, whose
+        # identity is new).  The producer still computes its delta
+        # DataFrame for dependents — only the write+commit is skipped.
+        if man.is_committed(
+            stage,
+            source_fp=_stage_identity(stage, union_fp),
+            rec=base.get(stage, {}),
+        ):
+            return path
         t0 = time.time()
         if mode == "append":
             # O(delta) lineage: footer-read only the part files this
