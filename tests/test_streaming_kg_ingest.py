@@ -430,3 +430,100 @@ def test_torn_resume_rejects_different_delta(spark, tmp_path, thirds,
         append_kg_frames(
             spark, df_c, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
         )
+
+
+def test_cross_stream_torn_resume(spark, tmp_path, thirds, monkeypatch):
+    """A base previously streamed by checkpoint s0 leaves the behind
+    stages carrying s0's identity (even the same batch NUMBER — ids
+    restart per checkpoint).  A crash of s1's batch 0 must still be
+    resumable by replaying it."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg,
+    )
+
+    corpus_a, df_b, df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    # stream s0 ingests B fully, then stream s1's batch 0 (C) crashes
+    # mid-DAG at groups
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s0"
+    )
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "groups":
+            raise RuntimeError("simulated driver death at groups")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_c, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    append_kg_frames(
+        spark, df_c, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+    )
+
+    twin = str(tmp_path / "twin")
+    build_kg(spark, corpus_a, twin)
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, twin, batch_id=0, stream_id="s0"
+    )
+    append_kg_frames(
+        spark, df_c, gaz, gaz_fp, twin, batch_id=0, stream_id="s1"
+    )
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+
+def test_torn_resume_rejects_already_ingested_convs(spark, tmp_path,
+                                                    thirds, monkeypatch):
+    """A wrong replay whose ROW COUNT matches the crashed batch but
+    whose conversations are already-ingested base ones passes the
+    rows-only fingerprint reconstruction — the pre-batch containment
+    check must catch it (appending it would duplicate base rows in
+    the behind stages)."""
+    from pyspark.sql import functions as F
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "mentions":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # same row count as the crashed batch, but base conversations
+    n = df_b.count()
+    base_rows = spark.read.parquet(
+        os.path.join(corpus_a, "transcripts.parquet")
+    ).orderBy("conv_id", "turn_idx").limit(n)
+    assert base_rows.count() == n
+    with pytest.raises(ValueError, match="pre-batch base"):
+        append_kg_frames(
+            spark, base_rows, gaz, gaz_fp, out, batch_id=0,
+            stream_id="s1",
+        )

@@ -128,10 +128,12 @@ def _compact_dir(
     target_bytes: int,
     force: bool,
 ) -> dict:
-    """Compact one parquet dir in place (swap protocol steps 1-4 + 6).
-    Returns ``{rows, n_files_before, n_files_after, compacted}``.
-    Manifest re-commit (step 5) is the caller's job — the ``_conv_ids``
-    side table has no manifest record."""
+    """Compact one parquet dir in place (swap protocol steps 1-4
+    ONLY).  Returns ``{rows, n_files_before, n_files_after,
+    compacted}``.  Steps 5 and 6 are the caller's job, in that order:
+    re-commit the manifest record, THEN delete the ``__compact_old__``
+    marker (the ``_conv_ids`` side table has no record, so its caller
+    just deletes the marker)."""
     fp = table_fingerprint(path, spark=spark)
     if expected_rows is not None and fp["rows"] != expected_rows:
         raise ValueError(

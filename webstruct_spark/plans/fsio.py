@@ -31,6 +31,7 @@ from __future__ import annotations
 import io
 import os
 import re
+import uuid
 from typing import List, Optional, Tuple
 
 import pyarrow.parquet as pq
@@ -195,8 +196,12 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     believe they won; ``_ensure_stream_id``'s race recovery depends on
     the loser getting the IOError.)"""
     data = text.encode("utf-8")
+    # the tmp name must be unique PER WRITER: two racers sharing
+    # ``path + ".tmp"`` could publish each other's content (A links
+    # the tmp after B truncated and rewrote it) — the winner would
+    # then hold a different sid in memory than the file it published
+    tmp = "%s.%d.%s.tmp" % (path, os.getpid(), uuid.uuid4().hex[:8])
     if not is_uri(path):
-        tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
         try:
@@ -205,6 +210,20 @@ def write_text_atomic(spark, path: str, text: str) -> None:
             raise IOError(
                 "fsio: atomic write target %r already exists" % path
             )
+        except OSError:
+            # filesystem without hard links (some NFS/CIFS/FUSE
+            # mounts): fall back to exclusive-create + direct write.
+            # No-clobber is preserved; the only loss is torn-file
+            # atomicity on a crash mid-write — acceptable ONLY as the
+            # degraded path, and manifest readers raise loudly on a
+            # torn record rather than misreading it.
+            try:
+                with open(path, "xb") as f:
+                    f.write(data)
+            except FileExistsError:
+                raise IOError(
+                    "fsio: atomic write target %r already exists" % path
+                )
         finally:
             # published (linked) or lost the race — never leave the tmp
             try:
@@ -213,7 +232,7 @@ def write_text_atomic(spark, path: str, text: str) -> None:
                 pass
         return
     fs, jpath, jvm = _jfs(spark, path)
-    jtmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     out = fs.create(jtmp, True)
     try:
         out.write(bytearray(data))

@@ -528,6 +528,13 @@ def _append_kg_frames_impl(
                 fp.get("stream_id"),
             )
 
+        # no condition on the BEHIND stages' stream/batch: a base
+        # previously streamed by another checkpoint leaves them
+        # carrying THAT stream's identity (even the same batch
+        # number — ids restart per checkpoint), and that is a
+        # perfectly resumable shape; the proof that this call is the
+        # crashed batch is the ahead identity + the delta
+        # reconstruction + conversation checks below
         resumable = (
             batch_id is not None
             and stream_id is not None
@@ -535,8 +542,6 @@ def _append_kg_frames_impl(
             and ahead_fp.get("stream_id") == stream_id
             and all(_shared(fp_of[s]) == _shared(behind_fp)
                     for s in torn)
-            and behind_fp.get("stream_batch_id") != batch_id
-            and behind_fp.get("stream_id") in (None, stream_id)
             and all(
                 fp_of[s].get("params") == base_params
                 for s in STAGES
@@ -582,6 +587,15 @@ def _append_kg_frames_impl(
     def _paths() -> Dict[str, str]:
         return {s: man.stage_path(s) for s in STAGES}
 
+    def _stage_convs(stage: str) -> DataFrame:
+        """Distinct conv_ids of a committed stage's DATA FILES — the
+        exact (not side-table-superset) read every rare-path guard
+        below shares, so a fix to one stays a fix to all."""
+        return (
+            spark.read.parquet(man.stage_path(stage))
+            .select("conv_id").distinct()
+        )
+
     # the _conv_ids side table keeps these guards O(delta); older
     # builds without one (or with a crashed partial write) get it
     # rebuilt from extracted once
@@ -598,8 +612,14 @@ def _append_kg_frames_impl(
     # direct callers) — the overlap guard below stays the backstop.
     same_stream = (last_stream is None or stream_id is None
                    or stream_id == last_stream)
+    # resume_mode guard: when resuming, last_batch is the BEHIND
+    # stages' (pre-batch) id; over a legacy streamed base
+    # (stream_id=None, batch ids present) the crashed batch's id can
+    # be ≤ it, and this branch would skip the batch as "already
+    # applied" — the exact silent loss the resume exists to fix
     if (batch_id is not None and last_batch is not None
-            and same_stream and batch_id <= last_batch):
+            and same_stream and not resume_mode
+            and batch_id <= last_batch):
         # an already-committed id is only skippable if it is a TRUE
         # replay: a lost/reset streaming checkpoint restarts ids at 0
         # over the whole input dir, and if NEW files landed meanwhile
@@ -613,12 +633,8 @@ def _append_kg_frames_impl(
         # this branch only runs on the rare replayed-id path; the
         # every-append overlap guard below stays on the O(delta) side
         # table, where superset errs toward raising, never skipping.)
-        committed_convs = (
-            spark.read.parquet(man.stage_path("extracted"))
-            .select("conv_id").distinct()
-        )
         unseen = delta_convs.join(
-            committed_convs, "conv_id", "left_anti"
+            _stage_convs("extracted"), "conv_id", "left_anti"
         ).limit(1).count()
         if unseen:
             raise ValueError(
@@ -672,12 +688,8 @@ def _append_kg_frames_impl(
         # row totals can collide across different deltas (the frame
         # fingerprint is rows-only); also require every replayed
         # conversation to be one the ahead stages actually committed
-        landed = (
-            spark.read.parquet(man.stage_path("extracted"))
-            .select("conv_id").distinct()
-        )
         unseen = delta_convs.join(
-            landed, "conv_id", "left_anti"
+            _stage_convs("extracted"), "conv_id", "left_anti"
         ).limit(1).count()
         if unseen:
             raise ValueError(
@@ -686,6 +698,31 @@ def _append_kg_frames_impl(
                 "— the replay carries different data; restore the "
                 "original batch or rebuild with build_kg" % batch_id
             )
+        # ...and none that predate the batch: extracted = base ∪
+        # batch, so delta ⊆ extracted alone also admits a wrong
+        # replay made of ALREADY-INGESTED base conversations (which a
+        # rows-only fingerprint cannot tell apart) — appending those
+        # to the behind stages would duplicate them.  A behind APPEND
+        # stage holds exactly the pre-batch conversations; the true
+        # batch's convs cannot appear in it.  (If only the overwrite
+        # stages are behind, they recompute from the on-disk unions
+        # and never consume the delta, so no check is needed.)
+        behind_appends = [
+            s for s in torn
+            if s in ("mentions", "group_entities", "groups", "triples")
+        ]
+        if behind_appends:
+            dup = delta_convs.join(
+                _stage_convs(behind_appends[0]), "conv_id"
+            ).limit(1).count()
+            if dup:
+                raise ValueError(
+                    "append_kg: resuming crashed batch %d but the "
+                    "delta holds conversations already in the "
+                    "pre-batch base — the replay carries different "
+                    "data; restore the original batch or rebuild "
+                    "with build_kg" % batch_id
+                )
 
     overlap = (
         existing_convs.join(delta_convs, "conv_id").limit(1).count()
@@ -705,10 +742,7 @@ def _append_kg_frames_impl(
         # the every-append guard above stays O(delta)); "landed"
         # includes stray part files of a half-landed crash, which
         # must never be doubled.
-        landed = (
-            spark.read.parquet(man.stage_path("extracted"))
-            .select("conv_id").distinct()
-        )
+        landed = _stage_convs("extracted")
         any_landed = bool(
             delta_convs.join(landed, "conv_id").limit(1).count()
         )
