@@ -335,7 +335,7 @@ def test_crashed_append_commit_is_replay_safe(spark, tmp_path, thirds,
     ).count()
 
 
-@pytest.mark.parametrize("die_at", ["mentions", "edges"])
+@pytest.mark.parametrize("die_at", ["mentions", "nodes", "edges"])
 def test_mid_dag_crash_resumes_on_replay(spark, tmp_path, thirds,
                                          monkeypatch, die_at):
     """A run killed AFTER some stages committed the batch (torn base)
