@@ -45,19 +45,31 @@ def main() -> None:
                         "idempotent, crash-safe, no corpus needed)")
     p.add_argument("--compact-target-mb", type=int, default=128,
                    help="target part-file size for --compact (MiB)")
+    p.add_argument("--status", action="store_true",
+                   help="read-only inspection of the build at --out: "
+                        "per-stage lineage + counters, pending "
+                        "write-ahead intents, torn-append diagnosis, "
+                        "disk-vs-manifest drift; mutates nothing")
     args = p.parse_args()
     if args.append and args.force:
         p.error("--append and --force are mutually exclusive")
     if args.compact and (args.append or args.force):
         p.error("--compact is a standalone maintenance mode")
-    if not args.compact and not args.corpus_dir:
-        p.error("--corpus-dir is required unless --compact")
+    if args.status and (args.append or args.force or args.compact):
+        p.error("--status is a standalone read-only mode")
+    if not (args.compact or args.status) and not args.corpus_dir:
+        p.error("--corpus-dir is required unless --compact/--status")
 
     from webstruct_spark.plans.pipeline import append_kg, build_kg
     from webstruct_spark.session import get_spark
 
     spark = get_spark("kg_build", cores=args.cores)
     try:
+        if args.status:
+            from webstruct_spark.plans.pipeline import kg_status
+
+            print(json.dumps(kg_status(spark, args.out)))
+            return
         if args.compact:
             from webstruct_spark.plans.compaction import compact_kg
 

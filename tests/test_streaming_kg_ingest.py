@@ -527,3 +527,65 @@ def test_torn_resume_rejects_already_ingested_convs(spark, tmp_path,
             spark, base_rows, gaz, gaz_fp, out, batch_id=0,
             stream_id="s1",
         )
+
+
+def test_kg_status_healthy_and_crashed(spark, tmp_path, thirds,
+                                       monkeypatch):
+    """kg_status must report a healthy build as committed/untorn with
+    disk matching the manifest, surface a crashed append as a pending
+    intent + torn identity classes WITHOUT mutating anything, and go
+    back to healthy after the replay resumes the batch."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg, kg_status,
+    )
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    st = kg_status(spark, out)
+    assert not st["torn"] and not st["pending_intents"]
+    for s in STAGES:
+        info = st["stages"][s]
+        assert info["committed"] and info["success_marker"], s
+        assert info["disk_matches_manifest"], s
+    assert len(st["identity_classes"]) == 1
+
+    # crash mid-DAG: mentions' write lands, its commit dies
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "mentions":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    st = kg_status(spark, out)
+    assert st["torn"]
+    assert len(st["identity_classes"]) == 2
+    assert any(i["stage"] == "mentions" for i in st["pending_intents"])
+    # the landed-but-uncommitted write shows as drift on mentions
+    assert not st["stages"]["mentions"]["disk_matches_manifest"]
+    assert st["stages"]["extracted"]["stream_batch_id"] == 0
+    assert st["stages"]["mentions"]["stream_batch_id"] is None
+    # read-only: the intent is still pending after the status call
+    assert Manifest(out, spark=spark).intents()
+
+    # replay resumes; status is healthy again
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+    )
+    st = kg_status(spark, out)
+    assert not st["torn"] and not st["pending_intents"]
+    assert all(
+        st["stages"][s]["disk_matches_manifest"] for s in STAGES
+    )

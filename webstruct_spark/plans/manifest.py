@@ -322,6 +322,23 @@ class Manifest:
             recursive=False,
         )
 
+    def intents(self) -> List[dict]:
+        """Read-only listing of pending intents (each with its
+        ``intent_file`` name), oldest first.  A pending intent means
+        an append write may have crashed since the last run — the
+        next build/append/compact entry settles it."""
+        out: List[dict] = []
+        for name in sorted(fsio.listdir_names(self.spark,
+                                              self.records_dir)):
+            if not name.endswith(self.INTENT_SUF):
+                continue
+            rec = json.loads(fsio.read_text(
+                self.spark, fsio.join(self.records_dir, name)
+            ))
+            rec["intent_file"] = name
+            out.append(rec)
+        return out
+
     def reconcile_intents(self) -> Dict[str, str]:
         """Settle every intent left by a crashed append write: if the
         stage's committed identity equals the intent's ``post_fp`` the
@@ -334,18 +351,13 @@ class Manifest:
         a stale intent reconciled AFTER that would delete legitimate
         data — entry-time reconciliation is what makes that
         impossible).  Returns {stage: "committed" | "reverted(N)"}."""
-        names = [
-            n for n in fsio.listdir_names(self.spark, self.records_dir)
-            if n.endswith(self.INTENT_SUF)
-        ]
-        if not names:
+        pending = self.intents()
+        if not pending:
             return {}
         out: Dict[str, str] = {}
         committed = self.committed()
-        for name in sorted(names):
-            it = json.loads(fsio.read_text(
-                self.spark, fsio.join(self.records_dir, name)
-            ))
+        for it in pending:
+            name = it["intent_file"]
             stage = it["stage"]
             rec = committed.get(stage)
             if rec and rec.get("source_fp") == it["post_fp"]:

@@ -111,6 +111,87 @@ def _rebuild_conv_ids(spark, extracted_path: str, conv_path: str) -> None:
     ).distinct().write.mode("overwrite").parquet(conv_path)
 
 
+def kg_status(spark: SparkSession, out_dir: str) -> dict:
+    """Read-only inspection of a KG build dir (``jobs/kg_build.py
+    --status``): per-stage committed lineage + counters, pending
+    write-ahead intents, identity-tear diagnosis, and cheap
+    disk-vs-manifest drift (file count + bytes from one listing per
+    stage — no data or footer reads).  NEVER mutates: intents are
+    listed, not reconciled, so an operator can inspect a crashed
+    out_dir without changing what the next run will repair."""
+    import json as _json
+
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    committed = man.committed()
+    stages: Dict[str, dict] = {}
+    classes: Dict[tuple, list] = {}
+    for s in STAGES:
+        rec = committed.get(s)
+        if not rec:
+            stages[s] = {"committed": False}
+            continue
+        fp = rec.get("source_fp") or {}
+        ident = (
+            _json.dumps(fp.get("transcripts"), sort_keys=True),
+            fp.get("stream_batch_id"),
+            fp.get("stream_id"),
+        )
+        classes.setdefault(ident, []).append(s)
+        info = {
+            "committed": True,
+            "layout": rec.get("layout"),
+            "rows_out": rec.get("rows_out"),
+            "n_files": rec.get("n_files"),
+            "bytes": rec.get("bytes"),
+            "stream_batch_id": fp.get("stream_batch_id"),
+            "stream_id": fp.get("stream_id"),
+            "committed_utc_ns": rec.get("committed_utc_ns"),
+        }
+        path = man.stage_path(s)
+        if fsio.exists(spark, path):
+            pq = [
+                (n, b) for n, b in fsio.listdir(spark, path)
+                if n.endswith(".parquet")
+            ]
+            info["disk_n_files"] = len(pq)
+            info["disk_bytes"] = sum(b for _, b in pq)
+            info["success_marker"] = fsio.exists(
+                spark, fsio.join(path, "_SUCCESS")
+            )
+            # drift is EXPECTED exactly when an intent is pending for
+            # the stage (a crashed landed-but-uncommitted write) —
+            # anywhere else it means out-of-band modification
+            info["disk_matches_manifest"] = (
+                info["disk_n_files"] == rec.get("n_files")
+                and info["disk_bytes"] == rec.get("bytes")
+            )
+        else:
+            info["disk_n_files"] = 0
+            info["disk_bytes"] = 0
+            info["success_marker"] = False
+            info["disk_matches_manifest"] = False
+        stages[s] = info
+    intents = [
+        {
+            "stage": it["stage"],
+            "intent_file": it["intent_file"],
+            "utc_ns": it.get("utc_ns"),
+            "n_pre_files": len(it.get("pre_files") or []),
+        }
+        for it in man.intents()
+    ]
+    return {
+        "out": out_dir,
+        "stages": stages,
+        "pending_intents": intents,
+        # >1 identity class across committed stages = a torn append
+        # (replaying the crashed batch resumes it; see
+        # append_kg_frames' docstring)
+        "torn": len(classes) > 1,
+        "identity_classes": sorted(classes.values()),
+    }
+
+
 def build_kg(
     spark: SparkSession,
     corpus_dir: str,
