@@ -357,7 +357,14 @@ def test_append_kg_guards(spark, corpus_dir, tmp_path):
         append_kg(spark, corpus_b, out, dont_penalize={"TEL"})
 
     # torn base (a crashed earlier append left stages at different
-    # source identities) -> refuse before appending anything
+    # source identities) -> refuse before appending anything.  This
+    # injected tear LOOKS like a crashed plain append (stream stamps
+    # agree), so the resume machinery examines it — and the delta
+    # fails the fingerprint-reconstruction proof, which is the guard
+    # that actually fires here; a tear that cannot be a replay at all
+    # still gets the "source identity" refusal (see
+    # test_plain_append_crash_resumes_on_rerun for the recoverable
+    # shape)
     import json
 
     from webstruct_spark.plans.manifest import Manifest
@@ -374,7 +381,9 @@ def test_append_kg_guards(spark, corpus_dir, tmp_path):
     )
     with open(bad, "w") as f:
         f.write(json.dumps(rec))
-    with pytest.raises(ValueError, match="source identity"):
+    with pytest.raises(
+        ValueError, match="source identity|does not reconstruct"
+    ):
         append_kg(spark, corpus_b, out)
     # restore a consistent manifest for the gazetteer check below
     os.remove(bad)

@@ -589,3 +589,57 @@ def test_kg_status_healthy_and_crashed(spark, tmp_path, thirds,
     assert all(
         st["stages"][s]["disk_matches_manifest"] for s in STAGES
     )
+
+
+def test_plain_append_crash_resumes_on_rerun(spark, tmp_path, thirds,
+                                             monkeypatch):
+    """A crashed PLAIN append (append_kg / --append: no batch or
+    stream identity) must be recovered by re-running the SAME call —
+    the file-backed delta fingerprint + conversation containment
+    prove the retry, committed stages are skipped, the rest get the
+    delta — while a retry with a DIFFERENT delta still raises."""
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import STAGES, append_kg, build_kg
+
+    corpus_a, df_b, df_c, gaz_path = thirds
+    # file-backed delta corpus dirs (append_kg reads dirs, not frames)
+    corpus_b = str(tmp_path / "corpus_b")
+    corpus_c = str(tmp_path / "corpus_c")
+    for d, df in ((corpus_b, df_b), (corpus_c, df_c)):
+        os.makedirs(d)
+        df.write.parquet(os.path.join(d, "transcripts.parquet"))
+        dst = os.path.join(d, "gazetteer.parquet")
+        if os.path.isdir(gaz_path):
+            shutil.copytree(gaz_path, dst)
+        else:
+            shutil.copy(gaz_path, dst)
+
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "group_entities":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg(spark, corpus_b, out)
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # a different delta over the torn base raises (never corrupts)
+    with pytest.raises(ValueError, match="different data|disagree"):
+        append_kg(spark, corpus_c, out)
+
+    # the documented recovery: re-run the same append
+    append_kg(spark, corpus_b, out)
+
+    twin = str(tmp_path / "twin")
+    build_kg(spark, corpus_a, twin)
+    append_kg(spark, corpus_b, twin)
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage

@@ -417,15 +417,18 @@ def append_kg(
     match the base build's (gazetteer by footer fingerprint —
     rows+bytes+file count, not a content hash, see
     :func:`.manifest.table_fingerprint` — node identity depends on
-    it); overlapping conv_ids raise (an at-least-once retry that re-appends the same delta
-    would silently double every per-conversation table — re-run
-    build_kg from scratch or de-duplicate the delta first).  The same
-    check makes a CRASHED append fail-safe: once the delta's
-    extracted rows landed, a blind retry sees the overlap and raises
-    instead of double-appending — recovery is a fresh build_kg (or
-    removing the delta's part files by hand).  On a real deployment
-    each appended stage would be one Iceberg append snapshot and the
-    retry story becomes snapshot rollback.
+    it); overlapping conv_ids raise (appending already-ingested
+    conversations would silently double every per-conversation table
+    — de-duplicate the delta first).  A CRASHED append, by contrast,
+    is RECOVERED by simply re-running the same call: write-ahead
+    intents revert any landed-but-uncommitted stage files at entry,
+    and a run killed mid-DAG (some stages committed, some not) is
+    resumed — the file-backed delta fingerprint plus conversation
+    containment prove the retry carries the crashed delta, committed
+    stages are skipped by identity, the rest get the delta.  A retry
+    with a DIFFERENT delta over the torn base raises.  On a real
+    deployment each appended stage would be one Iceberg append
+    snapshot and this machinery is its snapshot-rollback/retry story.
 
     Each appended/recomputed stage appends a fresh manifest record
     whose source fingerprint is the element-wise SUM of the base's
@@ -616,11 +619,28 @@ def _append_kg_frames_impl(
         # perfectly resumable shape; the proof that this call is the
         # crashed batch is the ahead identity + the delta
         # reconstruction + conversation checks below
-        resumable = (
+        streamed_replay = (
             batch_id is not None
             and stream_id is not None
             and ahead_fp.get("stream_batch_id") == batch_id
             and ahead_fp.get("stream_id") == stream_id
+        )
+        # a crashed PLAIN append (append_kg / --append: no batch or
+        # stream identity of its own) keeps the base's stream stamps
+        # on the stages it committed, so ahead and behind agree on
+        # them; the proof the retry carries the same delta is its
+        # FILE-BACKED fingerprint (exact rows+bytes+n_files, stronger
+        # than streaming's rows-only) + the conversation checks below
+        plain_replay = (
+            batch_id is None
+            and stream_id is None
+            and ahead_fp.get("stream_batch_id")
+            == behind_fp.get("stream_batch_id")
+            and ahead_fp.get("stream_id")
+            == behind_fp.get("stream_id")
+        )
+        resumable = (
+            (streamed_replay or plain_replay)
             and all(_shared(fp_of[s]) == _shared(behind_fp)
                     for s in torn)
             and all(
@@ -638,9 +658,10 @@ def _append_kg_frames_impl(
             raise ValueError(
                 "append_kg: base stages disagree on source identity "
                 "(%s) — a previous append crashed mid-run and this "
-                "call does not replay the crashed batch (same stream "
-                "+ batch id); replay it, or rebuild with build_kg"
-                % ", ".join(torn)
+                "call does not replay it; re-run the crashed append "
+                "with the same delta (streaming: replay the same "
+                "stream + batch id) to resume it, or rebuild with "
+                "build_kg" % ", ".join(torn)
             )
         resume_mode = True
         # the TRUE pre-batch base is the behind stages' identity; the
@@ -755,7 +776,7 @@ def _append_kg_frames_impl(
         union_fp["transcripts"] != fp_of["extracted"]["transcripts"]
     ):
         raise ValueError(
-            "append_kg: resuming a crashed batch %d but this delta "
+            "append_kg: resuming a crashed append (batch %s) but this delta "
             "does not reconstruct the committed stages' identity "
             "(%r + delta -> %r, committed %r) — the replay carries "
             "different data; restore the original batch or rebuild "
@@ -774,7 +795,7 @@ def _append_kg_frames_impl(
         ).limit(1).count()
         if unseen:
             raise ValueError(
-                "append_kg: resuming crashed batch %d but the delta "
+                "append_kg: resuming a crashed append (batch %s) but the delta "
                 "holds conversations the committed stages never saw "
                 "— the replay carries different data; restore the "
                 "original batch or rebuild with build_kg" % batch_id
@@ -798,7 +819,7 @@ def _append_kg_frames_impl(
             ).limit(1).count()
             if dup:
                 raise ValueError(
-                    "append_kg: resuming crashed batch %d but the "
+                    "append_kg: resuming a crashed append (batch %s) but the "
                     "delta holds conversations already in the "
                     "pre-batch base — the replay carries different "
                     "data; restore the original batch or rebuild "
