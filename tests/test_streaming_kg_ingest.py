@@ -643,3 +643,134 @@ def test_plain_append_crash_resumes_on_rerun(spark, tmp_path, thirds,
         got = spark.read.parquet(os.path.join(out, stage))
         want = spark.read.parquet(os.path.join(twin, stage))
         assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+
+def test_plain_torn_resume_requires_file_backed_delta(
+        spark, tmp_path, thirds, monkeypatch):
+    """A FRAME-ONLY retry (no file-backed fingerprint) over a
+    plain-torn base must be refused: without a batch identity the
+    resume proof is the exact rows+bytes+n_files fingerprint, and a
+    frame-only delta degrades it to rows-only — a different delta
+    with a colliding row count could slip through.  An EMPTY streamed
+    replay in resume mode must raise too, not report success over a
+    still-torn base."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "groups":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    # crash a PLAIN file-backed append mid-DAG (no batch/stream id)
+    delta_fp = {"rows": df_b.count(), "bytes": 12345, "n_files": 2}
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # frame-only retry (fp=None): refused even though rows would match
+    with pytest.raises(ValueError, match="disagree on source identity"):
+        append_kg_frames(spark, df_b, gaz, gaz_fp, out)
+
+    # the same call WITH the file-backed fp resumes fine
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+
+
+def test_streamed_torn_resume_rejects_empty_replay(
+        spark, tmp_path, thirds, monkeypatch):
+    """Replaying a crashed streamed batch with an EMPTY frame must
+    raise — the old early-return reported success while leaving the
+    base torn."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "mentions":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    with pytest.raises(ValueError, match="replay is empty"):
+        append_kg_frames(
+            spark, df_b.limit(0), gaz, gaz_fp, out,
+            batch_id=0, stream_id="s1",
+        )
+
+    # the true replay still resumes afterwards
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, batch_id=0, stream_id="s1"
+    )
+
+
+def test_kg_status_never_creates_dirs(spark, tmp_path):
+    """--status on a nonexistent / typo'd out_dir must not leave a
+    plausible-looking empty build dir behind."""
+    from webstruct_spark.plans.pipeline import STAGES, kg_status
+
+    missing = str(tmp_path / "no_such_build")
+    st = kg_status(spark, missing)
+    assert not os.path.exists(missing)
+    assert not st["torn"] and not st["pending_intents"]
+    assert all(not st["stages"][s]["committed"] for s in STAGES)
+
+
+def test_kg_status_reports_gazetteer_tear(spark, tmp_path, thirds):
+    """A gazetteer- (or params-) only tear — shared identity equal,
+    one stage committed at a different gazetteer fp — must be
+    reported torn by --status with the SAME predicate append_kg's
+    guard uses (it refuses such a base as 'disagree on source
+    identity')."""
+    import json
+
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import build_kg, kg_status
+
+    corpus_a, _df_b, _df_c, _gaz = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    man = Manifest(out, spark=spark)
+    rec = dict(man.committed()["nodes"])
+    rec["source_fp"] = dict(
+        rec["source_fp"],
+        gazetteer={"rows": 1, "bytes": 1, "n_files": 1},
+    )
+    bad = os.path.join(
+        man.records_dir, "rec-" + "9" * 20 + "-000000-0000000-nodes.json"
+    )
+    with open(bad, "w") as f:
+        f.write(json.dumps(rec))
+
+    st = kg_status(spark, out)
+    assert st["torn"]
+    assert st["torn_stages"] == ["nodes"]
+    # the shared (transcripts/stream) identity is still one class —
+    # exactly the shape the old diagnosis misreported as healthy
+    assert len(st["identity_classes"]) == 1

@@ -98,7 +98,10 @@ class Manifest:
     LEGACY_FILE = "manifest.jsonl"
 
     def __init__(self, out_dir: str, layout_version: str = "1",
-                 spark=None):
+                 spark=None, create: bool = True):
+        """``create=False`` gives a strictly read-only handle: no
+        directory is created, so inspecting a nonexistent / typo'd
+        out_dir (kg_status) leaves the filesystem untouched."""
         self.out_dir = out_dir
         self.layout_version = layout_version
         self.spark = spark
@@ -107,7 +110,8 @@ class Manifest:
         self.records_dir = fsio.join(out_dir, self.RECORDS_DIR)
         self._lock = threading.Lock()
         self._seq = 0
-        fsio.mkdirs(spark, self.records_dir)
+        if create:
+            fsio.mkdirs(spark, self.records_dir)
 
     # -- reading ------------------------------------------------------
     def records(self) -> List[dict]:
@@ -129,8 +133,13 @@ class Manifest:
                     if i == len(lines) - 1:
                         break
                     raise
-        for name in sorted(fsio.listdir_names(self.spark,
-                                              self.records_dir)):
+        # a read-only handle (create=False) may point at a dir that
+        # was never built — no records, not an error
+        names = (
+            sorted(fsio.listdir_names(self.spark, self.records_dir))
+            if fsio.exists(self.spark, self.records_dir) else []
+        )
+        for name in names:
             if not name.endswith(".json"):
                 continue  # .tmp orphans of crashed commits
             text = fsio.read_text(
@@ -328,8 +337,11 @@ class Manifest:
         an append write may have crashed since the last run — the
         next build/append/compact entry settles it."""
         out: List[dict] = []
-        for name in sorted(fsio.listdir_names(self.spark,
-                                              self.records_dir)):
+        names = (
+            sorted(fsio.listdir_names(self.spark, self.records_dir))
+            if fsio.exists(self.spark, self.records_dir) else []
+        )
+        for name in names:
             if not name.endswith(self.INTENT_SUF):
                 continue
             rec = json.loads(fsio.read_text(

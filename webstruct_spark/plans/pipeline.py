@@ -95,6 +95,34 @@ def _stage_identity(stage: str, full_fp: dict) -> dict:
     return out
 
 
+def _torn_stages(fp_of: Dict[str, dict]) -> List[str]:
+    """Stages whose committed identity disagrees with the anchors —
+    extracted for the parts every stage shares (transcripts + stream
+    stamps), group_entities for the grouping params, links for the
+    gazetteer (per STAGE_IDENTITY_KEYS).  The ONE tear predicate,
+    shared by append_kg's refuse/resume guard and kg_status's
+    diagnosis so the inspection tool can never contradict the guard
+    it explains.  A crashed earlier append can leave extracted at A+B
+    while groups is still at A; a crashed gazetteer-refresh resume
+    can leave links at the new gazetteer while nodes holds the old
+    one — both are tears."""
+    base_transcripts = fp_of["extracted"].get("transcripts")
+    last_batch = fp_of["extracted"].get("stream_batch_id")
+    last_stream = fp_of["extracted"].get("stream_id")
+    base_params = fp_of["group_entities"].get("params")
+    base_gazetteer = fp_of["links"].get("gazetteer")
+    return [
+        s for s in STAGES
+        if fp_of[s].get("transcripts") != base_transcripts
+        or fp_of[s].get("stream_batch_id") != last_batch
+        or fp_of[s].get("stream_id") != last_stream
+        or ("params" in STAGE_IDENTITY_KEYS[s]
+            and fp_of[s].get("params") != base_params)
+        or ("gazetteer" in STAGE_IDENTITY_KEYS[s]
+            and fp_of[s].get("gazetteer") != base_gazetteer)
+    ]
+
+
 def _conv_ids_ready(spark, conv_path: str) -> bool:
     # a dir without Spark's _SUCCESS marker is a crashed partial write
     return fsio.exists(spark, fsio.join(conv_path, "_SUCCESS"))
@@ -117,11 +145,15 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
     write-ahead intents, identity-tear diagnosis, and cheap
     disk-vs-manifest drift (file count + bytes from one listing per
     stage — no data or footer reads).  NEVER mutates: intents are
-    listed, not reconciled, so an operator can inspect a crashed
-    out_dir without changing what the next run will repair."""
+    listed, not reconciled, and the manifest handle is opened
+    read-only (``create=False`` — inspecting a typo'd or never-built
+    out_dir must not leave directories behind), so an operator can
+    inspect a crashed out_dir without changing what the next run will
+    repair."""
     import json as _json
 
-    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
+                   create=False)
     committed = man.committed()
     stages: Dict[str, dict] = {}
     classes: Dict[tuple, list] = {}
@@ -180,14 +212,27 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         }
         for it in man.intents()
     ]
+    # tear diagnosis with the SAME predicate append_kg's guard uses
+    # (_torn_stages: shared identity anchored on extracted, params on
+    # group_entities, gazetteer on links) — a params- or
+    # gazetteer-only tear must not be reported healthy while the next
+    # --append refuses it.  Only meaningful once every stage is
+    # committed (append requires that first anyway).
+    torn_stages: List[str] = []
+    if all(stages[s].get("committed") for s in STAGES):
+        torn_stages = _torn_stages(
+            {s: committed[s].get("source_fp") or {} for s in STAGES}
+        )
     return {
         "out": out_dir,
         "stages": stages,
         "pending_intents": intents,
-        # >1 identity class across committed stages = a torn append
-        # (replaying the crashed batch resumes it; see
-        # append_kg_frames' docstring)
-        "torn": len(classes) > 1,
+        # torn = stages disagree on identity: >1 shared-identity
+        # class (transcripts/stream stamps) OR a per-stage
+        # params/gazetteer tear (replaying the crashed append resumes
+        # the former; see append_kg_frames' docstring)
+        "torn": len(classes) > 1 or bool(torn_stages),
+        "torn_stages": torn_stages,
         "identity_classes": sorted(classes.values()),
     }
 
@@ -578,20 +623,11 @@ def _append_kg_frames_impl(
     base_gazetteer = fp_of["links"].get("gazetteer")
     last_batch = fp_of["extracted"].get("stream_batch_id")
     last_stream = fp_of["extracted"].get("stream_id")
-    # every stage must agree on the shared identity parts: a crashed
-    # earlier append can leave extracted at A+B while groups is still
-    # at A — a later disjoint delta would then build on a base with
-    # permanently missing rows, with no guard tripping
-    torn = [
-        s for s in STAGES
-        if fp_of[s].get("transcripts") != base_transcripts
-        or fp_of[s].get("stream_batch_id") != last_batch
-        or fp_of[s].get("stream_id") != last_stream
-        or ("params" in STAGE_IDENTITY_KEYS[s]
-            and fp_of[s].get("params") != base_params)
-        or ("gazetteer" in STAGE_IDENTITY_KEYS[s]
-            and fp_of[s].get("gazetteer") != base_gazetteer)
-    ]
+    # every stage must agree on its identity parts (see _torn_stages):
+    # a crashed earlier append can leave extracted at A+B while groups
+    # is still at A — a later disjoint delta would then build on a
+    # base with permanently missing rows, with no guard tripping
+    torn = _torn_stages(fp_of)
     # A torn base is RESUMABLE when the caller replays the exact
     # crashed batch (the streaming retry: same stream, same id): the
     # ahead stages — already committed at the post-batch identity —
@@ -630,10 +666,22 @@ def _append_kg_frames_impl(
         # on the stages it committed, so ahead and behind agree on
         # them; the proof the retry carries the same delta is its
         # FILE-BACKED fingerprint (exact rows+bytes+n_files, stronger
-        # than streaming's rows-only) + the conversation checks below
+        # than streaming's rows-only) + the conversation checks below.
+        # The file-backed fp is REQUIRED here — without it (a
+        # frame-only retry) the reconstruction proof degrades to
+        # rows-only with no batch identity backing it up, so a
+        # different delta with a colliding row count could slip
+        # through; streaming's rows-only proof is acceptable only
+        # because the stream+batch id pins the replay there.
+        fp_is_file_backed = (
+            delta_transcripts_fp is not None
+            and delta_transcripts_fp.get("bytes", -1) >= 0
+            and delta_transcripts_fp.get("n_files", -1) >= 0
+        )
         plain_replay = (
             batch_id is None
             and stream_id is None
+            and fp_is_file_backed
             and ahead_fp.get("stream_batch_id")
             == behind_fp.get("stream_batch_id")
             and ahead_fp.get("stream_id")
@@ -660,8 +708,9 @@ def _append_kg_frames_impl(
                 "(%s) — a previous append crashed mid-run and this "
                 "call does not replay it; re-run the crashed append "
                 "with the same delta (streaming: replay the same "
-                "stream + batch id) to resume it, or rebuild with "
-                "build_kg" % ", ".join(torn)
+                "stream + batch id; plain: re-run --append with the "
+                "original FILE-BACKED delta dir) to resume it, or "
+                "rebuild with build_kg" % ", ".join(torn)
             )
         resume_mode = True
         # the TRUE pre-batch base is the behind stages' identity; the
@@ -671,6 +720,18 @@ def _append_kg_frames_impl(
         base_transcripts = behind_fp["transcripts"]
         last_batch = behind_fp.get("stream_batch_id")
         last_stream = behind_fp.get("stream_id")
+    # error-message parts for the two resume flavors: a streamed
+    # replay is named by its batch and restored from the stream; a
+    # plain (CLI) retry has no batch — its recovery is re-running
+    # --append with the original delta dir
+    replay_what = (
+        "batch %s" % batch_id if batch_id is not None
+        else "a plain append"
+    )
+    replay_fix = (
+        "restore the original batch" if batch_id is not None
+        else "re-run --append with the original delta dir"
+    )
     if base_gazetteer != gazetteer_fp:
         raise ValueError(
             "append_kg: gazetteer differs from the base build's "
@@ -754,6 +815,16 @@ def _append_kg_frames_impl(
     if delta_transcripts_fp is None:
         n_delta = transcripts_b.count()
         if n_delta == 0:
+            if resume_mode:
+                # an empty replay cannot carry the crashed batch's
+                # data; returning success would leave the base torn
+                # while the caller believes it was repaired
+                raise ValueError(
+                    "append_kg: resuming a crashed append "
+                    "(%s) but the replay is empty — it cannot "
+                    "carry the crashed data; %s or rebuild with "
+                    "build_kg" % (replay_what, replay_fix)
+                )
             return _paths()  # empty micro-batch
         delta_transcripts_fp = {
             "rows": n_delta, "bytes": -1, "n_files": -1
@@ -776,13 +847,12 @@ def _append_kg_frames_impl(
         union_fp["transcripts"] != fp_of["extracted"]["transcripts"]
     ):
         raise ValueError(
-            "append_kg: resuming a crashed append (batch %s) but this delta "
+            "append_kg: resuming a crashed append (%s) but this delta "
             "does not reconstruct the committed stages' identity "
             "(%r + delta -> %r, committed %r) — the replay carries "
-            "different data; restore the original batch or rebuild "
-            "with build_kg" % (
-                batch_id, base_transcripts, union_fp["transcripts"],
-                fp_of["extracted"]["transcripts"],
+            "different data; %s or rebuild with build_kg" % (
+                replay_what, base_transcripts, union_fp["transcripts"],
+                fp_of["extracted"]["transcripts"], replay_fix,
             )
         )
 
@@ -795,10 +865,10 @@ def _append_kg_frames_impl(
         ).limit(1).count()
         if unseen:
             raise ValueError(
-                "append_kg: resuming a crashed append (batch %s) but the delta "
-                "holds conversations the committed stages never saw "
-                "— the replay carries different data; restore the "
-                "original batch or rebuild with build_kg" % batch_id
+                "append_kg: resuming a crashed append (%s) but the "
+                "delta holds conversations the committed stages "
+                "never saw — the replay carries different data; %s "
+                "or rebuild with build_kg" % (replay_what, replay_fix)
             )
         # ...and none that predate the batch: extracted = base ∪
         # batch, so delta ⊆ extracted alone also admits a wrong
@@ -819,11 +889,11 @@ def _append_kg_frames_impl(
             ).limit(1).count()
             if dup:
                 raise ValueError(
-                    "append_kg: resuming a crashed append (batch %s) but the "
-                    "delta holds conversations already in the "
+                    "append_kg: resuming a crashed append (%s) but "
+                    "the delta holds conversations already in the "
                     "pre-batch base — the replay carries different "
-                    "data; restore the original batch or rebuild "
-                    "with build_kg" % batch_id
+                    "data; %s or rebuild with build_kg"
+                    % (replay_what, replay_fix)
                 )
 
     overlap = (
