@@ -330,9 +330,33 @@ def test_append_retry_after_precommit_crash(spark, corpus_dir, tmp_path):
     # orphan recovery left the side table duplicate-free
     side = spark.read.parquet(os.path.join(out, CONV_IDS))
     assert side.count() == side.distinct().count()
-    # rows actually landed -> the same delta now truly double-appends
+    # re-running the SAME delta dir is the documented
+    # crash-after-final-commit recovery: a provable no-op (the
+    # extracted record's delta_fp matches), never a double-append
+    n_before = got.count()
+    append_kg(spark, corpus_b, out)
+    assert spark.read.parquet(
+        os.path.join(out, "extracted")
+    ).count() == n_before
+    # a DIFFERENT file-backed delta with the same conversations is a
+    # true double-append hazard and still raises (same rows, but the
+    # footer fingerprint — bytes/n_files — no longer matches what the
+    # base last applied)
+    import shutil
+
+    corpus_b2 = str(tmp_path / "corpus_b2")
+    os.makedirs(corpus_b2)
+    delta.repartition(3).write.parquet(
+        os.path.join(corpus_b2, "transcripts.parquet")
+    )
+    gaz_src = os.path.join(corpus_b, "gazetteer.parquet")
+    gaz_dst = os.path.join(corpus_b2, "gazetteer.parquet")
+    if os.path.isdir(gaz_src):
+        shutil.copytree(gaz_src, gaz_dst)
+    else:
+        shutil.copy(gaz_src, gaz_dst)
     with pytest.raises(ValueError, match="conv_ids"):
-        append_kg(spark, corpus_b, out)
+        append_kg(spark, corpus_b2, out)
 
 
 def test_append_kg_guards(spark, corpus_dir, tmp_path):

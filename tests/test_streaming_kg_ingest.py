@@ -774,3 +774,131 @@ def test_kg_status_reports_gazetteer_tear(spark, tmp_path, thirds):
     # the shared (transcripts/stream) identity is still one class —
     # exactly the shape the old diagnosis misreported as healthy
     assert len(st["identity_classes"]) == 1
+
+
+def test_plain_resume_refused_over_streamed_lineage(
+        spark, tmp_path, thirds, monkeypatch):
+    """A base whose transcripts fingerprint is -1-absorbed (it ever
+    ingested a streamed, rows-only micro-batch) cannot prove a PLAIN
+    retry's identity: _fp_add makes the union==ahead reconstruction
+    check rows-only, so the file-backed delta fp buys nothing.  Such
+    a torn base must refuse the plain resume (stream replay or
+    rebuild are the recoveries)."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import append_kg_frames, build_kg
+
+    corpus_a, df_b, df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    # a streamed micro-batch makes the base lineage rows-only forever
+    append_kg_frames(spark, df_b, gaz, gaz_fp, out,
+                     batch_id=0, stream_id="s1")
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "groups":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    delta_fp = {"rows": df_c.count(), "bytes": 777, "n_files": 3}
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_c, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # even the exact file-backed retry is refused over a -1 base:
+    # the proof it relies on is unavailable there
+    with pytest.raises(ValueError, match="streamed lineage"):
+        append_kg_frames(
+            spark, df_c, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+        )
+
+
+def test_plain_append_crash_after_final_commit_is_noop_retry(
+        spark, tmp_path, thirds):
+    """A plain --append that crashed AFTER its final stage commit
+    (nothing torn, everything landed) must be recoverable by the
+    documented re-run: the extracted record's stored delta_fp proves
+    the last applied delta was exactly this one, so the retry is a
+    no-op — not the 'de-duplicate the delta first' error.  A retry
+    with a DIFFERENT file-backed fp must still raise."""
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg,
+    )
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    delta_fp = {"rows": df_b.count(), "bytes": 4242, "n_files": 2}
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+    before = {
+        s: spark.read.parquet(os.path.join(out, s)).count()
+        for s in STAGES
+    }
+    manifest_before = _manifest_state(out)
+
+    # the crash-after-final-commit retry: same call, same delta
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+    after = {
+        s: spark.read.parquet(os.path.join(out, s)).count()
+        for s in STAGES
+    }
+    assert after == before
+    assert _manifest_state(out) == manifest_before  # true no-op
+
+    # a different delta fp (not what the base last applied) with the
+    # same conversations is NOT provably applied — still refused
+    other_fp = {"rows": df_b.count(), "bytes": 9999, "n_files": 5}
+    with pytest.raises(ValueError, match="de-duplicate"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=other_fp
+        )
+
+
+def test_kg_status_uses_guard_committed_predicate(spark, tmp_path, thirds):
+    """--status must classify stages with the SAME is_committed
+    predicate the build/append guards use: a stage whose _SUCCESS
+    vanished has a record but is NOT committed (the next --append
+    refuses it as missing), and its disk state must still be
+    reported — as must a stage dir with no record at all."""
+    from webstruct_spark.plans.pipeline import build_kg, kg_status
+
+    corpus_a, _df_b, _df_c, _gaz = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    os.remove(os.path.join(out, "nodes", "_SUCCESS"))
+    st = kg_status(spark, out)
+    info = st["stages"]["nodes"]
+    assert not info["committed"]
+    assert info["record_invalid"] == "_SUCCESS missing"
+    assert not info["success_marker"]
+    assert info["disk_n_files"] > 0  # landed files still reported
+
+    # crashed-first-build shape: part files, no record — disk info
+    # must appear even with committed: False
+    st2_dir = str(tmp_path / "kg2")
+    os.makedirs(os.path.join(st2_dir, "extracted"))
+    with open(os.path.join(st2_dir, "extracted",
+                           "part-00000.parquet"), "wb") as f:
+        f.write(b"x" * 10)
+    st2 = kg_status(spark, st2_dir)
+    info2 = st2["stages"]["extracted"]
+    assert not info2["committed"]
+    assert info2["disk_n_files"] == 1
+    assert info2["disk_bytes"] == 10
+    assert not info2["success_marker"]

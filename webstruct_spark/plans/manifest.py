@@ -213,7 +213,8 @@ class Manifest:
                inputs: Optional[List[str]] = None,
                source_fp: Optional[dict] = None,
                only_files: Optional[List[str]] = None,
-               prior_rec: Optional[dict] = None) -> dict:
+               prior_rec: Optional[dict] = None,
+               extra: Optional[dict] = None) -> dict:
         """Collect lineage from the written parquet dir and write the
         commit record.
 
@@ -267,6 +268,11 @@ class Manifest:
             wall_sec=round(wall_sec, 3),
             committed_utc_ns=time.time_ns(),
         )
+        if extra:
+            # caller annotations (e.g. the append path's delta_fp /
+            # delta_batch_id provenance, read back by the
+            # fully-applied plain-retry skip); core keys always win
+            rec = {**extra, **rec}
         with self._lock:
             seq = self._seq
             self._seq += 1

@@ -159,26 +159,43 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
     classes: Dict[tuple, list] = {}
     for s in STAGES:
         rec = committed.get(s)
-        if not rec:
-            stages[s] = {"committed": False}
-            continue
-        fp = rec.get("source_fp") or {}
-        ident = (
-            _json.dumps(fp.get("transcripts"), sort_keys=True),
-            fp.get("stream_batch_id"),
-            fp.get("stream_id"),
-        )
-        classes.setdefault(ident, []).append(s)
-        info = {
-            "committed": True,
-            "layout": rec.get("layout"),
-            "rows_out": rec.get("rows_out"),
-            "n_files": rec.get("n_files"),
-            "bytes": rec.get("bytes"),
-            "stream_batch_id": fp.get("stream_batch_id"),
-            "stream_id": fp.get("stream_id"),
-            "committed_utc_ns": rec.get("committed_utc_ns"),
-        }
+        # "committed" through the SAME predicate the build/append
+        # guards use (is_committed: record + layout match + _SUCCESS
+        # on disk) — a raw record whose layout is stale or whose
+        # _SUCCESS vanished must not be reported healthy while the
+        # next --append refuses it as a missing stage
+        ok = bool(rec) and man.is_committed(s, rec=rec)
+        info: Dict[str, object] = {"committed": ok}
+        if rec:
+            fp = rec.get("source_fp") or {}
+            ident = (
+                _json.dumps(fp.get("transcripts"), sort_keys=True),
+                fp.get("stream_batch_id"),
+                fp.get("stream_id"),
+            )
+            classes.setdefault(ident, []).append(s)
+            info.update(
+                layout=rec.get("layout"),
+                rows_out=rec.get("rows_out"),
+                n_files=rec.get("n_files"),
+                bytes=rec.get("bytes"),
+                stream_batch_id=fp.get("stream_batch_id"),
+                stream_id=fp.get("stream_id"),
+                committed_utc_ns=rec.get("committed_utc_ns"),
+                # append also needs this (its preamble refuses a base
+                # without recorded fingerprints)
+                source_fp_recorded=bool(rec.get("source_fp")),
+            )
+            if not ok:
+                info["record_invalid"] = (
+                    "layout %r != %r" % (rec.get("layout", "1"),
+                                         LAYOUT_VERSION)
+                    if rec.get("layout", "1") != LAYOUT_VERSION
+                    else "_SUCCESS missing"
+                )
+        # disk listing runs for EVERY stage, committed or not — the
+        # crashed-first-build case (part files, maybe no _SUCCESS, no
+        # record yet) is exactly what the inspection exists to show
         path = man.stage_path(s)
         if fsio.exists(spark, path):
             pq = [
@@ -190,18 +207,17 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
             info["success_marker"] = fsio.exists(
                 spark, fsio.join(path, "_SUCCESS")
             )
-            # drift is EXPECTED exactly when an intent is pending for
-            # the stage (a crashed landed-but-uncommitted write) —
-            # anywhere else it means out-of-band modification
-            info["disk_matches_manifest"] = (
-                info["disk_n_files"] == rec.get("n_files")
-                and info["disk_bytes"] == rec.get("bytes")
-            )
         else:
             info["disk_n_files"] = 0
             info["disk_bytes"] = 0
             info["success_marker"] = False
-            info["disk_matches_manifest"] = False
+        # drift is EXPECTED exactly when an intent is pending for
+        # the stage (a crashed landed-but-uncommitted write) —
+        # anywhere else it means out-of-band modification
+        info["disk_matches_manifest"] = bool(rec) and (
+            info["disk_n_files"] == rec.get("n_files")
+            and info["disk_bytes"] == rec.get("bytes")
+        )
         stages[s] = info
     intents = [
         {
@@ -217,11 +233,17 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
     # group_entities, gazetteer on links) — a params- or
     # gazetteer-only tear must not be reported healthy while the next
     # --append refuses it.  Only meaningful once every stage is
-    # committed (append requires that first anyway).
+    # committed WITH a recorded fingerprint (append requires both
+    # first anyway; feeding fp-less legacy records to _torn_stages
+    # would misreport them as torn when their real failure mode is
+    # append's "no recorded source fingerprints" refusal).
     torn_stages: List[str] = []
-    if all(stages[s].get("committed") for s in STAGES):
+    if all(
+        stages[s].get("committed") and stages[s].get("source_fp_recorded")
+        for s in STAGES
+    ):
         torn_stages = _torn_stages(
-            {s: committed[s].get("source_fp") or {} for s in STAGES}
+            {s: committed[s]["source_fp"] for s in STAGES}
         )
     return {
         "out": out_dir,
@@ -470,8 +492,15 @@ def append_kg(
     and a run killed mid-DAG (some stages committed, some not) is
     resumed — the file-backed delta fingerprint plus conversation
     containment prove the retry carries the crashed delta, committed
-    stages are skipped by identity, the rest get the delta.  A retry
-    with a DIFFERENT delta over the torn base raises.  On a real
+    stages are skipped by identity, the rest get the delta.  A run
+    killed AFTER its final stage commit is a no-op retry: the
+    extracted record's stored ``delta_fp`` proves the last applied
+    delta was exactly this one, so the re-run returns the paths
+    instead of raising the double-append error.  A retry with a
+    DIFFERENT delta over the torn base raises.  Caveat: a base whose
+    lineage contains streamed micro-batches (rows-only fingerprints)
+    cannot prove a PLAIN retry's identity — resume such a base by
+    replaying the stream, or rebuild.  On a real
     deployment each appended stage would be one Iceberg append
     snapshot and this machinery is its snapshot-rollback/retry story.
 
@@ -623,6 +652,15 @@ def _append_kg_frames_impl(
     base_gazetteer = fp_of["links"].get("gazetteer")
     last_batch = fp_of["extracted"].get("stream_batch_id")
     last_stream = fp_of["extracted"].get("stream_id")
+    # a FILE-BACKED delta fingerprint (exact rows+bytes+n_files from
+    # the parquet footers) is the strongest identity a plain append
+    # carries; frame-only deltas (streaming micro-batches) synthesize
+    # a rows-only fp below and rely on the stream+batch id instead
+    fp_is_file_backed = (
+        delta_transcripts_fp is not None
+        and delta_transcripts_fp.get("bytes", -1) >= 0
+        and delta_transcripts_fp.get("n_files", -1) >= 0
+    )
     # every stage must agree on its identity parts (see _torn_stages):
     # a crashed earlier append can leave extracted at A+B while groups
     # is still at A — a later disjoint delta would then build on a
@@ -672,16 +710,24 @@ def _append_kg_frames_impl(
         # rows-only with no batch identity backing it up, so a
         # different delta with a colliding row count could slip
         # through; streaming's rows-only proof is acceptable only
-        # because the stream+batch id pins the replay there.
-        fp_is_file_backed = (
-            delta_transcripts_fp is not None
-            and delta_transcripts_fp.get("bytes", -1) >= 0
-            and delta_transcripts_fp.get("n_files", -1) >= 0
+        # because the stream+batch id pins the replay there.  The
+        # BASE's lineage must be file-backed too: once any streamed
+        # micro-batch made the base fp -1-absorbed (_fp_add), the
+        # union==ahead reconstruction check below also degrades to
+        # rows-only no matter how exact the delta's fp is — a
+        # same-row-count delta of already-extracted conversations
+        # would pass it, so such a base can only be resumed by the
+        # stream's own replay (or rebuilt).
+        base_fp_file_backed = (
+            (behind_fp.get("transcripts") or {}).get("bytes", -1) >= 0
+            and (behind_fp.get("transcripts") or {}).get(
+                "n_files", -1) >= 0
         )
         plain_replay = (
             batch_id is None
             and stream_id is None
             and fp_is_file_backed
+            and base_fp_file_backed
             and ahead_fp.get("stream_batch_id")
             == behind_fp.get("stream_batch_id")
             and ahead_fp.get("stream_id")
@@ -709,8 +755,10 @@ def _append_kg_frames_impl(
                 "call does not replay it; re-run the crashed append "
                 "with the same delta (streaming: replay the same "
                 "stream + batch id; plain: re-run --append with the "
-                "original FILE-BACKED delta dir) to resume it, or "
-                "rebuild with build_kg" % ", ".join(torn)
+                "original FILE-BACKED delta dir — a base with "
+                "streamed lineage can only be resumed by the "
+                "stream's replay) to resume it, or rebuild with "
+                "build_kg" % ", ".join(torn)
             )
         resume_mode = True
         # the TRUE pre-batch base is the behind stages' identity; the
@@ -928,6 +976,20 @@ def _append_kg_frames_impl(
             # re-draining a static input dir — exactly-once means
             # skip, not crash-loop
             return _paths()
+        if (
+            any_landed and not any_unseen and batch_id is None
+            and fp_is_file_backed
+            and base["extracted"].get("delta_fp") == delta_transcripts_fp
+            and base["extracted"].get("delta_batch_id") is None
+        ):
+            # a plain --append that crashed AFTER its final stage
+            # commit (all stages landed, nothing torn) and is being
+            # re-run per the documented recovery: the base's extracted
+            # record says the LAST delta it applied was exactly this
+            # file-backed one (rows+bytes+n_files), so the retry is a
+            # fully-applied no-op — raising "de-duplicate first" here
+            # would misdirect the operator of a successful append
+            return _paths()
         if any_landed:
             # mixed (skipping loses the unseen part, appending
             # doubles the landed part) or an EXPLICIT batch append
@@ -991,6 +1053,15 @@ def _append_kg_frames_impl(
                 source_fp=ident,
                 only_files=new_files,
                 prior_rec=base[stage],
+                # provenance of the delta this commit applied — the
+                # fully-applied plain-retry skip in the overlap guard
+                # reads it back (and it survives record compaction,
+                # which keeps the latest record per stage)
+                extra={
+                    "delta_fp": delta_transcripts_fp,
+                    "delta_batch_id": batch_id,
+                    "delta_stream_id": stream_id,
+                },
             )
             man.clear_intent(intent)
         else:
