@@ -45,6 +45,13 @@ def main() -> None:
                         "idempotent, crash-safe, no corpus needed)")
     p.add_argument("--compact-target-mb", type=int, default=128,
                    help="target part-file size for --compact (MiB)")
+    p.add_argument("--refresh-gazetteer", action="store_true",
+                   help="re-link the build at --out against "
+                        "--corpus-dir's gazetteer.parquet: recomputes "
+                        "ONLY links/nodes/edges from the committed "
+                        "mentions/triples tables — the corpus-scale "
+                        "stages are untouched (idempotent, "
+                        "crash-recoverable by re-running)")
     p.add_argument("--status", action="store_true",
                    help="read-only inspection of the build at --out: "
                         "per-stage lineage + counters, pending "
@@ -57,6 +64,9 @@ def main() -> None:
         p.error("--compact is a standalone maintenance mode")
     if args.status and (args.append or args.force or args.compact):
         p.error("--status is a standalone read-only mode")
+    if args.refresh_gazetteer and (args.append or args.force
+                                   or args.compact or args.status):
+        p.error("--refresh-gazetteer is a standalone mode")
     if not (args.compact or args.status) and not args.corpus_dir:
         p.error("--corpus-dir is required unless --compact/--status")
 
@@ -84,7 +94,17 @@ def main() -> None:
             from webstruct_spark.plans import fsio
 
             fsio.delete(spark, args.out)
-        if args.append:
+        if args.refresh_gazetteer:
+            from webstruct_spark.plans import fsio
+            from webstruct_spark.plans.manifest import table_fingerprint
+            from webstruct_spark.plans.pipeline import refresh_gazetteer
+
+            gaz_path = fsio.join(args.corpus_dir, "gazetteer.parquet")
+            paths = refresh_gazetteer(
+                spark, spark.read.parquet(gaz_path),
+                table_fingerprint(gaz_path, spark=spark), args.out,
+            )
+        elif args.append:
             paths = append_kg(spark, args.corpus_dir, args.out,
                               stage_concurrency=args.stage_concurrency)
         else:

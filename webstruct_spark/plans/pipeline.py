@@ -1154,3 +1154,132 @@ def _append_kg_frames_impl(
         spark, TASKS, stage_concurrency, futs, man,
         cleanup=state.values(),
     )
+
+
+def refresh_gazetteer(
+    spark: SparkSession,
+    gazetteer: DataFrame,
+    gazetteer_fp: dict,
+    out_dir: str,
+) -> Dict[str, str]:
+    """Re-link an existing KG build against a NEW gazetteer by
+    recomputing ONLY the global stages (links + nodes from the
+    committed mentions table, then edges from triples × links) —
+    never the corpus.  The gazetteer is the small dimension table of
+    this pipeline; it changes on its own cadence (new aliases, new
+    canonical entities), and without this operation a refreshed
+    gazetteer forces ``build_kg`` to re-extract the full corpus for a
+    change that only shapes the linking family (STAGE_IDENTITY_KEYS:
+    only links/nodes/edges carry the gazetteer component).  At 100 TB
+    the recompute reads the slim mentions/triples tables — orders of
+    magnitude smaller than the corpus — and the corpus-scale stages
+    are untouched, byte-for-byte.
+
+    Works on ANY committed base: freshly built, plain-appended, or
+    streamed (``build_kg(resume=True)`` covers the gazetteer-refresh
+    case only for a never-appended base, because an appended base's
+    union fingerprint can never match a corpus dir on disk).
+
+    Idempotent + crash-recoverable: each global stage commits at the
+    (base transcripts, new gazetteer) identity, so a re-run skips the
+    stages that already landed and recomputes the rest — a crash
+    between the links and nodes commits leaves exactly the
+    gazetteer-only tear that :func:`kg_status` reports (and
+    :func:`append_kg` refuses), and re-running the refresh with the
+    same gazetteer repairs it.  Refreshing with the base's OWN
+    gazetteer over a healthy base is a complete no-op (no writes, no
+    manifest records).
+
+    Refuses a base torn in its shared (transcripts/stream) identity
+    or grouping params — that is a crashed APPEND, and recomputing
+    links over its mixed mentions table would spread the tear; resume
+    the append first.
+    """
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    # settle any crashed run's landed-but-uncommitted write first
+    man.reconcile_intents()
+    base = man.committed()
+    missing = [
+        s for s in STAGES
+        if not man.is_committed(s, rec=base.get(s, {}))
+    ]
+    if missing:
+        raise ValueError(
+            "refresh_gazetteer needs a fully committed base build; "
+            "missing stages: %s" % ", ".join(missing)
+        )
+    if any(base[s].get("source_fp") is None for s in STAGES):
+        raise ValueError(
+            "refresh_gazetteer needs a base build with recorded "
+            "source fingerprints (rebuild once with this version)"
+        )
+    fp_of = {s: base[s]["source_fp"] for s in STAGES}
+    # tolerate ONLY gazetteer-component tears confined to the global
+    # stages (a crashed earlier refresh — exactly what a re-run
+    # repairs); any shared-identity or params tear is a crashed
+    # append and must be resumed as one first
+    ex_fp = fp_of["extracted"]
+    shared_torn = [
+        s for s in STAGES
+        if fp_of[s].get("transcripts") != ex_fp.get("transcripts")
+        or fp_of[s].get("stream_batch_id") != ex_fp.get("stream_batch_id")
+        or fp_of[s].get("stream_id") != ex_fp.get("stream_id")
+    ]
+    base_params = fp_of["group_entities"].get("params")
+    params_torn = [
+        s for s in STAGES
+        if "params" in STAGE_IDENTITY_KEYS[s]
+        and fp_of[s].get("params") != base_params
+    ]
+    if shared_torn or params_torn:
+        raise ValueError(
+            "refresh_gazetteer: base stages disagree on source "
+            "identity (%s) — a previous append crashed mid-run; "
+            "resume it (re-run the crashed append) or rebuild with "
+            "build_kg before refreshing the gazetteer"
+            % ", ".join(sorted(set(shared_torn + params_torn)))
+        )
+
+    # target identity: the base's corpus lineage + the NEW gazetteer
+    union_fp = {
+        "transcripts": ex_fp["transcripts"],
+        "gazetteer": gazetteer_fp,
+        "params": base_params,
+    }
+    for k in ("stream_batch_id", "stream_id"):
+        if k in ex_fp:
+            union_fp[k] = ex_fp[k]
+
+    def _done(stage: str) -> bool:
+        return man.is_committed(
+            stage,
+            source_fp=_stage_identity(stage, union_fp),
+            rec=base.get(stage, {}),
+        )
+
+    def _overwrite(stage: str, df: DataFrame) -> None:
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(man.stage_path(stage))
+        man.commit(
+            stage, time.time() - t0,
+            inputs=["refresh:" + i for i in STAGE_INPUTS[stage]],
+            source_fp=_stage_identity(stage, union_fp),
+        )
+
+    if not (_done("links") and _done("nodes")):
+        # links+nodes share one canonicalize() computation (as in
+        # build/append); the slim committed mentions table is the
+        # only corpus-derived input
+        mentions_tbl = spark.read.parquet(man.stage_path("mentions"))
+        links_df, nodes_df = canonicalize(mentions_tbl, gazetteer)
+        for stage, df in (("links", links_df), ("nodes", nodes_df)):
+            if not _done(stage):
+                _overwrite(stage, df)
+    if not _done("edges"):
+        from ..operators.graph import materialize_edges
+
+        _overwrite("edges", materialize_edges(
+            spark.read.parquet(man.stage_path("triples")),
+            spark.read.parquet(man.stage_path("links")),
+        ))
+    return {s: man.stage_path(s) for s in STAGES}
