@@ -274,3 +274,40 @@ def test_repair_recommit_survives_second_crash(spark, kg_built, tmp_path):
     assert sorted(f["name"] for f in rec["files"]) == on_disk
     assert not rec.get("files_delta")
     assert rec["rows_out"] == spark.read.parquet(path).count()
+
+
+def test_compact_preserves_delta_provenance(spark, kg_built, tmp_path):
+    """A scheduled compact between a plain append and its
+    at-least-once retry must not strip the extracted record's
+    delta_fp — the fully-applied retry skip reads it off the LATEST
+    record, and losing it turns the documented no-op retry into the
+    'de-duplicate first' refusal."""
+    from webstruct_spark.plans.pipeline import append_kg_frames
+
+    out = _copy_kg(kg_built, tmp_path)
+    corpus_c = os.path.join(kg_built["base"], "corpus_c")
+    delta = spark.read.parquet(
+        os.path.join(corpus_c, "transcripts.parquet")
+    )
+    gaz_path = os.path.join(corpus_c, "gazetteer.parquet")
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+    delta_fp = table_fingerprint(
+        os.path.join(corpus_c, "transcripts.parquet")
+    )
+
+    append_kg_frames(
+        spark, delta, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+    compact_kg(spark, out)
+    man = Manifest(out, spark=spark)
+    assert man.committed()["extracted"].get("delta_fp") == delta_fp
+
+    # the at-least-once retry after the compact: a provable no-op
+    n_before = spark.read.parquet(os.path.join(out, "extracted")).count()
+    append_kg_frames(
+        spark, delta, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+    assert spark.read.parquet(
+        os.path.join(out, "extracted")
+    ).count() == n_before

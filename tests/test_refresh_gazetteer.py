@@ -243,3 +243,36 @@ def test_refresh_refuses_torn_append_base(
 
     with pytest.raises(ValueError, match="resume it"):
         refresh_gazetteer(spark, gaz, gaz_fp, out)
+
+
+def test_refresh_repairs_mid_overwrite_crash(
+        spark, corpus_dir, tmp_path, new_gaz):
+    """A refresh (or append) killed DURING a global stage's overwrite
+    write leaves the stage dir without _SUCCESS (mode('overwrite')
+    deletes the old dir first).  Re-running the refresh must treat
+    the missing global stage as work to recompute — not raise the
+    'needs ... committed' refusal that would dead-end the documented
+    re-run recovery."""
+    import shutil as sh
+
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import build_kg, refresh_gazetteer
+
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_dir, out)
+
+    gaz2_dir = _corpus_with_gaz(spark, corpus_dir, tmp_path, "c2", new_gaz)
+    gaz2_path = os.path.join(gaz2_dir, "gazetteer.parquet")
+    gaz2 = spark.read.parquet(gaz2_path)
+    gaz2_fp = table_fingerprint(gaz2_path)
+
+    # emulate the mid-write window: the links dir is gone entirely
+    sh.rmtree(os.path.join(out, "links"))
+
+    refresh_gazetteer(spark, gaz2, gaz2_fp, out)  # must not refuse
+
+    fresh = build_kg(spark, gaz2_dir, str(tmp_path / "fresh"))
+    for stage in ("links", "nodes", "edges"):
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(fresh[stage])
+        assert _rows(got) == _rows(want), stage

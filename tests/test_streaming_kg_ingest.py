@@ -902,3 +902,120 @@ def test_kg_status_uses_guard_committed_predicate(spark, tmp_path, thirds):
     assert info2["disk_n_files"] == 1
     assert info2["disk_bytes"] == 10
     assert not info2["success_marker"]
+
+
+def test_append_retry_after_mid_overwrite_crash(
+        spark, tmp_path, thirds, monkeypatch):
+    """An append killed while links was being overwritten (old dir
+    deleted, no _SUCCESS) must be recoverable by the documented
+    re-run — previously the retry raised 'needs a fully committed
+    base build' forever, a crash-loop whose only exit was a rebuild."""
+    import shutil as sh
+
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg,
+    )
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    twin = str(tmp_path / "twin")
+    build_kg(spark, corpus_a, out)
+    build_kg(spark, corpus_a, twin)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+    delta_fp = {"rows": df_b.count(), "bytes": 555, "n_files": 1}
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "links":
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        append_kg_frames(
+            spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+        )
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+    # the crash above landed the new links dir; emulate the
+    # mid-WRITE window (overwrite deleted the old dir, write died)
+    sh.rmtree(os.path.join(out, "links"))
+
+    # the documented recovery: same call, same file-backed delta
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, twin, delta_transcripts_fp=delta_fp
+    )
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+
+def test_status_tolerates_vanishing_intent(spark, tmp_path, thirds):
+    """kg_status races live jobs by design: an intent listed but
+    cleared before the read must be skipped, not crash --status."""
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import build_kg, kg_status
+
+    corpus_a, _df_b, _df_c, _gaz = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    man = Manifest(out, spark=spark)
+    from webstruct_spark.plans import fsio as fsio_mod
+
+    real_listdir_names = fsio_mod.listdir_names
+
+    def ghost_listing(spark_, path):
+        names = real_listdir_names(spark_, path)
+        if path == man.records_dir:
+            names = names + [
+                "intent-%020d-000000-0000000-links%s"
+                % (1, Manifest.INTENT_SUF)
+            ]
+        return names
+
+    import webstruct_spark.plans.manifest as man_mod
+
+    orig = man_mod.fsio.listdir_names
+    man_mod.fsio.listdir_names = ghost_listing
+    try:
+        st = kg_status(spark, out)
+    finally:
+        man_mod.fsio.listdir_names = orig
+    assert st["pending_intents"] == []  # ghost skipped, no crash
+
+
+def test_kg_status_legacy_fpless_record_not_torn(spark, tmp_path, thirds):
+    """A committed stage whose record predates source fingerprints
+    must not read as a second identity class (torn): append's actual
+    refusal for such a base is the fingerprint one, and the status
+    tool must not contradict it."""
+    import json
+
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import build_kg, kg_status
+
+    corpus_a, _df_b, _df_c, _gaz = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    man = Manifest(out, spark=spark)
+    rec = dict(man.committed()["groups"])
+    rec.pop("source_fp", None)
+    bad = os.path.join(
+        man.records_dir, "rec-" + "9" * 20 + "-000000-0000000-groups.json"
+    )
+    with open(bad, "w") as f:
+        f.write(json.dumps(rec))
+
+    st = kg_status(spark, out)
+    assert not st["torn"]
+    assert st["stages"]["groups"]["committed"]
+    assert not st["stages"]["groups"]["source_fp_recorded"]
+    assert len(st["identity_classes"]) == 1

@@ -83,6 +83,19 @@ SUF_OLD = ".__compact_old__"
 DEFAULT_TARGET_BYTES = 128 << 20
 
 
+def _delta_provenance(rec: dict) -> dict:
+    """The last-applied-delta annotations a compaction re-commit must
+    carry forward: the append path's fully-applied plain-retry skip
+    reads them off the LATEST record (pipeline's overlap guard), so a
+    scheduled compact between an append and its at-least-once retry
+    must not strip them."""
+    return {
+        k: rec[k]
+        for k in ("delta_fp", "delta_batch_id", "delta_stream_id")
+        if k in rec
+    }
+
+
 def _repair(spark, path: str) -> str:
     """Repair a crashed swap for ``path``.  Returns one of
     ``"clean"`` (nothing to do), ``"dropped_tmp"`` (pre-swap orphan
@@ -235,6 +248,7 @@ def compact_kg(
                 inputs=["compact:%s" % i
                         for i in STAGE_INPUTS.get(stage, [stage])],
                 source_fp=rec.get("source_fp"),
+                extra=_delta_provenance(rec),
             )
             fsio.delete(spark, path + SUF_OLD)
         t0 = time.time()
@@ -249,6 +263,7 @@ def compact_kg(
                 inputs=["compact:%s" % i
                         for i in STAGE_INPUTS.get(stage, [stage])],
                 source_fp=rec.get("source_fp"),
+                extra=_delta_provenance(rec),
             )
             # step 6, strictly AFTER the commit: a crash before this
             # line is the "finished_swap" window the next run repairs

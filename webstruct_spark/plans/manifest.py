@@ -350,9 +350,19 @@ class Manifest:
         for name in names:
             if not name.endswith(self.INTENT_SUF):
                 continue
-            rec = json.loads(fsio.read_text(
-                self.spark, fsio.join(self.records_dir, name)
-            ))
+            # a LIVE append can clear_intent() between our listing
+            # and this read (kg_status races running jobs by design);
+            # a vanished intent simply means the commit landed
+            try:
+                text = fsio.read_text(
+                    self.spark, fsio.join(self.records_dir, name)
+                )
+            except Exception:
+                if fsio.exists(self.spark,
+                               fsio.join(self.records_dir, name)):
+                    raise  # real read error, not the benign race
+                continue
+            rec = json.loads(text)
             rec["intent_file"] = name
             out.append(rec)
         return out

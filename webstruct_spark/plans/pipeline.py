@@ -95,32 +95,62 @@ def _stage_identity(stage: str, full_fp: dict) -> dict:
     return out
 
 
-def _torn_stages(fp_of: Dict[str, dict]) -> List[str]:
-    """Stages whose committed identity disagrees with the anchors —
-    extracted for the parts every stage shares (transcripts + stream
-    stamps), group_entities for the grouping params, links for the
-    gazetteer (per STAGE_IDENTITY_KEYS).  The ONE tear predicate,
-    shared by append_kg's refuse/resume guard and kg_status's
-    diagnosis so the inspection tool can never contradict the guard
-    it explains.  A crashed earlier append can leave extracted at A+B
-    while groups is still at A; a crashed gazetteer-refresh resume
-    can leave links at the new gazetteer while nodes holds the old
-    one — both are tears."""
+# the stages recomputed globally (overwritten, never appended) by
+# every build/append/refresh — a crash DURING one of their overwrite
+# writes (mode("overwrite") removes the old dir, so _SUCCESS is gone)
+# leaves them missing, and the recovery re-run recomputes them anyway
+GLOBAL_STAGES = ("links", "nodes", "edges")
+
+
+def _stage_tears(fp_of: Dict[str, dict]) -> Dict[str, List[str]]:
+    """Per-stage list of identity components that disagree with the
+    anchors — extracted for the parts every stage shares (transcripts
+    + stream stamps), group_entities for the grouping params, the
+    first present of links/nodes/edges for the gazetteer (per
+    STAGE_IDENTITY_KEYS).  The ONE tear predicate, shared by
+    append_kg's refuse/resume guard, refresh_gazetteer's preamble,
+    and kg_status's diagnosis, so the inspection tool can never
+    contradict the guards it explains.  A crashed earlier append can
+    leave extracted at A+B while groups is still at A; a crashed
+    gazetteer-refresh can leave links at the new gazetteer while
+    nodes holds the old one — both are tears (differing components:
+    ``shared`` vs ``gazetteer``).  Only stages present in ``fp_of``
+    are judged — a missing GLOBAL stage (crash mid-overwrite-write)
+    is recomputed by the recovery run, not compared."""
     base_transcripts = fp_of["extracted"].get("transcripts")
     last_batch = fp_of["extracted"].get("stream_batch_id")
     last_stream = fp_of["extracted"].get("stream_id")
     base_params = fp_of["group_entities"].get("params")
-    base_gazetteer = fp_of["links"].get("gazetteer")
-    return [
-        s for s in STAGES
-        if fp_of[s].get("transcripts") != base_transcripts
-        or fp_of[s].get("stream_batch_id") != last_batch
-        or fp_of[s].get("stream_id") != last_stream
-        or ("params" in STAGE_IDENTITY_KEYS[s]
-            and fp_of[s].get("params") != base_params)
-        or ("gazetteer" in STAGE_IDENTITY_KEYS[s]
-            and fp_of[s].get("gazetteer") != base_gazetteer)
-    ]
+    gaz_anchor = next(
+        (s for s in GLOBAL_STAGES if s in fp_of), None
+    )
+    base_gazetteer = (
+        fp_of[gaz_anchor].get("gazetteer") if gaz_anchor else None
+    )
+    out: Dict[str, List[str]] = {}
+    for s in STAGES:
+        if s not in fp_of:
+            continue
+        torn: List[str] = []
+        if (fp_of[s].get("transcripts") != base_transcripts
+                or fp_of[s].get("stream_batch_id") != last_batch
+                or fp_of[s].get("stream_id") != last_stream):
+            torn.append("shared")
+        if ("params" in STAGE_IDENTITY_KEYS[s]
+                and fp_of[s].get("params") != base_params):
+            torn.append("params")
+        if (gaz_anchor is not None
+                and "gazetteer" in STAGE_IDENTITY_KEYS[s]
+                and fp_of[s].get("gazetteer") != base_gazetteer):
+            torn.append("gazetteer")
+        if torn:
+            out[s] = torn
+    return out
+
+
+def _torn_stages(fp_of: Dict[str, dict]) -> List[str]:
+    """Stages torn in ANY identity component (see :func:`_stage_tears`)."""
+    return [s for s in STAGES if s in _stage_tears(fp_of)]
 
 
 def _conv_ids_ready(spark, conv_path: str) -> bool:
@@ -168,12 +198,18 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         info: Dict[str, object] = {"committed": ok}
         if rec:
             fp = rec.get("source_fp") or {}
-            ident = (
-                _json.dumps(fp.get("transcripts"), sort_keys=True),
-                fp.get("stream_batch_id"),
-                fp.get("stream_id"),
-            )
-            classes.setdefault(ident, []).append(s)
+            # identity classes span only VERIFIABLE records (committed
+            # + fingerprinted) — an fp-less legacy record must not
+            # masquerade as a second identity class (its real failure
+            # mode at append time is the fingerprint refusal, not the
+            # tear/resume path; the guards must never be contradicted)
+            if ok and rec.get("source_fp"):
+                ident = (
+                    _json.dumps(fp.get("transcripts"), sort_keys=True),
+                    fp.get("stream_batch_id"),
+                    fp.get("stream_id"),
+                )
+                classes.setdefault(ident, []).append(s)
             info.update(
                 layout=rec.get("layout"),
                 rows_out=rec.get("rows_out"),
@@ -198,14 +234,15 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         # record yet) is exactly what the inspection exists to show
         path = man.stage_path(s)
         if fsio.exists(spark, path):
-            pq = [
-                (n, b) for n, b in fsio.listdir(spark, path)
-                if n.endswith(".parquet")
-            ]
+            listing = fsio.listdir(spark, path)
+            pq = [(n, b) for n, b in listing if n.endswith(".parquet")]
             info["disk_n_files"] = len(pq)
             info["disk_bytes"] = sum(b for _, b in pq)
-            info["success_marker"] = fsio.exists(
-                spark, fsio.join(path, "_SUCCESS")
+            # from the listing we already paid for — no second
+            # round trip (each fsio call is a py4j hop on the
+            # Hadoop/object-store route)
+            info["success_marker"] = any(
+                n == "_SUCCESS" for n, _ in listing
             )
         else:
             info["disk_n_files"] = 0
@@ -632,12 +669,23 @@ def _append_kg_frames_impl(
         s for s in STAGES
         if not man.is_committed(s, rec=base.get(s, {}))
     ]
+    # a GLOBAL stage missing its _SUCCESS is the mid-overwrite-write
+    # crash window (mode("overwrite") deletes the old dir before
+    # writing): this very call recomputes links/nodes/edges over the
+    # union and overwrites them, so the retry proceeds — raising here
+    # would make the documented "re-run the same append" recovery a
+    # crash-loop whose only exit is a full rebuild
+    missing = [s for s in missing if s not in GLOBAL_STAGES]
     if missing:
         raise ValueError(
             "append_kg needs a fully committed base build; missing "
             "stages: %s" % ", ".join(missing)
         )
-    if any(base[s].get("source_fp") is None for s in STAGES):
+    present = [
+        s for s in STAGES
+        if man.is_committed(s, rec=base.get(s, {}))
+    ]
+    if any(base[s].get("source_fp") is None for s in present):
         raise ValueError(
             "append_kg needs a base build with recorded source "
             "fingerprints (rebuild once with this version)"
@@ -645,11 +693,20 @@ def _append_kg_frames_impl(
 
     # per-stage identities (STAGE_IDENTITY_KEYS): transcripts + the
     # stream batch id are shared by every stage; params/gazetteer by
-    # the stages that depend on them
-    fp_of = {s: base[s]["source_fp"] for s in STAGES}
+    # the stages that depend on them.  Missing (crashed-overwrite)
+    # global stages carry no identity to compare — they are
+    # recomputed below regardless.
+    fp_of = {s: base[s]["source_fp"] for s in present}
     base_transcripts = fp_of["extracted"]["transcripts"]
     base_params = fp_of["group_entities"].get("params")
-    base_gazetteer = fp_of["links"].get("gazetteer")
+    _gaz_anchor = next((s for s in GLOBAL_STAGES if s in fp_of), None)
+    # no committed stage depends on the gazetteer (all three global
+    # stages mid-crash-missing) → nothing to drift from; the caller's
+    # gazetteer is what they get recomputed with
+    base_gazetteer = (
+        fp_of[_gaz_anchor].get("gazetteer") if _gaz_anchor
+        else gazetteer_fp
+    )
     last_batch = fp_of["extracted"].get("stream_batch_id")
     last_stream = fp_of["extracted"].get("stream_id")
     # a FILE-BACKED delta fingerprint (exact rows+bytes+n_files from
@@ -739,12 +796,12 @@ def _append_kg_frames_impl(
                     for s in torn)
             and all(
                 fp_of[s].get("params") == base_params
-                for s in STAGES
+                for s in fp_of
                 if "params" in STAGE_IDENTITY_KEYS[s]
             )
             and all(
                 fp_of[s].get("gazetteer") == base_gazetteer
-                for s in STAGES
+                for s in fp_of
                 if "gazetteer" in STAGE_IDENTITY_KEYS[s]
             )
         )
@@ -1186,7 +1243,10 @@ def refresh_gazetteer(
     between the links and nodes commits leaves exactly the
     gazetteer-only tear that :func:`kg_status` reports (and
     :func:`append_kg` refuses), and re-running the refresh with the
-    same gazetteer repairs it.  Refreshing with the base's OWN
+    same gazetteer repairs it.  A crash DURING one of the overwrite
+    writes (the stage dir loses its _SUCCESS the moment
+    ``mode("overwrite")`` starts) is repaired the same way: a missing
+    global stage is simply recomputed, never a refusal.  Refreshing with the base's OWN
     gazetteer over a healthy base is a complete no-op (no writes, no
     manifest records).
 
@@ -1203,42 +1263,42 @@ def refresh_gazetteer(
         s for s in STAGES
         if not man.is_committed(s, rec=base.get(s, {}))
     ]
-    if missing:
+    # a missing GLOBAL stage is the mid-overwrite-write crash window
+    # of a previous refresh (or append): this call recomputes
+    # links/nodes/edges anyway, so the re-run is the repair
+    missing_fatal = [s for s in missing if s not in GLOBAL_STAGES]
+    if missing_fatal:
         raise ValueError(
-            "refresh_gazetteer needs a fully committed base build; "
-            "missing stages: %s" % ", ".join(missing)
+            "refresh_gazetteer needs the corpus stages committed; "
+            "missing stages: %s" % ", ".join(missing_fatal)
         )
-    if any(base[s].get("source_fp") is None for s in STAGES):
+    present = [s for s in STAGES if s not in missing]
+    if any(base[s].get("source_fp") is None for s in present):
         raise ValueError(
             "refresh_gazetteer needs a base build with recorded "
             "source fingerprints (rebuild once with this version)"
         )
-    fp_of = {s: base[s]["source_fp"] for s in STAGES}
-    # tolerate ONLY gazetteer-component tears confined to the global
-    # stages (a crashed earlier refresh — exactly what a re-run
-    # repairs); any shared-identity or params tear is a crashed
-    # append and must be resumed as one first
-    ex_fp = fp_of["extracted"]
-    shared_torn = [
-        s for s in STAGES
-        if fp_of[s].get("transcripts") != ex_fp.get("transcripts")
-        or fp_of[s].get("stream_batch_id") != ex_fp.get("stream_batch_id")
-        or fp_of[s].get("stream_id") != ex_fp.get("stream_id")
-    ]
-    base_params = fp_of["group_entities"].get("params")
-    params_torn = [
-        s for s in STAGES
-        if "params" in STAGE_IDENTITY_KEYS[s]
-        and fp_of[s].get("params") != base_params
-    ]
-    if shared_torn or params_torn:
+    fp_of = {s: base[s]["source_fp"] for s in present}
+    # tolerate ONLY gazetteer-component tears (a crashed earlier
+    # refresh — exactly what a re-run repairs; they can only occur on
+    # the global stages, the only gazetteer-dependent ones); any
+    # shared-identity or params tear is a crashed append and must be
+    # resumed as one first.  Same predicate as append/kg_status
+    # (_stage_tears) — the tools must never contradict each other.
+    fatal_tears = sorted(
+        s for s, comps in _stage_tears(fp_of).items()
+        if set(comps) - {"gazetteer"}
+    )
+    if fatal_tears:
         raise ValueError(
             "refresh_gazetteer: base stages disagree on source "
             "identity (%s) — a previous append crashed mid-run; "
             "resume it (re-run the crashed append) or rebuild with "
             "build_kg before refreshing the gazetteer"
-            % ", ".join(sorted(set(shared_torn + params_torn)))
+            % ", ".join(fatal_tears)
         )
+    ex_fp = fp_of["extracted"]
+    base_params = fp_of["group_entities"].get("params")
 
     # target identity: the base's corpus lineage + the NEW gazetteer
     union_fp = {
