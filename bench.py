@@ -250,6 +250,46 @@ def main() -> None:
         lambda: entry._q_annotation_verify(spark, sf_dir).count(),
     )
 
+    # q15: the persistent-build pair — full staged build (the
+    # rebuild cost a dimension change USED to require) vs
+    # refresh_gazetteer (links/nodes/edges recomputed from the
+    # committed slim mentions/triples tables; the corpus stages are
+    # never touched).  The ratio is the point: at 100 TB the build
+    # re-extracts the corpus while the refresh reads tables orders of
+    # magnitude smaller.  Fresh temp dir each run so both rows
+    # measure real work every round.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import build_kg, refresh_gazetteer
+
+    kg_out = _tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+
+        def q15_build() -> int:
+            paths = build_kg(spark, corpus, kg_out)
+            return spark.read.parquet(paths["nodes"]).count()
+
+        timed("q15_kg_build", q15_build)
+
+        gaz2 = gazetteer.where(
+            F.substring("canonical_id", -1, 1).cast("int") % 2 == 0
+        )
+        gaz2_dir = os.path.join(kg_out, "_gaz2.parquet")
+        gaz2.write.parquet(gaz2_dir)
+        gaz2_fp = table_fingerprint(gaz2_dir, spark=spark)
+
+        def q15_refresh() -> int:
+            paths = refresh_gazetteer(
+                spark, spark.read.parquet(gaz2_dir), gaz2_fp, kg_out
+            )
+            return spark.read.parquet(paths["nodes"]).count()
+
+        timed("q15_gazetteer_refresh", q15_refresh)
+    finally:
+        _shutil.rmtree(kg_out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     extract_sec = timings["q1_mentions"]
     print(
