@@ -143,6 +143,57 @@ def _q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# keyed on the normalized corpus path like _ann_index_for — two
+# corpus dirs with equal basenames must never share a build dir
+_KG_REFRESH_CACHE: dict[str, str] = {}
+
+
+def _q_kg_refreshed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension-table-update path end to end THROUGH the
+    persistence machinery: a staged build_kg into a cached dir, then
+    refresh_gazetteer against the deterministically shrunk gazetteer
+    (canonical ids ending in an even digit), then the committed nodes
+    table read back — vs the single-node linking twin re-run with the
+    same shrunk gazetteer (gold_refreshed_nodes).  Gates that the
+    manifest/commit/refresh machinery lands byte-for-byte where the
+    pure recompute does."""
+    import zlib
+
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import build_kg, refresh_gazetteer
+
+    corpus = _corpus_for(_sf_of(sf_dir))
+    norm = os.path.normpath(os.path.abspath(corpus))
+    if norm not in _KG_REFRESH_CACHE:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data",
+            "kg_refresh",
+            "%s_%08x" % (os.path.basename(norm),
+                         zlib.crc32(norm.encode("utf-8"))),
+        )
+        build_kg(spark, corpus, out)  # resume no-op if already built
+        gaz2 = _gazetteer(spark, sf_dir).where(
+            F.substring("canonical_id", -1, 1).cast("int") % 2 == 0
+        )
+        gaz2_path = out + "_gaz_refreshed.parquet"
+        gaz2.repartition(1).write.mode("overwrite").parquet(gaz2_path)
+        refresh_gazetteer(
+            spark, spark.read.parquet(gaz2_path),
+            table_fingerprint(gaz2_path, spark=spark), out,
+        )
+        _KG_REFRESH_CACHE[norm] = out
+    nodes = spark.read.parquet(
+        os.path.join(_KG_REFRESH_CACHE[norm], "nodes")
+    )
+    return nodes.select(
+        "node_id",
+        "entity_type",
+        "canonical_text",
+        F.col("n_surfaces").cast("int").alias("n_surfaces"),
+        F.col("n_mentions").cast("bigint").alias("n_mentions"),
+    )
+
+
 def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization: triple endpoints resolved to canonical
     node ids (broadcast joins against the canonicalization links)."""
@@ -750,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_groups": _q_kg_groups,
         "kg_links": _q_kg_links,
         "kg_nodes": _q_kg_nodes,
+        "kg_refreshed_nodes": _q_kg_refreshed_nodes,
         "kg_edges": _q_kg_edges,
         "kg_triple_prf": _q_kg_triple_prf,
         "kg_tagged_mentions": _q_kg_tagged_mentions,
@@ -939,6 +991,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_id, entity_type, canonical_text, n_surfaces,
                    n_mentions
             FROM read_parquet('{g("gold_nodes.parquet")}')
+        """,
+        "kg_refreshed_nodes": f"""
+            SELECT node_id, entity_type, canonical_text, n_surfaces,
+                   n_mentions
+            FROM read_parquet('{g("gold_refreshed_nodes.parquet")}')
         """,
         "kg_edges": f"""
             SELECT subj_node, pred, obj_node, subj, obj, conv_id,

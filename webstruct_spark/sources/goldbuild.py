@@ -96,7 +96,7 @@ def extract_mentions_for_turn(text: str) -> List[Tuple[str, str]]:
     return [(smart_join(items), t) for items, t in decode_mentions(toks, tags)]
 
 
-GOLD_VERSION = "12-annotation-qa"  # bump when gold tables/semantics change
+GOLD_VERSION = "13-refreshed-nodes"  # bump when gold tables/semantics change
 
 
 def build_gold(corpus_dir: str, force: bool = False) -> str:
@@ -186,32 +186,50 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     mention_counts: Dict[Tuple[str, str], int] = defaultdict(int)
     for m in mention_rows:
         mention_counts[(m["entity_type"], norm_text(m["text"]))] += 1
-    edges = link_edges(surfaces, [(g["alias"], g["canonical_id"], g["entity_type"]) for g in gaz])
-    nodes = [surface_key(t, x) for t, x in surfaces]
-    comp = connected_components(nodes, edges)
 
-    link_rows: List[dict] = []
-    node_members: Dict[str, List[Tuple[str, str]]] = defaultdict(list)
-    for (etype, ntext) in surfaces:
-        skey = surface_key(etype, ntext)
-        node_id = comp[skey]
-        link_rows.append(
-            dict(entity_type=etype, norm_text=ntext, node_id=node_id)
+    def _link_canon_rows(gaz_rows):
+        """Single-node twin of operators/canon.py:canonicalize for a
+        given gazetteer — shared by the base gold and the
+        gazetteer-REFRESH gold (same surfaces/counts, shrunk gaz)."""
+        edges = link_edges(
+            surfaces,
+            [(g["alias"], g["canonical_id"], g["entity_type"])
+             for g in gaz_rows],
         )
-        node_members[node_id].append((etype, ntext))
-
-    node_rows: List[dict] = []
-    for node_id in sorted(node_members):
-        members = sorted(node_members[node_id])
-        node_rows.append(
-            dict(
-                node_id=node_id,
-                entity_type=members[0][0],
-                canonical_text=min(t for _e, t in members),
-                n_surfaces=len(members),
-                n_mentions=sum(mention_counts[m] for m in members),
+        nodes = [surface_key(t, x) for t, x in surfaces]
+        comp = connected_components(nodes, edges)
+        lrows: List[dict] = []
+        node_members: Dict[str, List[Tuple[str, str]]] = defaultdict(list)
+        for (etype, ntext) in surfaces:
+            skey = surface_key(etype, ntext)
+            node_id = comp[skey]
+            lrows.append(
+                dict(entity_type=etype, norm_text=ntext, node_id=node_id)
             )
-        )
+            node_members[node_id].append((etype, ntext))
+        nrows: List[dict] = []
+        for node_id in sorted(node_members):
+            members = sorted(node_members[node_id])
+            nrows.append(
+                dict(
+                    node_id=node_id,
+                    entity_type=members[0][0],
+                    canonical_text=min(t for _e, t in members),
+                    n_surfaces=len(members),
+                    n_mentions=sum(mention_counts[m] for m in members),
+                )
+            )
+        return lrows, nrows
+
+    link_rows, node_rows = _link_canon_rows(gaz)
+    # gazetteer-refresh gold: the SAME corpus re-linked against the
+    # deterministically shrunk gazetteer (canonical ids ending in an
+    # even digit) — the kg_refreshed_nodes driver query runs the full
+    # persistent build+refresh machinery and must land exactly here
+    refreshed_gaz = [
+        g for g in gaz if int(str(g["canonical_id"])[-1]) % 2 == 0
+    ]
+    _refreshed_links, refreshed_node_rows = _link_canon_rows(refreshed_gaz)
 
     def write(name: str, rows2: List[dict], schema: pa.Schema) -> None:
         cols = {f.name: [r.get(f.name) for r in rows2] for f in schema}
@@ -309,6 +327,19 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     write(
         "gold_nodes.parquet",
         node_rows,
+        pa.schema(
+            [
+                ("node_id", pa.string()),
+                ("entity_type", pa.string()),
+                ("canonical_text", pa.string()),
+                ("n_surfaces", pa.int32()),
+                ("n_mentions", pa.int64()),
+            ]
+        ),
+    )
+    write(
+        "gold_refreshed_nodes.parquet",
+        refreshed_node_rows,
         pa.schema(
             [
                 ("node_id", pa.string()),
