@@ -207,6 +207,33 @@ def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_edges(triples(_group_entities_df(spark, sf_dir)), links)
 
 
+def _q_kg_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-consumer query: per-node out/in/total degree over the
+    materialized edges (hub detection / skew diagnosis) — vs the pure
+    SQL aggregation of the single-node twin's gold edges."""
+    from webstruct_spark.operators.graph import node_degrees
+
+    return node_degrees(_q_kg_edges(spark, sf_dir)).select(
+        "node_id",
+        F.col("out_degree").cast("bigint").alias("out_degree"),
+        F.col("in_degree").cast("bigint").alias("in_degree"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+
+
+def _q_kg_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-consumer query: multi-edges collapsed to weighted
+    canonical edges with provenance counts — vs the pure SQL
+    aggregation of the gold edges."""
+    from webstruct_spark.operators.graph import edge_weights
+
+    return edge_weights(_q_kg_edges(spark, sf_dir)).select(
+        "subj_node", "pred", "obj_node",
+        F.col("n_triples").cast("bigint").alias("n_triples"),
+        F.col("n_convs").cast("bigint").alias("n_convs"),
+    )
+
+
 def _q_kg_tagged_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 Viterbi tagger path on plain (marker-stripped) text with the
     broadcast rule/gazetteer model — vs the single-node run of the
@@ -802,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": _q_kg_links,
         "kg_nodes": _q_kg_nodes,
         "kg_refreshed_nodes": _q_kg_refreshed_nodes,
+        "kg_node_degrees": _q_kg_node_degrees,
+        "kg_edge_weights": _q_kg_edge_weights,
         "kg_edges": _q_kg_edges,
         "kg_triple_prf": _q_kg_triple_prf,
         "kg_tagged_mentions": _q_kg_tagged_mentions,
@@ -1001,6 +1030,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj_node, pred, obj_node, subj, obj, conv_id,
                    group_id, triple_idx
             FROM read_parquet('{g("gold_edges.parquet")}')
+        """,
+        "kg_node_degrees": f"""
+            WITH o AS (
+                SELECT subj_node AS node_id, count(*) AS out_degree
+                FROM read_parquet('{g("gold_edges.parquet")}')
+                GROUP BY subj_node
+            ), i AS (
+                SELECT obj_node AS node_id, count(*) AS in_degree
+                FROM read_parquet('{g("gold_edges.parquet")}')
+                GROUP BY obj_node
+            )
+            SELECT coalesce(o.node_id, i.node_id) AS node_id,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_degree, 0) + coalesce(in_degree, 0)
+                       AS degree
+            FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+        """,
+        "kg_edge_weights": f"""
+            SELECT subj_node, pred, obj_node,
+                   count(*) AS n_triples,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM read_parquet('{g("gold_edges.parquet")}')
+            GROUP BY subj_node, pred, obj_node
         """,
         "kg_triple_prf": f"""
             SELECT count(*) AS tp, count(*) AS n_pred, count(*) AS n_gold,

@@ -58,3 +58,45 @@ def materialize_edges(triples: DataFrame, links: DataFrame) -> DataFrame:
         "group_id",
         "triple_idx",
     )
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree summary over the materialized edge table:
+    ``(node_id, out_degree, in_degree, degree)`` — the first query a
+    KG consumer runs (hub detection, join-fanout estimation, skew
+    diagnosis before a traversal).  Two hash aggregates on the node
+    id + one join of the two slim aggregate tables; at 100 TB the
+    edge table is already orders of magnitude smaller than the
+    corpus, and the aggregates reduce it to one row per node, so AQE
+    handles the head-entity skew (hub nodes) with map-side partial
+    aggregation."""
+    out_deg = edges.groupBy(F.col("subj_node").alias("node_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col("obj_node").alias("node_id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    j = out_deg.join(in_deg, "node_id", "full_outer")
+    return j.select(
+        "node_id",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        (
+            F.coalesce("out_degree", F.lit(0))
+            + F.coalesce("in_degree", F.lit(0))
+        ).alias("degree"),
+    )
+
+
+def edge_weights(edges: DataFrame) -> DataFrame:
+    """Collapse multi-edges into weighted canonical edges:
+    ``(subj_node, pred, obj_node, n_triples, n_convs)`` — the
+    aggregated graph a downstream embedding/traversal consumes
+    (n_convs = distinct supporting conversations, the provenance
+    weight).  One hash aggregate keyed on the edge triple; skew on
+    hub-to-hub edges is bounded by map-side partial aggregation +
+    AQE."""
+    return edges.groupBy("subj_node", "pred", "obj_node").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
