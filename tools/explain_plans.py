@@ -111,6 +111,26 @@ def main() -> None:
         "Expect: two BroadcastHashJoins against the links side "
         "(endpoint resolution), no extra shuffle of the triples.",
     )
+    from webstruct_spark.operators.graph import edge_weights, node_degrees
+
+    edges_df = materialize_edges(
+        triples_fn(group_entities(extract_rows(turns))), links_df
+    )
+    add(
+        "node_degrees (graph-consumer aggregate)",
+        node_degrees(edges_df),
+        "Expect: HashAggregate partial/final pairs on each side "
+        "(map-side combine bounds hub-node skew) feeding a join of "
+        "the two one-row-per-node aggregates; no extra shuffle of "
+        "the edge table beyond the two aggregate exchanges.",
+    )
+    add(
+        "edge_weights (weighted edge collapse)",
+        edge_weights(edges_df),
+        "Expect: partial_count + partial distinct expansion then one "
+        "Exchange on (subj_node, pred, obj_node) — the multi-edge "
+        "collapse happens map-side first.",
+    )
     add(
         "ngram_jaccard (relational dedup)",
         ngram_jaccard_pairs(docs, threshold=0.2),
