@@ -1019,3 +1019,20 @@ def test_kg_status_legacy_fpless_record_not_torn(spark, tmp_path, thirds):
     assert st["stages"]["groups"]["committed"]
     assert not st["stages"]["groups"]["source_fp_recorded"]
     assert len(st["identity_classes"]) == 1
+
+
+def test_kg_status_reports_conv_ids_side_table(spark, tmp_path, thirds):
+    """--status surfaces the _conv_ids side table health: present +
+    _SUCCESS after a build, absent on a never-built dir."""
+    from webstruct_spark.plans.pipeline import build_kg, kg_status
+
+    corpus_a, _df_b, _df_c, _gaz = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+
+    side = kg_status(spark, out)["conv_ids"]
+    assert side["present"] and side["success_marker"]
+    assert side["n_files"] > 0
+
+    missing = kg_status(spark, str(tmp_path / "nope"))["conv_ids"]
+    assert missing == {"present": False}

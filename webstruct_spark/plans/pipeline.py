@@ -282,9 +282,23 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         torn_stages = _torn_stages(
             {s: committed[s]["source_fp"] for s in STAGES}
         )
+    # the _conv_ids side table drives the O(delta) append guards; a
+    # missing/_SUCCESS-less one is NOT an error (the next append
+    # rebuilds it from extracted) but an operator should see it
+    conv_path = fsio.join(out_dir, CONV_IDS)
+    side = {"present": fsio.exists(spark, conv_path)}
+    if side["present"]:
+        listing = fsio.listdir(spark, conv_path)
+        side["n_files"] = sum(
+            1 for n, _ in listing if n.endswith(".parquet")
+        )
+        side["success_marker"] = any(
+            n == "_SUCCESS" for n, _ in listing
+        )
     return {
         "out": out_dir,
         "stages": stages,
+        "conv_ids": side,
         "pending_intents": intents,
         # torn = stages disagree on identity: >1 shared-identity
         # class (transcripts/stream stamps) OR a per-stage
