@@ -162,6 +162,8 @@ def _q_kg_refreshed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webstruct_spark.plans.manifest import table_fingerprint
     from webstruct_spark.plans.pipeline import build_kg, refresh_gazetteer
 
+    from webstruct_spark.sources.gazshrink import shrink_gazetteer
+
     corpus = _corpus_for(_sf_of(sf_dir))
     norm = os.path.normpath(os.path.abspath(corpus))
     if norm not in _KG_REFRESH_CACHE:
@@ -171,16 +173,35 @@ def _q_kg_refreshed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%s_%08x" % (os.path.basename(norm),
                          zlib.crc32(norm.encode("utf-8"))),
         )
-        build_kg(spark, corpus, out)  # resume no-op if already built
-        gaz2 = _gazetteer(spark, sf_dir).where(
-            F.substring("canonical_id", -1, 1).cast("int") % 2 == 0
+        # cross-PROCESS reuse sentinel: after a refresh the global
+        # stages sit at the SHRUNK gazetteer's identity, which
+        # build_kg's resume (keyed on the corpus's own gazetteer)
+        # would reject — so a fresh process would pay the build AND
+        # the refresh again every run without this.  Keyed on the
+        # corpus transcripts fingerprint so a regenerated corpus
+        # invalidates it.
+        import json as _json
+
+        tfp = table_fingerprint(
+            os.path.join(corpus, "transcripts.parquet")
         )
-        gaz2_path = out + "_gaz_refreshed.parquet"
-        gaz2.repartition(1).write.mode("overwrite").parquet(gaz2_path)
-        refresh_gazetteer(
-            spark, spark.read.parquet(gaz2_path),
-            table_fingerprint(gaz2_path, spark=spark), out,
-        )
+        sent = out + "_DONE"
+        tag = _json.dumps({"v": 1, "transcripts": tfp}, sort_keys=True)
+        done = False
+        if os.path.exists(sent):
+            with open(sent) as fh:
+                done = fh.read() == tag
+        if not done:
+            build_kg(spark, corpus, out)
+            gaz2 = shrink_gazetteer(_gazetteer(spark, sf_dir))
+            gaz2_path = out + "_gaz_refreshed.parquet"
+            gaz2.repartition(1).write.mode("overwrite").parquet(gaz2_path)
+            refresh_gazetteer(
+                spark, spark.read.parquet(gaz2_path),
+                table_fingerprint(gaz2_path, spark=spark), out,
+            )
+            with open(sent, "w") as fh:
+                fh.write(tag)
         _KG_REFRESH_CACHE[norm] = out
     nodes = spark.read.parquet(
         os.path.join(_KG_REFRESH_CACHE[norm], "nodes")

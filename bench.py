@@ -273,9 +273,9 @@ def main() -> None:
 
         timed("q15_kg_build", q15_build)
 
-        gaz2 = gazetteer.where(
-            F.substring("canonical_id", -1, 1).cast("int") % 2 == 0
-        )
+        from webstruct_spark.sources.gazshrink import shrink_gazetteer
+
+        gaz2 = shrink_gazetteer(gazetteer)
         gaz2_dir = os.path.join(kg_out, "_gaz2.parquet")
         gaz2.write.parquet(gaz2_dir)
         gaz2_fp = table_fingerprint(gaz2_dir, spark=spark)

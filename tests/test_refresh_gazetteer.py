@@ -39,10 +39,10 @@ def new_gaz(spark, corpus_dir):
     """A deterministically SHRUNK gazetteer (drops every alias whose
     canonical id ends in an odd digit) — changes real link/node/edge
     rows without touching the corpus."""
+    from webstruct_spark.sources.gazshrink import shrink_gazetteer
+
     gaz = spark.read.parquet(os.path.join(corpus_dir, "gazetteer.parquet"))
-    return gaz.where(
-        F.substring("canonical_id", -1, 1).cast("int") % 2 == 0
-    )
+    return shrink_gazetteer(gaz)
 
 
 def test_refresh_equals_fresh_build_and_skips_corpus(

@@ -1036,3 +1036,81 @@ def test_kg_status_reports_conv_ids_side_table(spark, tmp_path, thirds):
 
     missing = kg_status(spark, str(tmp_path / "nope"))["conv_ids"]
     assert missing == {"present": False}
+
+
+def test_noop_retry_rebuilds_missing_global_stage(spark, tmp_path, thirds):
+    """A fully-applied retry that exits through a no-op fast path
+    must still rebuild a global stage destroyed by a mid-overwrite
+    crash — previously it returned success over a build with no
+    edges table at all."""
+    import shutil as sh
+
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg, kg_status,
+    )
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    twin = str(tmp_path / "twin")
+    build_kg(spark, corpus_a, out)
+    build_kg(spark, corpus_a, twin)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+    delta_fp = {"rows": df_b.count(), "bytes": 321, "n_files": 1}
+
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, twin, delta_transcripts_fp=delta_fp
+    )
+    # crash AFTER the final commit destroyed the edges overwrite
+    sh.rmtree(os.path.join(out, "edges"))
+
+    # the retry takes the fully-applied fast path — and must repair
+    append_kg_frames(
+        spark, df_b, gaz, gaz_fp, out, delta_transcripts_fp=delta_fp
+    )
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage
+    assert not kg_status(spark, out)["torn"]
+
+
+def test_streamed_replay_skip_rebuilds_missing_global(spark, tmp_path, thirds):
+    """The streamed twin of the same window: a replayed
+    already-committed batch id is skipped as applied, but a missing
+    links dir (mid-overwrite crash) must be rebuilt on the way out —
+    including the dependent edges when both are gone."""
+    import shutil as sh
+
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        STAGES, append_kg_frames, build_kg,
+    )
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    twin = str(tmp_path / "twin")
+    build_kg(spark, corpus_a, out)
+    build_kg(spark, corpus_a, twin)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    append_kg_frames(spark, df_b, gaz, gaz_fp, out,
+                     batch_id=0, stream_id="s1")
+    append_kg_frames(spark, df_b, gaz, gaz_fp, twin,
+                     batch_id=0, stream_id="s1")
+    sh.rmtree(os.path.join(out, "links"))
+    sh.rmtree(os.path.join(out, "edges"))
+
+    # replayed batch: skipped as applied, globals rebuilt in
+    # dependency order (links before edges)
+    append_kg_frames(spark, df_b, gaz, gaz_fp, out,
+                     batch_id=0, stream_id="s1")
+    for stage in STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage

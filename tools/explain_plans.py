@@ -103,19 +103,17 @@ def main() -> None:
     from webstruct_spark.operators.triples_op import triples as triples_fn
 
     links_df, _nodes = canonicalize(mentions(turns), gaz)
+    edges_df = materialize_edges(
+        triples_fn(group_entities(extract_rows(turns))), links_df
+    )
     add(
         "edges (graph materialization)",
-        materialize_edges(
-            triples_fn(group_entities(extract_rows(turns))), links_df
-        ),
+        edges_df,
         "Expect: two BroadcastHashJoins against the links side "
         "(endpoint resolution), no extra shuffle of the triples.",
     )
     from webstruct_spark.operators.graph import edge_weights, node_degrees
 
-    edges_df = materialize_edges(
-        triples_fn(group_entities(extract_rows(turns))), links_df
-    )
     add(
         "node_degrees (graph-consumer aggregate)",
         node_degrees(edges_df),

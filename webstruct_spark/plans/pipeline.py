@@ -266,22 +266,23 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         for it in man.intents()
     ]
     # tear diagnosis with the SAME predicate append_kg's guard uses
-    # (_torn_stages: shared identity anchored on extracted, params on
-    # group_entities, gazetteer on links) — a params- or
-    # gazetteer-only tear must not be reported healthy while the next
-    # --append refuses it.  Only meaningful once every stage is
-    # committed WITH a recorded fingerprint (append requires both
-    # first anyway; feeding fp-less legacy records to _torn_stages
-    # would misreport them as torn when their real failure mode is
-    # append's "no recorded source fingerprints" refusal).
+    # (_stage_tears: shared identity anchored on extracted, params on
+    # group_entities, gazetteer on the first present global stage) —
+    # a params- or gazetteer-only tear must not be reported healthy
+    # while the next --append refuses it.  Runs over the
+    # committed+fingerprinted SUBSET (exactly what the guards judge):
+    # a stage mid-crash-missing must not blank the whole diagnosis,
+    # and fp-less legacy records must not misreport as torn (their
+    # real failure mode is append's fingerprint refusal).  The two
+    # anchor stages must be present for the predicate to anchor.
     torn_stages: List[str] = []
-    if all(
-        stages[s].get("committed") and stages[s].get("source_fp_recorded")
-        for s in STAGES
-    ):
-        torn_stages = _torn_stages(
-            {s: committed[s]["source_fp"] for s in STAGES}
-        )
+    fp_sub = {
+        s: committed[s]["source_fp"] for s in STAGES
+        if stages[s].get("committed")
+        and stages[s].get("source_fp_recorded")
+    }
+    if "extracted" in fp_sub and "group_entities" in fp_sub:
+        torn_stages = _torn_stages(fp_sub)
     # the _conv_ids side table drives the O(delta) append guards; a
     # missing/_SUCCESS-less one is NOT an error (the next append
     # rebuilds it from extracted) but an operator should see it
@@ -660,6 +661,46 @@ def append_kg_frames(
         tb.unpersist()
 
 
+def _rebuild_global_stages(
+    spark: SparkSession,
+    man: Manifest,
+    gazetteer: DataFrame,
+    full_fp: dict,
+    stages_to_build,
+) -> None:
+    """Recompute global overwrite stages destroyed by a
+    mid-overwrite crash (see GLOBAL_STAGES) from the committed slim
+    tables, committing at ``full_fp``'s identity.  Only the stages in
+    ``stages_to_build`` are written; links+nodes share one
+    canonicalize (as everywhere), edges rebuilds after links so a
+    links+edges double-loss repairs in dependency order."""
+    todo = [s for s in GLOBAL_STAGES if s in stages_to_build]
+
+    def commit(stage: str, df: DataFrame) -> None:
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(man.stage_path(stage))
+        man.commit(
+            stage, time.time() - t0,
+            inputs=["repair:" + i for i in STAGE_INPUTS[stage]],
+            source_fp=_stage_identity(stage, full_fp),
+        )
+
+    if "links" in todo or "nodes" in todo:
+        mentions_tbl = spark.read.parquet(man.stage_path("mentions"))
+        links_df, nodes_df = canonicalize(mentions_tbl, gazetteer)
+        if "links" in todo:
+            commit("links", links_df)
+        if "nodes" in todo:
+            commit("nodes", nodes_df)
+    if "edges" in todo:
+        from ..operators.graph import materialize_edges
+
+        commit("edges", materialize_edges(
+            spark.read.parquet(man.stage_path("triples")),
+            spark.read.parquet(man.stage_path("links")),
+        ))
+
+
 def _append_kg_frames_impl(
     spark: SparkSession,
     transcripts_b: DataFrame,
@@ -689,6 +730,7 @@ def _append_kg_frames_impl(
     # union and overwrites them, so the retry proceeds — raising here
     # would make the documented "re-run the same append" recovery a
     # crash-loop whose only exit is a full rebuild
+    missing_global = [s for s in missing if s in GLOBAL_STAGES]
     missing = [s for s in missing if s not in GLOBAL_STAGES]
     if missing:
         raise ValueError(
@@ -696,8 +738,7 @@ def _append_kg_frames_impl(
             "stages: %s" % ", ".join(missing)
         )
     present = [
-        s for s in STAGES
-        if man.is_committed(s, rec=base.get(s, {}))
+        s for s in STAGES if s not in missing and s not in missing_global
     ]
     if any(base[s].get("source_fp") is None for s in present):
         raise ValueError(
@@ -867,6 +908,21 @@ def _append_kg_frames_impl(
         )
 
     def _paths() -> Dict[str, str]:
+        """Every no-op/skip exit goes through here: if a previous
+        run's crash destroyed a GLOBAL stage mid-overwrite, the
+        skipped-DAG exits would otherwise return success over a build
+        with a missing/partial links/nodes/edges dir — rebuild those
+        from the committed slim tables at the base's CURRENT identity
+        first (the fast paths all established that the delta itself
+        needs no reapplying)."""
+        if missing_global:
+            cur_fp = dict(fp_of["extracted"])
+            cur_fp["gazetteer"] = base_gazetteer
+            cur_fp["params"] = base_params
+            _rebuild_global_stages(
+                spark, man, gazetteer, cur_fp, missing_global
+            )
+            missing_global.clear()
         return {s: man.stage_path(s) for s in STAGES}
 
     def _stage_convs(stage: str) -> DataFrame:

@@ -1,0 +1,27 @@
+# -*- coding: utf-8 -*-
+"""The deterministic gazetteer SHRINK shared by every
+gazetteer-refresh fixture and gate (driver query kg_refreshed_nodes,
+its single-node gold twin, bench q15, pytest): keep only aliases
+whose canonical id ends in an EVEN digit.  One definition so the
+Spark filter, the gold twin, and the bench can never drift.
+
+Semantics pinned here: a canonical id whose last character is NOT a
+digit is DROPPED on both sides — Spark's ``cast("int")`` yields NULL
+(filtered out), and the Python twin mirrors that instead of raising.
+"""
+from __future__ import annotations
+
+
+def shrink_gazetteer(gaz):
+    """Spark-side filter (DataFrame → DataFrame)."""
+    from pyspark.sql import functions as F
+
+    return gaz.where(
+        F.substring("canonical_id", -1, 1).cast("int") % 2 == 0
+    )
+
+
+def keep_alias(canonical_id) -> bool:
+    """Single-node twin of :func:`shrink_gazetteer`'s predicate."""
+    last = str(canonical_id)[-1:]
+    return last.isdigit() and int(last) % 2 == 0

@@ -226,9 +226,9 @@ def build_gold(corpus_dir: str, force: bool = False) -> str:
     # deterministically shrunk gazetteer (canonical ids ending in an
     # even digit) — the kg_refreshed_nodes driver query runs the full
     # persistent build+refresh machinery and must land exactly here
-    refreshed_gaz = [
-        g for g in gaz if int(str(g["canonical_id"])[-1]) % 2 == 0
-    ]
+    from .gazshrink import keep_alias
+
+    refreshed_gaz = [g for g in gaz if keep_alias(g["canonical_id"])]
     _refreshed_links, refreshed_node_rows = _link_canon_rows(refreshed_gaz)
 
     def write(name: str, rows2: List[dict], schema: pa.Schema) -> None:
