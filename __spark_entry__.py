@@ -177,16 +177,23 @@ def _q_kg_refreshed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stages sit at the SHRUNK gazetteer's identity, which
         # build_kg's resume (keyed on the corpus's own gazetteer)
         # would reject — so a fresh process would pay the build AND
-        # the refresh again every run without this.  Keyed on the
-        # corpus transcripts fingerprint so a regenerated corpus
-        # invalidates it.
+        # the refresh again every run without this.  Keyed on BOTH
+        # corpus table fingerprints: a gazetteer-only regeneration
+        # changes the refreshed nodes (the shrink is derived from the
+        # gazetteer) just as surely as a transcript change.
         import json as _json
 
         tfp = table_fingerprint(
             os.path.join(corpus, "transcripts.parquet")
         )
+        gfp = table_fingerprint(
+            os.path.join(corpus, "gazetteer.parquet")
+        )
         sent = out + "_DONE"
-        tag = _json.dumps({"v": 1, "transcripts": tfp}, sort_keys=True)
+        tag = _json.dumps(
+            {"v": 2, "transcripts": tfp, "gazetteer": gfp},
+            sort_keys=True,
+        )
         done = False
         if os.path.exists(sent):
             with open(sent) as fh:

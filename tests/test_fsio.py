@@ -194,3 +194,21 @@ def test_write_text_atomic_refuses_clobber_both_routes(spark, tmp_path):
     with pytest.raises(IOError):
         fsio.write_text_atomic(spark, uri, "second")
     assert fsio.read_text(spark, uri) == "first"
+
+
+def test_listdir_if_exists_tolerates_vanish(spark, tmp_path):
+    """listdir_if_exists: a present dir lists, an absent one returns
+    None (both routes) — the vanish-tolerant primitive kg_status uses
+    to race live compactions without crashing."""
+    d = str(tmp_path / "d")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as fh:
+        fh.write(b"x" * 7)
+    assert fsio.listdir_if_exists(None, d) == [("a.parquet", 7)]
+    assert fsio.listdir_if_exists(None, str(tmp_path / "gone")) is None
+    uri = "file:" + d
+    assert fsio.listdir_if_exists(spark, uri) == [("a.parquet", 7)]
+    assert (
+        fsio.listdir_if_exists(spark, "file:" + str(tmp_path / "gone"))
+        is None
+    )

@@ -276,3 +276,63 @@ def test_refresh_repairs_mid_overwrite_crash(
         got = spark.read.parquet(os.path.join(out, stage))
         want = spark.read.parquet(fresh[stage])
         assert _rows(got) == _rows(want), stage
+
+
+def test_landed_uncommitted_overwrite_not_served_by_resume(
+        spark, corpus_dir, tmp_path, new_gaz, monkeypatch):
+    """The landed-but-uncommitted OVERWRITE window: a refresh dies
+    AFTER the nodes overwrite lands (fresh _SUCCESS on disk) but
+    BEFORE its manifest commit.  The stale nodes record (original
+    gazetteer identity) is then validated by the new write's marker —
+    without the overwrite-kind write-ahead intent, an operator who
+    recovers with build_kg(resume=True) instead of re-running the
+    refresh would be served gaz2-content nodes under the gaz1
+    identity beside gaz1-recomputed links, with kg_status reporting
+    healthy.  The intent must make that resume reconcile the unlanded
+    write away and rebuild a CONSISTENT original-gazetteer graph."""
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        build_kg, kg_status, refresh_gazetteer,
+    )
+
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_dir, out)
+    original = {
+        s: _rows(spark.read.parquet(os.path.join(out, s)))
+        for s in ("links", "nodes", "edges")
+    }
+
+    gaz2_dir = _corpus_with_gaz(spark, corpus_dir, tmp_path, "c2", new_gaz)
+    gaz2_path = os.path.join(gaz2_dir, "gazetteer.parquet")
+    gaz2 = spark.read.parquet(gaz2_path)
+    gaz2_fp = table_fingerprint(gaz2_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "nodes":
+            # the overwrite has already landed when commit runs
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        refresh_gazetteer(spark, gaz2, gaz2_fp, out)
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # the window's signature: nodes dir carries the NEW write's
+    # _SUCCESS while the manifest still holds the OLD record
+    assert os.path.exists(os.path.join(out, "nodes", "_SUCCESS"))
+    gaz2_nodes = _rows(spark.read.parquet(os.path.join(out, "nodes")))
+    assert gaz2_nodes != original["nodes"]
+
+    # the WRONG (but plausible) recovery: plain resume over the
+    # original corpus — must reconcile the unlanded overwrite and
+    # rebuild, never serve the gaz2 bytes under the gaz1 identity
+    build_kg(spark, corpus_dir, out, resume=True)
+
+    st = kg_status(spark, out)
+    assert not st["torn"] and not st["pending_intents"]
+    for stage in ("links", "nodes", "edges"):
+        got = _rows(spark.read.parquet(os.path.join(out, stage)))
+        assert got == original[stage], stage

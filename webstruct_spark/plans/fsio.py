@@ -107,6 +107,20 @@ def listdir_names(spark, path: str) -> List[str]:
     return [n for n, _ in listdir(spark, path)]
 
 
+def listdir_if_exists(spark, path: str) -> Optional[List[Tuple[str, int]]]:
+    """:func:`listdir`, or None if the path is (now) absent — closes
+    the exists→list race: a concurrent compaction/overwrite can remove
+    the directory between the two calls, and read-only inspectors
+    (kg_status) must report the vanish, not crash on it.  Errors with
+    the path still present re-raise untouched."""
+    try:
+        return listdir(spark, path)
+    except Exception:
+        if exists(spark, path):
+            raise
+        return None
+
+
 def mkdirs(spark, path: str) -> None:
     if not is_uri(path):
         os.makedirs(path, exist_ok=True)

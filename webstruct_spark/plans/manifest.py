@@ -309,12 +309,29 @@ class Manifest:
     INTENT_SUF = ".intent"
 
     def write_intent(self, stage: str, pre_files: List[str],
-                     post_fp: Optional[dict]) -> str:
-        """Record the intent to append to ``stage``; returns the
+                     post_fp: Optional[dict],
+                     kind: str = "append") -> str:
+        """Record the intent to write ``stage``; returns the
         intent's file name (pass to :meth:`clear_intent` after the
-        commit record is written)."""
+        commit record is written).
+
+        ``kind='append'``: reconciliation restores the pre-write state
+        by deleting part files not in ``pre_files``.  ``kind=
+        'overwrite'``: ``mode("overwrite")`` destroys the old dir at
+        write start, so there is no pre-state to restore — an
+        unlanded overwrite reconciles by deleting the stage dir
+        entirely (incl. its fresh ``_SUCCESS``), leaving the familiar
+        mid-overwrite-crash state every entry point already repairs
+        by recomputing.  Without this, a crash between the overwrite
+        landing and the commit record leaves the OLD record validated
+        by the NEW write's ``_SUCCESS``: a later ``build_kg(resume)``
+        would silently serve the new content under the old identity
+        (e.g. refreshed nodes beside original-gazetteer links)."""
+        if kind not in ("append", "overwrite"):
+            raise ValueError("intent kind must be append|overwrite")
         rec = dict(
             stage=stage,
+            kind=kind,
             pre_files=sorted(pre_files),
             post_fp=post_fp,
             utc_ns=time.time_ns(),
@@ -390,6 +407,14 @@ class Manifest:
             rec = committed.get(stage)
             if rec and rec.get("source_fp") == it["post_fp"]:
                 out[stage] = "committed"
+            elif it.get("kind", "append") == "overwrite":
+                # no pre-state to restore (overwrite destroyed it at
+                # write start): drop the whole dir — incl. the fresh
+                # _SUCCESS that would otherwise validate the stale
+                # record — so the stage presents as the ordinary
+                # mid-overwrite crash the repair paths recompute
+                fsio.delete(self.spark, self.stage_path(stage))
+                out[stage] = "cleared"
             else:
                 path = self.stage_path(stage)
                 n_strays = 0

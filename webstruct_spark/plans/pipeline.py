@@ -232,9 +232,13 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         # disk listing runs for EVERY stage, committed or not — the
         # crashed-first-build case (part files, maybe no _SUCCESS, no
         # record yet) is exactly what the inspection exists to show
+        # listdir_if_exists (one call, vanish-tolerant): kg_status
+        # races live jobs BY DESIGN, and a concurrent compaction /
+        # overwrite may remove the dir mid-inspection — same hardening
+        # as Manifest.intents()
         path = man.stage_path(s)
-        if fsio.exists(spark, path):
-            listing = fsio.listdir(spark, path)
+        listing = fsio.listdir_if_exists(spark, path)
+        if listing is not None:
             pq = [(n, b) for n, b in listing if n.endswith(".parquet")]
             info["disk_n_files"] = len(pq)
             info["disk_bytes"] = sum(b for _, b in pq)
@@ -287,14 +291,14 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
     # missing/_SUCCESS-less one is NOT an error (the next append
     # rebuilds it from extracted) but an operator should see it
     conv_path = fsio.join(out_dir, CONV_IDS)
-    side = {"present": fsio.exists(spark, conv_path)}
-    if side["present"]:
-        listing = fsio.listdir(spark, conv_path)
+    conv_listing = fsio.listdir_if_exists(spark, conv_path)
+    side: Dict[str, object] = {"present": conv_listing is not None}
+    if conv_listing is not None:
         side["n_files"] = sum(
-            1 for n, _ in listing if n.endswith(".parquet")
+            1 for n, _ in conv_listing if n.endswith(".parquet")
         )
         side["success_marker"] = any(
-            n == "_SUCCESS" for n, _ in listing
+            n == "_SUCCESS" for n, _ in conv_listing
         )
     return {
         "out": out_dir,
@@ -309,6 +313,28 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         "torn_stages": torn_stages,
         "identity_classes": sorted(classes.values()),
     }
+
+
+def _overwrite_commit(man: Manifest, stage: str, df: DataFrame,
+                      ident: dict, inputs, after_write=None) -> None:
+    """The one intent-protected overwrite-and-commit: write-ahead an
+    ``overwrite``-kind intent, overwrite the stage dir, (optionally)
+    run ``after_write``, commit, clear the intent.  Every overwrite
+    commit in this module MUST go through here — a bare
+    overwrite-then-commit has a crash window (write lands with a
+    fresh ``_SUCCESS``, driver dies before ``man.commit``) in which
+    the stale manifest record is validated by the new write's marker,
+    and a later ``build_kg(resume=True)`` silently serves the new
+    content under the old identity.  The intent makes the next
+    entry's ``reconcile_intents`` delete the unlanded write instead
+    (see Manifest.write_intent)."""
+    t0 = time.time()
+    intent = man.write_intent(stage, [], ident, kind="overwrite")
+    df.write.mode("overwrite").parquet(man.stage_path(stage))
+    if after_write is not None:
+        after_write()
+    man.commit(stage, time.time() - t0, inputs=inputs, source_fp=ident)
+    man.clear_intent(intent)
 
 
 def build_kg(
@@ -374,11 +400,10 @@ def build_kg(
         path = man.stage_path(stage)
         if committed(stage):
             return path
-        t0 = time.time()
-        df = df_builder()
-        df.write.mode("overwrite").parquet(path)
-        man.commit(stage, time.time() - t0, inputs=STAGE_INPUTS.get(stage),
-                   source_fp=_stage_identity(stage, source_fp))
+        _overwrite_commit(
+            man, stage, df_builder(),
+            _stage_identity(stage, source_fp), STAGE_INPUTS.get(stage),
+        )
         return path
 
     transcripts = spark.read.parquet(
@@ -402,16 +427,16 @@ def build_kg(
             if not _conv_ids_ready(spark, conv_path):  # pre-side-table
                 _rebuild_conv_ids(spark, path, conv_path)
             return path
-        t0 = time.time()
-        extract_rows(transcripts).write.mode("overwrite").parquet(path)
-        # side table BEFORE the manifest commit: a crash in between
-        # leaves extracted uncommitted, so the next run rebuilds both
-        # — the append guards can never see a committed extracted
-        # beside a stale-subset side table
-        _rebuild_conv_ids(spark, path, conv_path)
-        man.commit("extracted", time.time() - t0,
-                   inputs=STAGE_INPUTS["extracted"],
-                   source_fp=_stage_identity("extracted", source_fp))
+        # side table rebuilt BEFORE the manifest commit (after_write):
+        # a crash in between leaves extracted uncommitted, so the next
+        # run rebuilds both — the append guards can never see a
+        # committed extracted beside a stale-subset side table
+        _overwrite_commit(
+            man, "extracted", extract_rows(transcripts),
+            _stage_identity("extracted", source_fp),
+            STAGE_INPUTS["extracted"],
+            after_write=lambda: _rebuild_conv_ids(spark, path, conv_path),
+        )
         return path
 
     def t_mentions() -> str:
@@ -440,22 +465,13 @@ def build_kg(
         if not (committed("links") and committed("nodes")):
             mentions_df = spark.read.parquet(_dep("mentions"))
             links_df, nodes_df = canonicalize(mentions_df, gazetteer)
-            t0 = time.time()
-            if not committed("links"):
-                links_df.write.mode("overwrite").parquet(
-                    man.stage_path("links")
-                )
-                man.commit("links", time.time() - t0,
-                           inputs=STAGE_INPUTS["links"],
-                           source_fp=_stage_identity("links", source_fp))
-            t0 = time.time()
-            if not committed("nodes"):
-                nodes_df.write.mode("overwrite").parquet(
-                    man.stage_path("nodes")
-                )
-                man.commit("nodes", time.time() - t0,
-                           inputs=STAGE_INPUTS["nodes"],
-                           source_fp=_stage_identity("nodes", source_fp))
+            for stage, df in (("links", links_df), ("nodes", nodes_df)):
+                if not committed(stage):
+                    _overwrite_commit(
+                        man, stage, df,
+                        _stage_identity(stage, source_fp),
+                        STAGE_INPUTS[stage],
+                    )
         return man.stage_path("links")
 
     def t_edges() -> str:
@@ -667,22 +683,22 @@ def _rebuild_global_stages(
     gazetteer: DataFrame,
     full_fp: dict,
     stages_to_build,
+    input_prefix: str = "repair:",
 ) -> None:
-    """Recompute global overwrite stages destroyed by a
-    mid-overwrite crash (see GLOBAL_STAGES) from the committed slim
-    tables, committing at ``full_fp``'s identity.  Only the stages in
-    ``stages_to_build`` are written; links+nodes share one
+    """Recompute global overwrite stages from the committed slim
+    tables, committing at ``full_fp``'s identity — the shared tail of
+    the mid-overwrite crash repair (``input_prefix='repair:'``) AND
+    :func:`refresh_gazetteer`'s re-link (``'refresh:'`` — same
+    recompute, the identity just carries a new gazetteer).  Only the
+    stages in ``stages_to_build`` are written; links+nodes share one
     canonicalize (as everywhere), edges rebuilds after links so a
     links+edges double-loss repairs in dependency order."""
     todo = [s for s in GLOBAL_STAGES if s in stages_to_build]
 
     def commit(stage: str, df: DataFrame) -> None:
-        t0 = time.time()
-        df.write.mode("overwrite").parquet(man.stage_path(stage))
-        man.commit(
-            stage, time.time() - t0,
-            inputs=["repair:" + i for i in STAGE_INPUTS[stage]],
-            source_fp=_stage_identity(stage, full_fp),
+        _overwrite_commit(
+            man, stage, df, _stage_identity(stage, full_fp),
+            [input_prefix + i for i in STAGE_INPUTS[stage]],
         )
 
     if "links" in todo or "nodes" in todo:
@@ -737,9 +753,9 @@ def _append_kg_frames_impl(
             "append_kg needs a fully committed base build; missing "
             "stages: %s" % ", ".join(missing)
         )
-    present = [
-        s for s in STAGES if s not in missing and s not in missing_global
-    ]
+    # `missing` is [] here (non-empty raised above), so presence only
+    # excludes the crash-destroyed global stages
+    present = [s for s in STAGES if s not in missing_global]
     if any(base[s].get("source_fp") is None for s in present):
         raise ValueError(
             "append_kg needs a base build with recorded source "
@@ -1192,11 +1208,9 @@ def _append_kg_frames_impl(
             )
             man.clear_intent(intent)
         else:
-            df.write.mode("overwrite").parquet(path)
-            man.commit(
-                stage, time.time() - t0,
-                inputs=["union:" + i for i in STAGE_INPUTS[stage]],
-                source_fp=_stage_identity(stage, union_fp),
+            _overwrite_commit(
+                man, stage, df, _stage_identity(stage, union_fp),
+                ["union:" + i for i in STAGE_INPUTS[stage]],
             )
         return path
 
@@ -1387,29 +1401,12 @@ def refresh_gazetteer(
             rec=base.get(stage, {}),
         )
 
-    def _overwrite(stage: str, df: DataFrame) -> None:
-        t0 = time.time()
-        df.write.mode("overwrite").parquet(man.stage_path(stage))
-        man.commit(
-            stage, time.time() - t0,
-            inputs=["refresh:" + i for i in STAGE_INPUTS[stage]],
-            source_fp=_stage_identity(stage, union_fp),
-        )
-
-    if not (_done("links") and _done("nodes")):
-        # links+nodes share one canonicalize() computation (as in
-        # build/append); the slim committed mentions table is the
-        # only corpus-derived input
-        mentions_tbl = spark.read.parquet(man.stage_path("mentions"))
-        links_df, nodes_df = canonicalize(mentions_tbl, gazetteer)
-        for stage, df in (("links", links_df), ("nodes", nodes_df)):
-            if not _done(stage):
-                _overwrite(stage, df)
-    if not _done("edges"):
-        from ..operators.graph import materialize_edges
-
-        _overwrite("edges", materialize_edges(
-            spark.read.parquet(man.stage_path("triples")),
-            spark.read.parquet(man.stage_path("links")),
-        ))
+    # the recompute itself IS the crash-repair recompute — one shared
+    # implementation (links+nodes share one canonicalize, edges after
+    # links), just under the refresh identity and input prefix
+    _rebuild_global_stages(
+        spark, man, gazetteer, union_fp,
+        [s for s in GLOBAL_STAGES if not _done(s)],
+        input_prefix="refresh:",
+    )
     return {s: man.stage_path(s) for s in STAGES}

@@ -22,6 +22,11 @@ def shrink_gazetteer(gaz):
 
 
 def keep_alias(canonical_id) -> bool:
-    """Single-node twin of :func:`shrink_gazetteer`'s predicate."""
+    """Single-node twin of :func:`shrink_gazetteer`'s predicate.
+
+    ASCII-digit membership, NOT ``str.isdigit()``: Spark's
+    ``cast("int")`` NULLs any non-ASCII-decimal tail ('²' and '٤'
+    included), while ``isdigit()`` accepts both and ``int()`` then
+    raises on '²' and keeps '٤' — either way a twin divergence."""
     last = str(canonical_id)[-1:]
-    return last.isdigit() and int(last) % 2 == 0
+    return last in "0123456789" and int(last) % 2 == 0
