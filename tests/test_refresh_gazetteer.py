@@ -187,7 +187,12 @@ def test_refresh_crash_is_resumable(
     st = kg_status(spark, out)
     assert st["torn"] and st["torn_stages"]
 
-    with pytest.raises(ValueError, match="disagree on source identity"):
+    # the refusal must name the ACTUAL cause and recovery — a
+    # crashed refresh, repaired by re-running it — not the generic
+    # crashed-append message whose "re-run the crashed append"
+    # advice dead-ends (no append ever ran; every retry re-raises)
+    with pytest.raises(ValueError,
+                       match="re-run refresh_gazetteer"):
         append_kg(spark, gaz2_dir, out)
 
     refresh_gazetteer(spark, gaz2, gaz2_fp, out)  # the repair

@@ -408,13 +408,38 @@ class Manifest:
             if rec and rec.get("source_fp") == it["post_fp"]:
                 out[stage] = "committed"
             elif it.get("kind", "append") == "overwrite":
-                # no pre-state to restore (overwrite destroyed it at
-                # write start): drop the whole dir — incl. the fresh
-                # _SUCCESS that would otherwise validate the stale
-                # record — so the stage presents as the ordinary
-                # mid-overwrite crash the repair paths recompute
-                fsio.delete(self.spark, self.stage_path(stage))
-                out[stage] = "cleared"
+                path = self.stage_path(stage)
+                pre = sorted(it.get("pre_files") or [])
+                listing = (
+                    fsio.listdir_names(self.spark, path)
+                    if fsio.exists(self.spark, path) else []
+                )
+                cur = sorted(
+                    n for n in listing if n.endswith(".parquet")
+                )
+                if rec is not None and pre and cur == pre \
+                        and "_SUCCESS" in listing:
+                    # the crash hit BEFORE the overwrite's write
+                    # began: mode("overwrite") deletes the dir at
+                    # write start and a fresh write lands new UUID
+                    # part names, so name-set equality with the
+                    # intent's pre-write snapshot (plus the marker
+                    # and a still-present committed record) proves
+                    # the old committed state is fully intact.
+                    # Deleting it would destroy a healthy stage and
+                    # force a corpus-scale recompute for a crash
+                    # that touched nothing.
+                    out[stage] = "intact"
+                else:
+                    # write started (or landed uncommitted, or the
+                    # intent predates pre-file snapshots): no
+                    # restorable pre-state — drop the whole dir,
+                    # incl. the fresh _SUCCESS that would otherwise
+                    # validate the stale record, so the stage
+                    # presents as the ordinary mid-overwrite crash
+                    # the repair paths recompute
+                    fsio.delete(self.spark, path)
+                    out[stage] = "cleared"
             else:
                 path = self.stage_path(stage)
                 n_strays = 0

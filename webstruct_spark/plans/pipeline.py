@@ -264,6 +264,12 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         {
             "stage": it["stage"],
             "intent_file": it["intent_file"],
+            # the kind decides what the next run's reconciliation
+            # does: append → revert stray part files only;
+            # overwrite → drop the whole stage dir (unless the
+            # pre-write state is provably intact) and recompute.
+            # An operator estimating the recovery cost needs this.
+            "kind": it.get("kind", "append"),
             "utc_ns": it.get("utc_ns"),
             "n_pre_files": len(it.get("pre_files") or []),
         }
@@ -327,9 +333,24 @@ def _overwrite_commit(man: Manifest, stage: str, df: DataFrame,
     and a later ``build_kg(resume=True)`` silently serves the new
     content under the old identity.  The intent makes the next
     entry's ``reconcile_intents`` delete the unlanded write instead
-    (see Manifest.write_intent)."""
+    (see Manifest.write_intent).
+
+    The intent's ``pre_files`` snapshot the dir BEFORE the write: a
+    crash that lands between the intent and the first byte of the
+    overwrite leaves the old committed state byte-for-byte intact
+    (``mode("overwrite")`` only deletes the dir at write start), and
+    reconciliation proves that from the name listing — a fresh Spark
+    write job generates new UUID part names, so name-set equality
+    with the snapshot means the write never began and the healthy
+    stage must NOT be dropped (at corpus scale that deletion costs a
+    full re-extraction for a crash that touched nothing)."""
     t0 = time.time()
-    intent = man.write_intent(stage, [], ident, kind="overwrite")
+    spark = df.sparkSession
+    pre_listing = fsio.listdir_if_exists(spark, man.stage_path(stage))
+    pre_files = [
+        n for n, _ in (pre_listing or []) if n.endswith(".parquet")
+    ]
+    intent = man.write_intent(stage, pre_files, ident, kind="overwrite")
     df.write.mode("overwrite").parquet(man.stage_path(stage))
     if after_write is not None:
         after_write()
@@ -771,12 +792,27 @@ def _append_kg_frames_impl(
     base_transcripts = fp_of["extracted"]["transcripts"]
     base_params = fp_of["group_entities"].get("params")
     _gaz_anchor = next((s for s in GLOBAL_STAGES if s in fp_of), None)
-    # no committed stage depends on the gazetteer (all three global
-    # stages mid-crash-missing) → nothing to drift from; the caller's
-    # gazetteer is what they get recomputed with
+    # With all three global stages mid-crash-missing, their
+    # still-readable manifest records (invalidated — _SUCCESS gone —
+    # but never deleted) are the anchor of last resort: they carry
+    # the gazetteer fingerprint the destroyed build was linked with,
+    # so the drift refusal below still fires if the corpus dir's
+    # gazetteer changed in the meantime.  Falling straight back to
+    # the CALLER's fingerprint would make that refusal trivially
+    # pass and silently re-link the rebuilt stages with a drifted
+    # gazetteer — node identities changing under an operation whose
+    # contract is that they never do.  Only when not even a record
+    # survives (the globals were never committed at all) is there no
+    # identity to preserve and the caller's gazetteer is what the
+    # recompute gets.
     base_gazetteer = (
         fp_of[_gaz_anchor].get("gazetteer") if _gaz_anchor
-        else gazetteer_fp
+        else next(
+            (base[s]["source_fp"]["gazetteer"] for s in GLOBAL_STAGES
+             if isinstance(base.get(s, {}).get("source_fp"), dict)
+             and "gazetteer" in base[s]["source_fp"]),
+            gazetteer_fp,
+        )
     )
     last_batch = fp_of["extracted"].get("stream_batch_id")
     last_stream = fp_of["extracted"].get("stream_id")
@@ -793,7 +829,27 @@ def _append_kg_frames_impl(
     # a crashed earlier append can leave extracted at A+B while groups
     # is still at A — a later disjoint delta would then build on a
     # base with permanently missing rows, with no guard tripping
-    torn = _torn_stages(fp_of)
+    tears = _stage_tears(fp_of)
+    torn = [s for s in STAGES if s in tears]
+    # A GAZETTEER-ONLY tear is never a crashed append (every append
+    # commits all its stages under one gazetteer fingerprint): it is
+    # the signature of a crashed refresh_gazetteer — some global
+    # stages re-linked at the new gazetteer, the rest still at the
+    # old.  The generic refusal below would tell the operator to
+    # "re-run the crashed append", which never existed and whose
+    # retry raises this same error forever; the actual fix is a
+    # one-line refresh re-run (idempotent — it recomputes exactly
+    # the stages that disagree), so say that.
+    if torn and all(set(c) == {"gazetteer"} for c in tears.values()):
+        raise ValueError(
+            "append_kg: global stages disagree on their gazetteer "
+            "fingerprint (%s) — a previous refresh_gazetteer "
+            "crashed mid-run (this is not a crashed append); "
+            "re-run refresh_gazetteer with the new gazetteer to "
+            "finish the refresh (or with the base's original one "
+            "to roll it back), then retry this append"
+            % ", ".join(torn)
+        )
     # A torn base is RESUMABLE when the caller replays the exact
     # crashed batch (the streaming retry: same stream, same id): the
     # ahead stages — already committed at the post-batch identity —
