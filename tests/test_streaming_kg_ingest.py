@@ -1294,3 +1294,149 @@ def test_append_refuses_drifted_gazetteer_when_all_globals_missing(
         got = spark.read.parquet(os.path.join(out, stage))
         want = spark.read.parquet(os.path.join(twin, stage))
         assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+
+def test_same_identity_overwrite_reconciles_by_recency(spark, tmp_path):
+    """A same-identity rebuild (library build_kg(resume=False) over an
+    unchanged corpus) writes overwrite intents whose post identity
+    EQUALS the pre-existing record's — fp equality alone must not
+    read as 'commit landed'.  The landed proof is the commit record
+    being newer than the intent."""
+    import time as _time
+
+    from webstruct_spark.plans.manifest import Manifest
+
+    out = str(tmp_path / "t")
+    man = Manifest(out)
+    path = man.stage_path("extracted")
+    spark.range(5).write.parquet(path)
+    fp = {"transcripts": {"rows": 5, "bytes": -1, "n_files": -1}}
+    man.commit("extracted", 0.0, source_fp=fp)
+    pre = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+
+    # (a) crash BEFORE the write began, SAME identity: the record
+    # predates the intent, so "committed" must not fire — and the
+    # intact dir is kept (pre-state proof), not dropped
+    man.write_intent("extracted", pre, fp, kind="overwrite")
+    assert man.reconcile_intents() == {"extracted": "intact"}
+    assert spark.read.parquet(path).count() == 5
+
+    # (b) landed-but-uncommitted, SAME identity: new write landed
+    # (fresh _SUCCESS, new part names), commit record still the OLD
+    # one — previously misread as "committed", keeping files the
+    # record does not describe; must clear instead
+    man.write_intent("extracted", pre, fp, kind="overwrite")
+    spark.range(5).write.mode("overwrite").parquet(path)
+    assert man.reconcile_intents() == {"extracted": "cleared"}
+    assert not os.path.exists(path)
+
+    # (c) genuine landed commit at the same identity: record newer
+    # than the intent → "committed", files kept
+    spark.range(5).write.parquet(path)
+    man.commit("extracted", 0.0, source_fp=fp)
+    intent_name = man.write_intent(
+        "extracted",
+        sorted(n for n in os.listdir(path) if n.endswith(".parquet")),
+        fp, kind="overwrite",
+    )
+    _time.sleep(0.01)
+    spark.range(5).write.mode("overwrite").parquet(path)
+    man.commit("extracted", 0.0, source_fp=fp)  # commit AFTER intent
+    del intent_name  # crash before clear_intent
+    assert man.reconcile_intents() == {"extracted": "committed"}
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_refused_append_leaves_no_manifest_dir(spark, tmp_path, thirds):
+    """An append or refresh against a typo'd / never-built out_dir
+    must refuse WITHOUT creating manifest.d there — otherwise the
+    bogus path later inspects as a plausible empty build."""
+    from webstruct_spark.plans.manifest import table_fingerprint
+    from webstruct_spark.plans.pipeline import (
+        append_kg_frames, refresh_gazetteer,
+    )
+
+    _corpus_a, df_b, _df_c, gaz_path = thirds
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    typo = str(tmp_path / "kg_buidl")
+    with pytest.raises(ValueError, match="missing stages"):
+        append_kg_frames(spark, df_b, gaz, gaz_fp, typo)
+    assert not os.path.exists(typo)
+
+    with pytest.raises(ValueError, match="missing stages"):
+        refresh_gazetteer(spark, gaz, gaz_fp, typo)
+    assert not os.path.exists(typo)
+
+
+def test_torn_resume_skips_committed_canonicalize(spark, tmp_path,
+                                                  thirds, monkeypatch):
+    """A torn-base replay whose links+nodes already committed the
+    batch must NOT re-run canonicalize (it is EAGER — localCheckpoint
+    + the connected-components driver loop — and commit_write's skip
+    fires only after it has run).  Constructed with a concurrent DAG:
+    the groups commit blocks until canon lands, then dies; the replay
+    then resumes with canonicalize forbidden."""
+    import time as _time
+
+    from webstruct_spark.plans import pipeline as P
+    from webstruct_spark.plans.manifest import Manifest, table_fingerprint
+
+    corpus_a, df_b, _df_c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    twin = str(tmp_path / "twin")
+    P.build_kg(spark, corpus_a, out)
+    P.build_kg(spark, corpus_a, twin)
+    gaz = spark.read.parquet(gaz_path)
+    gaz_fp = table_fingerprint(gaz_path)
+
+    real_commit = Manifest.commit
+
+    def dying_commit(self, stage, *a, **k):
+        if stage == "groups":
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                c = Manifest(out, spark=spark).committed()
+                if all(
+                    s in c and c[s]["source_fp"].get(
+                        "stream_batch_id") == 0
+                    for s in ("links", "nodes")
+                ):
+                    break
+                _time.sleep(0.25)
+            else:
+                raise AssertionError("canon never committed")
+            raise RuntimeError("simulated driver death")
+        return real_commit(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    with pytest.raises(Exception, match="simulated driver death"):
+        P.append_kg_frames(spark, df_b, gaz, gaz_fp, out,
+                           batch_id=0, stream_id="s1",
+                           stage_concurrency=4)
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    committed = Manifest(out, spark=spark).committed()
+    assert committed["links"]["source_fp"].get("stream_batch_id") == 0
+    assert committed["groups"]["source_fp"].get("stream_batch_id") is None
+
+    real_canon = P.canonicalize
+
+    def forbidden_canon(*a, **k):
+        raise AssertionError(
+            "canonicalize re-ran although links+nodes already "
+            "committed the batch"
+        )
+
+    monkeypatch.setattr(P, "canonicalize", forbidden_canon)
+    P.append_kg_frames(spark, df_b, gaz, gaz_fp, out,
+                       batch_id=0, stream_id="s1")
+    monkeypatch.setattr(P, "canonicalize", real_canon)
+
+    P.append_kg_frames(spark, df_b, gaz, gaz_fp, twin,
+                       batch_id=0, stream_id="s1")
+    for stage in P.STAGES:
+        got = spark.read.parquet(os.path.join(out, stage))
+        want = spark.read.parquet(os.path.join(twin, stage))
+        assert _none_safe_rows(got) == _none_safe_rows(want), stage

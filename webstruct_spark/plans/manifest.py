@@ -113,6 +113,16 @@ class Manifest:
         if create:
             fsio.mkdirs(spark, self.records_dir)
 
+    def ensure_dirs(self) -> None:
+        """Create the records dir for a handle opened ``create=False``
+        once the caller has decided it WILL write.  Entry points whose
+        preamble can refuse (append/refresh need a committed base)
+        open read-only and call this after the preamble passes, so a
+        refused run against a typo'd or never-built out_dir leaves no
+        ``manifest.d`` behind to make the bogus path look like an
+        empty build to a later ``kg_status``.  Idempotent."""
+        fsio.mkdirs(self.spark, self.records_dir)
+
     # -- reading ------------------------------------------------------
     def records(self) -> List[dict]:
         """Every commit record in fold order (legacy jsonl lines
@@ -166,11 +176,17 @@ class Manifest:
 
     def is_committed(self, stage: str,
                      source_fp: Optional[dict] = None,
-                     rec: Optional[dict] = None) -> bool:
+                     rec: Optional[dict] = None,
+                     has_success: Optional[bool] = None) -> bool:
         """``rec``: pass the stage's record from an already-loaded
         :meth:`committed` snapshot to skip re-reading the manifest —
         callers that check many stages (build resume, append
-        preamble) parse the records once instead of once per stage."""
+        preamble) parse the records once instead of once per stage.
+
+        ``has_success``: pass the ``_SUCCESS`` presence when the
+        caller already listed the stage dir (kg_status lists every
+        stage anyway) — skips this method's own existence probe, one
+        py4j hop per stage on the Hadoop/object-store route."""
         if rec is None:
             rec = self.committed().get(stage)
         if not rec:
@@ -200,6 +216,8 @@ class Manifest:
                    for k, v in source_fp.items()):
                 return False
         # the stage dir must still look committed on disk
+        if has_success is not None:
+            return has_success
         return fsio.exists(
             self.spark,
             fsio.join(self.out_dir, stage, "_SUCCESS"),
@@ -405,7 +423,24 @@ class Manifest:
             name = it["intent_file"]
             stage = it["stage"]
             rec = committed.get(stage)
-            if rec and rec.get("source_fp") == it["post_fp"]:
+            # fp equality alone does not prove the commit landed for
+            # an OVERWRITE intent: a same-identity rebuild (library
+            # build_kg(resume=False) over an unchanged corpus)
+            # targets exactly the fp the PRE-EXISTING record already
+            # carries, so a crash anywhere in that overwrite would
+            # read as "committed" and keep a half-written dir (or a
+            # landed write whose record still describes the OLD
+            # files).  The commit record is written strictly after
+            # the intent by the same process, so record-newer-than-
+            # intent is the landed proof.  Append intents need no
+            # recency check — their post identity always advances
+            # past the prior record's (the delta adds rows).
+            landed = bool(rec) and rec.get("source_fp") == it["post_fp"]
+            if landed and it.get("kind", "append") == "overwrite":
+                landed = (
+                    rec.get("committed_utc_ns", 0) > it.get("utc_ns", 0)
+                )
+            if landed:
                 out[stage] = "committed"
             elif it.get("kind", "append") == "overwrite":
                 path = self.stage_path(stage)

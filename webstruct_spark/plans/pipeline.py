@@ -23,7 +23,7 @@ than the corpus.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
@@ -35,8 +35,6 @@ from ..operators.grouping_op import DEFAULT_DONT_PENALIZE, group_entities
 from ..operators.triples_op import groups_summary, triples as triples_op
 from . import fsio
 from .manifest import Manifest, table_fingerprint
-
-from pyspark.sql import functions as F
 
 # bump when any stage table's schema/layout changes: resuming into an
 # older layout rebuilds instead of serving stale outputs
@@ -189,12 +187,26 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
     classes: Dict[tuple, list] = {}
     for s in STAGES:
         rec = committed.get(s)
+        # ONE disk listing per stage, fetched up front: it feeds the
+        # file/byte drift stats below AND the _SUCCESS presence the
+        # committed predicate needs — no second round trip (each
+        # fsio call is a py4j hop on the Hadoop/object-store route).
+        # listdir_if_exists (vanish-tolerant): kg_status races live
+        # jobs BY DESIGN, and a concurrent compaction / overwrite may
+        # remove the dir mid-inspection — same hardening as
+        # Manifest.intents()
+        listing = fsio.listdir_if_exists(spark, man.stage_path(s))
+        has_success = listing is not None and any(
+            n == "_SUCCESS" for n, _ in listing
+        )
         # "committed" through the SAME predicate the build/append
         # guards use (is_committed: record + layout match + _SUCCESS
         # on disk) — a raw record whose layout is stale or whose
         # _SUCCESS vanished must not be reported healthy while the
         # next --append refuses it as a missing stage
-        ok = bool(rec) and man.is_committed(s, rec=rec)
+        ok = bool(rec) and man.is_committed(
+            s, rec=rec, has_success=has_success
+        )
         info: Dict[str, object] = {"committed": ok}
         if rec:
             fp = rec.get("source_fp") or {}
@@ -229,29 +241,17 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
                     if rec.get("layout", "1") != LAYOUT_VERSION
                     else "_SUCCESS missing"
                 )
-        # disk listing runs for EVERY stage, committed or not — the
+        # disk stats for EVERY stage, committed or not — the
         # crashed-first-build case (part files, maybe no _SUCCESS, no
         # record yet) is exactly what the inspection exists to show
-        # listdir_if_exists (one call, vanish-tolerant): kg_status
-        # races live jobs BY DESIGN, and a concurrent compaction /
-        # overwrite may remove the dir mid-inspection — same hardening
-        # as Manifest.intents()
-        path = man.stage_path(s)
-        listing = fsio.listdir_if_exists(spark, path)
         if listing is not None:
             pq = [(n, b) for n, b in listing if n.endswith(".parquet")]
             info["disk_n_files"] = len(pq)
             info["disk_bytes"] = sum(b for _, b in pq)
-            # from the listing we already paid for — no second
-            # round trip (each fsio call is a py4j hop on the
-            # Hadoop/object-store route)
-            info["success_marker"] = any(
-                n == "_SUCCESS" for n, _ in listing
-            )
         else:
             info["disk_n_files"] = 0
             info["disk_bytes"] = 0
-            info["success_marker"] = False
+        info["success_marker"] = has_success
         # drift is EXPECTED exactly when an intent is pending for
         # the stage (a crashed landed-but-uncommitted write) —
         # anywhere else it means out-of-band modification
@@ -750,7 +750,11 @@ def _append_kg_frames_impl(
     batch_id: Optional[int],
     stream_id: Optional[str],
 ) -> Dict[str, str]:
-    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    # read-only handle until the preamble proves a committed base —
+    # an append against a typo'd out_dir must refuse WITHOUT leaving
+    # a fresh manifest.d behind (see Manifest.ensure_dirs)
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
+                   create=False)
     # settle any crashed append's landed-but-uncommitted stage write
     # FIRST: every read below (the replay check, the overlap
     # disambiguation, _rebuild_conv_ids) trusts the stage dirs to
@@ -774,6 +778,10 @@ def _append_kg_frames_impl(
             "append_kg needs a fully committed base build; missing "
             "stages: %s" % ", ".join(missing)
         )
+    # committed base proven → this is a real build dir; safe to
+    # create the records dir (no-op unless the base is a legacy
+    # jsonl-only manifest being upgraded)
+    man.ensure_dirs()
     # `missing` is [] here (non-empty raised above), so presence only
     # excludes the crash-destroyed global stages
     present = [s for s in STAGES if s not in missing_global]
@@ -1317,7 +1325,23 @@ def _append_kg_frames_impl(
 
     def t_canon() -> str:
         # global: recompute over the UNION mentions (slim table)
-        mentions_union = spark.read.parquet(_dep("mentions"))
+        mentions_path = _dep("mentions")
+        # resume fast path: a retry of an append that crashed AFTER
+        # the links+nodes commits (e.g. at edges) finds both already
+        # committed at the union identity.  commit_write's own skip
+        # fires only after canonicalize() has run — and canonicalize
+        # is EAGER (localCheckpoint + the connected-components driver
+        # loop), the most expensive global recompute in the DAG — so
+        # check first and skip the whole thing.
+        if all(
+            man.is_committed(
+                s, source_fp=_stage_identity(s, union_fp),
+                rec=base.get(s, {}),
+            )
+            for s in ("links", "nodes")
+        ):
+            return man.stage_path("links")
+        mentions_union = spark.read.parquet(mentions_path)
         links_df, nodes_df = canonicalize(mentions_union, gazetteer)
         commit_write("links", links_df, "overwrite")
         commit_write("nodes", nodes_df, "overwrite")
@@ -1395,7 +1419,11 @@ def refresh_gazetteer(
     links over its mixed mentions table would spread the tear; resume
     the append first.
     """
-    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    # read-only until the preamble proves a committed base — a
+    # refresh against a typo'd out_dir must refuse without leaving a
+    # fresh manifest.d behind (see Manifest.ensure_dirs)
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
+                   create=False)
     # settle any crashed run's landed-but-uncommitted write first
     man.reconcile_intents()
     base = man.committed()
@@ -1412,6 +1440,7 @@ def refresh_gazetteer(
             "refresh_gazetteer needs the corpus stages committed; "
             "missing stages: %s" % ", ".join(missing_fatal)
         )
+    man.ensure_dirs()
     present = [s for s in STAGES if s not in missing]
     if any(base[s].get("source_fp") is None for s in present):
         raise ValueError(
