@@ -311,3 +311,45 @@ def test_compact_preserves_delta_provenance(spark, kg_built, tmp_path):
     assert spark.read.parquet(
         os.path.join(out, "extracted")
     ).count() == n_before
+
+
+def test_refused_compact_leaves_no_manifest_dir(spark, tmp_path):
+    """compact_kg against a typo'd / never-built out_dir must refuse
+    WITHOUT creating manifest.d there (same entry-point hygiene as
+    append/refresh)."""
+    typo = str(tmp_path / "kg_nope")
+    with pytest.raises(ValueError, match="nothing is committed"):
+        compact_kg(spark, typo)
+    assert not os.path.exists(typo)
+
+
+def test_noop_compact_reads_no_footers(spark, kg_built, tmp_path,
+                                       monkeypatch):
+    """A scheduled compact over an already-compact build must decide
+    "nothing to do" from ONE dir listing per stage — at the design
+    point (40-80k x 128 MiB files) per-file footer reads on the no-op
+    path are the exact pathology the module exists to remove."""
+    from webstruct_spark.plans import compaction as C
+
+    out = _copy_kg(kg_built, tmp_path)
+    first = compact_kg(spark, out)
+    assert any(r["compacted"] for r in first.values())
+
+    def forbidden(*a, **k):
+        raise AssertionError("footer read on the no-op compact path")
+
+    monkeypatch.setattr(C, "table_fingerprint", forbidden)
+    second = compact_kg(spark, out)
+    assert not any(r["compacted"] for r in second.values())
+    # the listing-vs-record corruption check still guards the no-op
+    # path: delete a part file and the same run refuses
+    monkeypatch.undo()
+    victim_dir = os.path.join(out, "extracted")
+    victim = next(
+        n for n in sorted(os.listdir(victim_dir))
+        if n.endswith(".parquet")
+    )
+    os.remove(os.path.join(victim_dir, victim))
+    with pytest.raises(ValueError, match="manifest says"):
+        compact_kg(spark, out, stages=["extracted"],
+                   include_conv_ids=False)

@@ -56,13 +56,24 @@ def run_concurrent_jobs(
             futs[name] = fn()
         return dict(futs)
 
+    import threading
     from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
     sc = spark.sparkContext
     group = "wsjobs-%d-%d" % (os.getpid(), next(_JOB_GROUP_SEQ))
+    # set on first failure: a queued task a worker dequeues in the
+    # wait()→cancel() race window escapes Future.cancel (it is
+    # already running) AND a one-shot cancelJobGroup (its Spark jobs
+    # are submitted later) — the flag stops it before it does any
+    # work, and the cancel sweep below catches the residue
+    abort = threading.Event()
 
     def _in_group(name: str, fn):
         def run():
+            if abort.is_set():
+                raise RuntimeError(
+                    "task %s aborted: a sibling task failed" % name
+                )
             # thread-local: tags this thread's Spark jobs so a sibling
             # failure can interrupt them mid-flight
             sc.setJobGroup(group, "task %s" % name, interruptOnCancel=True)
@@ -98,11 +109,20 @@ def run_concurrent_jobs(
             None,
         )
         if failed is not None:
+            abort.set()
             for f in not_done:
                 f.cancel()
-            try:
-                sc.cancelJobGroup(group)
-            except Exception:  # pragma: no cover — cancellation best-effort
-                pass
+            # sweep the group cancel until every task drains: a task
+            # that slipped past both the flag check and the future
+            # cancel may submit Spark jobs AFTER a one-shot
+            # cancelJobGroup fired; re-sweeping bounds its wasted
+            # cluster time to ~1 s instead of a full stage runtime
+            pending = [f for _n, f in submitted]
+            while pending:
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # pragma: no cover — best-effort
+                    pass
+                _done2, pending = wait(pending, timeout=1.0)
             raise failed.exception()
     return {name: f.result() for name, f in submitted}

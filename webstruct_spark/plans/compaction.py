@@ -140,29 +140,59 @@ def _compact_dir(
     expected_rows: Optional[int],
     target_bytes: int,
     force: bool,
+    expected_n_files: Optional[int] = None,
+    expected_bytes: Optional[int] = None,
 ) -> dict:
     """Compact one parquet dir in place (swap protocol steps 1-4
     ONLY).  Returns ``{rows, n_files_before, n_files_after,
     compacted}``.  Steps 5 and 6 are the caller's job, in that order:
     re-commit the manifest record, THEN delete the ``__compact_old__``
     marker (the ``_conv_ids`` side table has no record, so its caller
-    just deletes the marker)."""
+    just deletes the marker).
+
+    The no-op decision needs only file count + bytes — ONE dir
+    listing, never per-file footer reads.  That matters at the
+    module's own design point: a scheduled compact over an
+    already-compact 100 TB stage (~40-80k files of 128 MiB) must not
+    pay 40-80k footer round trips to conclude "nothing to do".  The
+    listing is still checked against the manifest's recorded
+    ``n_files``/``bytes`` (``expected_n_files``/``expected_bytes``),
+    so out-of-band corruption refuses on the no-op path too; the
+    row-exact fingerprint runs only when a rewrite actually happens."""
+    listing = fsio.listdir(spark, path)
+    pq = [(n, b) for n, b in listing if n.endswith(".parquet")]
+    n_files = len(pq)
+    total_bytes = sum(b for _, b in pq)
+    if (
+        (expected_n_files is not None and n_files != expected_n_files)
+        or (expected_bytes is not None and total_bytes != expected_bytes)
+    ):
+        raise ValueError(
+            "compact: %r holds %d files / %d bytes but the manifest "
+            "says %s / %s — out_dir corrupted or concurrently "
+            "modified; refusing to rewrite"
+            % (path, n_files, total_bytes, expected_n_files,
+               expected_bytes)
+        )
+    n_target = max(1, math.ceil(total_bytes / float(target_bytes)))
+    out = {
+        # the listing-vs-record check above makes the record's row
+        # total trustworthy on the no-op path without footer reads
+        "rows": expected_rows,
+        "n_files_before": n_files,
+        "n_files_after": n_files,
+        "compacted": False,
+    }
+    if n_files <= n_target and not force:
+        return out
     fp = table_fingerprint(path, spark=spark)
+    out["rows"] = fp["rows"]
     if expected_rows is not None and fp["rows"] != expected_rows:
         raise ValueError(
             "compact: %r holds %d rows but the manifest says %d — "
             "out_dir corrupted or concurrently modified; refusing to "
             "rewrite" % (path, fp["rows"], expected_rows)
         )
-    n_target = max(1, math.ceil(fp["bytes"] / float(target_bytes)))
-    out = {
-        "rows": fp["rows"],
-        "n_files_before": fp["n_files"],
-        "n_files_after": fp["n_files"],
-        "compacted": False,
-    }
-    if fp["n_files"] <= n_target and not force:
-        return out
     tmp = path + SUF_TMP
     old = path + SUF_OLD
     spark.read.parquet(path).coalesce(n_target).write.mode(
@@ -211,7 +241,12 @@ def compact_kg(
     """
     from .pipeline import CONV_IDS, LAYOUT_VERSION, STAGE_INPUTS
 
-    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark)
+    # read-only handle until the preamble proves a committed base —
+    # a compact against a typo'd out_dir must refuse without leaving
+    # a fresh manifest.d behind (same hygiene as append/refresh; see
+    # Manifest.ensure_dirs)
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
+                   create=False)
     # settle crashed-append strays first: compaction verifies each
     # stage's on-disk rows against the manifest, and an uncommitted
     # stray write would read as corruption when it is repairable
@@ -226,6 +261,34 @@ def compact_kg(
 
     results: Dict[str, dict] = {}
     base = man.committed()
+    if not base:
+        raise ValueError(
+            "compact_kg: nothing is committed at %r — compact only "
+            "fully built KGs" % out_dir
+        )
+    man.ensure_dirs()
+
+    def _recommit_and_drop_marker(stage: str, rec: dict,
+                                  wall: float) -> None:
+        """Protocol step 5 then 6, in THAT order — the crash-safety-
+        critical invariant, expressed once for both the crashed-swap
+        retry and the fresh compaction: re-commit the lineage FIRST
+        (same source identity, fresh physical file list, delta
+        provenance carried forward), and only then drop the
+        ``__compact_old__`` marker.  A crash between the two leaves
+        the marker, so the next run lands back in the retry branch
+        and repeats the re-commit; drop-first would strand the stale
+        record forever (the following run would see "clean" +
+        already-compact and skip the commit)."""
+        man.commit(
+            stage, wall,
+            inputs=["compact:%s" % i
+                    for i in STAGE_INPUTS.get(stage, [stage])],
+            source_fp=rec.get("source_fp"),
+            extra=_delta_provenance(rec),
+        )
+        fsio.delete(spark, man.stage_path(stage) + SUF_OLD)
+
     for stage in stages:
         path = man.stage_path(stage)
         state = _repair(spark, path)
@@ -236,38 +299,21 @@ def compact_kg(
                 "compact only fully built KGs" % (stage, out_dir)
             )
         if state in ("rolled_forward", "finished_swap"):
-            # step 5 retry for the crashed swap _repair just finished:
-            # re-commit the lineage FIRST, and only then drop the
-            # __compact_old__ marker — a crash between the two leaves
-            # the marker, so the next run lands back here and retries
-            # the re-commit (drop-first would strand the stale record
-            # forever: the following run would see "clean" +
-            # already-compact and skip the commit).
-            man.commit(
-                stage, 0.0,
-                inputs=["compact:%s" % i
-                        for i in STAGE_INPUTS.get(stage, [stage])],
-                source_fp=rec.get("source_fp"),
-                extra=_delta_provenance(rec),
-            )
-            fsio.delete(spark, path + SUF_OLD)
+            # step 5 retry for the crashed swap _repair just finished
+            _recommit_and_drop_marker(stage, rec, 0.0)
+            # the retry's re-commit refreshed the record's physical
+            # lineage — reload it so the listing-vs-record check in
+            # _compact_dir judges the repaired dir against its OWN
+            # record, not the pre-crash one
+            rec = man.committed()[stage]
         t0 = time.time()
         res = _compact_dir(
-            spark, path, rec["rows_out"], target_bytes, force
+            spark, path, rec["rows_out"], target_bytes, force,
+            expected_n_files=rec.get("n_files"),
+            expected_bytes=rec.get("bytes"),
         )
         if res["compacted"]:
-            # step 5: fresh physical lineage, unchanged source
-            # identity — resume/append guards keep matching
-            man.commit(
-                stage, time.time() - t0,
-                inputs=["compact:%s" % i
-                        for i in STAGE_INPUTS.get(stage, [stage])],
-                source_fp=rec.get("source_fp"),
-                extra=_delta_provenance(rec),
-            )
-            # step 6, strictly AFTER the commit: a crash before this
-            # line is the "finished_swap" window the next run repairs
-            fsio.delete(spark, path + SUF_OLD)
+            _recommit_and_drop_marker(stage, rec, time.time() - t0)
         res["repair"] = state
         results[stage] = res
 

@@ -66,8 +66,14 @@ def _ensure_stream_id(spark, checkpoint_dir: str) -> str:
         fsio.write_text_atomic(spark, path, sid)
     except IOError:
         # two racing starts of the same checkpoint: whoever renamed
-        # first wins; re-read theirs
-        return fsio.read_text(spark, path).strip()
+        # first wins; re-read theirs.  ONLY a lost race leaves the
+        # file existing — any other write failure (quota,
+        # permissions, FS error) must surface as itself, not be
+        # swallowed and replaced by the recovery read's confusing
+        # missing-file error.
+        if fsio.exists(spark, path):
+            return fsio.read_text(spark, path).strip()
+        raise
     return sid
 
 
@@ -101,9 +107,13 @@ def ingest_transcripts_stream(
     # and a scheduled ingest would silently no-op FOREVER — the same
     # driver-local-filesystem defect class VERDICT r4 flagged on the
     # ANN sidecar, and the worst possible failure shape (quiet).
-    if not fsio.exists(spark, input_dir) or not any(
-        n.endswith(".parquet")
-        for n in fsio.listdir_names(spark, input_dir)
+    # listdir_if_exists, not exists→list: a retention job can remove
+    # the dir between the two calls, and the scheduled ingest must
+    # take the documented does-not-exist no-op path, not crash on
+    # the race (same hardening as kg_status / Manifest.intents)
+    listing = fsio.listdir_if_exists(spark, input_dir)
+    if listing is None or not any(
+        n.endswith(".parquet") for n, _ in listing
     ):
         return None
     # a stable identity for THIS checkpoint's batch-id sequence, kept
