@@ -198,6 +198,16 @@ def _q_kg_refreshed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(sent):
             with open(sent) as fh:
                 done = fh.read() == tag
+        # the sentinel is a sibling FILE of the build dir: an
+        # operator's `rm -rf <out>` leaves it behind, and trusting
+        # it would make the nodes read below fail forever instead of
+        # self-healing (the generate-if-missing contract every other
+        # cached builder here honors) — so also require the refreshed
+        # nodes table to actually be committed on disk
+        if done and not os.path.exists(
+            os.path.join(out, "nodes", "_SUCCESS")
+        ):
+            done = False
         if not done:
             build_kg(spark, corpus, out)
             gaz2 = shrink_gazetteer(_gazetteer(spark, sf_dir))
@@ -658,15 +668,24 @@ _DOCGOLD_CACHE: dict[str, str] = {}
 
 
 def _doc_gold_for(sf_dir: str) -> str:
-    if sf_dir not in _DOCGOLD_CACHE:
+    # keyed on the normalized full path like _ann_index_for /
+    # _KG_REFRESH_CACHE — two corpus dirs with equal basenames must
+    # never share a gold dir (the build dir name carries a crc of
+    # the full path; staleness against REGENERATED content at the
+    # same path is handled by build_doc_gold's fingerprinted _DONE)
+    import zlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    if norm not in _DOCGOLD_CACHE:
         from webstruct_spark.sources.docgold import build_doc_gold
 
-        name = os.path.basename(os.path.normpath(sf_dir))
         out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data", "docgold", name
+            os.path.dirname(os.path.abspath(__file__)), "data", "docgold",
+            "%s_%08x" % (os.path.basename(norm),
+                         zlib.crc32(norm.encode("utf-8"))),
         )
-        _DOCGOLD_CACHE[sf_dir] = build_doc_gold(sf_dir, out)
-    return _DOCGOLD_CACHE[sf_dir]
+        _DOCGOLD_CACHE[norm] = build_doc_gold(sf_dir, out)
+    return _DOCGOLD_CACHE[norm]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,13 +753,10 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webstruct_spark.operators.similarity import brute_force_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q_rows = (
-        emb.where(F.col("vec_id") % 199 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    qs = [(int(r["vec_id"]), list(r["embedding"])) for r in q_rows]
+    # the shared sorted query selection (defined below) — one %199
+    # probe rule for every gated ANN variant, so a change to it can
+    # never drift between this query and the four approximate ones
+    emb, qs = _ann_queries_sorted(spark, sf_dir)
     return brute_force_topk(emb, qs, k=5)
 
 
@@ -983,7 +999,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{os.path.join(dg, "gold_langid.parquet")}')
         """,
         "dedup_exact": f"""
-            SELECT doc_id, md5({_NORM_SQL.replace("text", "text")}) AS dup_key,
+            SELECT doc_id, md5({_NORM_SQL}) AS dup_key,
                    min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS
                    canonical_doc_id
             FROM documents

@@ -69,6 +69,10 @@ def main() -> None:
         p.error("--refresh-gazetteer is a standalone mode")
     if not (args.compact or args.status) and not args.corpus_dir:
         p.error("--corpus-dir is required unless --compact/--status")
+    if args.compact_target_mb <= 0:
+        # 0 would divide-by-zero deep inside compaction; a negative
+        # value would silently coalesce every stage to ONE file
+        p.error("--compact-target-mb must be a positive integer")
 
     from webstruct_spark.plans.pipeline import append_kg, build_kg
     from webstruct_spark.session import get_spark

@@ -5,6 +5,13 @@ given sf_dir and its DuckDB oracle side-by-side, compare row count,
 schema (column names) and an order-insensitive value hash.
 
 Usage: python tools/check_queries.py [sf_dir] [query ...]
+
+MEANINGFUL ONLY AT sf0.01 for the gold-backed queries: oracle_sql()
+takes no sf parameter (the driver contract), so its gold-table paths
+are pinned to the driver's gate scale — running this harness at any
+other sf_dir reports guaranteed hash mismatches for lang_id, the
+dedup/ANN family, and kg_refreshed_nodes.  That is the harness
+contract, not a correctness failure.
 """
 from __future__ import annotations
 

@@ -45,11 +45,30 @@ def _round_half_up(x: float, n: int) -> float:
 DOC_GOLD_VERSION = "7-ivf"
 
 
+def _done_tag(sf_dir: str) -> str:
+    """Reuse sentinel content: the gold version PLUS the input
+    tables' footer fingerprints.  A version-only sentinel served
+    stale gold when the corpus at the same path was regenerated —
+    every file-backed oracle would then compare distributed output
+    on the new data against gold computed from the old."""
+    import json
+
+    from ..plans.manifest import table_fingerprint
+
+    fps = {
+        name: table_fingerprint(os.path.join(sf_dir, name))
+        for name in ("documents.parquet", "embeddings.parquet")
+    }
+    return json.dumps({"v": DOC_GOLD_VERSION, "inputs": fps},
+                      sort_keys=True)
+
+
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
     done = os.path.join(out_dir, "_DONE")
+    tag = _done_tag(sf_dir)
     if not force and os.path.exists(done):
         with open(done) as f:
-            if f.read().strip() == DOC_GOLD_VERSION:
+            if f.read().strip() == tag:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -351,5 +370,5 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
     )
 
     with open(done, "w") as f:
-        f.write(DOC_GOLD_VERSION + "\n")
+        f.write(tag)
     return out_dir
