@@ -341,3 +341,23 @@ def test_landed_uncommitted_overwrite_not_served_by_resume(
     for stage in ("links", "nodes", "edges"):
         got = _rows(spark.read.parquet(os.path.join(out, stage)))
         assert got == original[stage], stage
+
+
+def test_shrink_twin_parity_on_malformed_ids(spark):
+    """Spark filter vs Python twin on adversarial canonical ids:
+    non-digit tails, the EMPTY string, non-ASCII digits ('²' '٤') —
+    both sides must DROP them (try_cast NULL / guarded twin), never
+    raise.  Pins the ANSI-mode behavior: a plain cast would throw
+    under Spark 4's default ANSI instead of NULLing."""
+    from webstruct_spark.sources.gazshrink import keep_alias, shrink_gazetteer
+
+    ids = ["c0", "c1", "c2", "cX", "", "c²", "c٤", "6", "x8"]
+    df = spark.createDataFrame(
+        [(i, "a%d" % n) for n, i in enumerate(ids)],
+        "canonical_id string, alias string",
+    )
+    kept_spark = sorted(
+        r["canonical_id"] for r in shrink_gazetteer(df).collect()
+    )
+    kept_twin = sorted(i for i in ids if keep_alias(i))
+    assert kept_spark == kept_twin == ["6", "c0", "c2", "x8"]

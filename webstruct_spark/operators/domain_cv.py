@@ -67,7 +67,11 @@ def conv_domains_from_pages(
         "prk",
         F.row_number().over(Window.orderBy("page_id")) - 1,
     )
-    n_pages = doms.count()
+    # infer_domain emits exactly one row per page, so the page count
+    # comes from the INPUT table's parquet metadata for ~free —
+    # counting `doms` instead would execute the whole vote/window DAG
+    # once for the count and then AGAIN for the join below
+    n_pages = pages.count()
     return (
         convs.withColumn("prk", F.col("rk") % n_pages)
         .join(F.broadcast(doms), "prk")

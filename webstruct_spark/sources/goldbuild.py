@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -44,7 +44,10 @@ from ..kernel.smartjoin import smart_join
 from ..kernel.tokenize import default_segment_words
 from ..kernel.triples import assemble_triples_typed
 
-DONT_PENALIZE: Set[str] = {"TEL", "FAX"}
+# the ONE grouping-default definition (operators/grouping_op.py) —
+# a local copy here would let the gold twin and the Spark grouping
+# silently drift the moment either set changed
+from ..operators.grouping_op import DEFAULT_DONT_PENALIZE as DONT_PENALIZE
 
 
 def extract_turn(text: str) -> List[Tuple[str, str]]:
