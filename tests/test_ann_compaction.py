@@ -1,0 +1,155 @@
+# -*- coding: utf-8 -*-
+"""ANN index small-file compaction: every append_to_ann_index adds
+part files to the touched bucket partition dirs, so a week of drops
+fragments the hot buckets; compact_ann_index rewrites them
+row-verified and swap-protocol crash-safe, and probes are identical
+before/during-crash-repair/after."""
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import arm_fs_tripwire
+from webstruct_spark.operators.similarity import (
+    ann_index_topk,
+    append_to_ann_index,
+    compact_ann_index,
+    write_ann_index,
+)
+
+
+def _embeddings(spark, n=400, dim=16):
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _queries(emb, every=37):
+    rows = emb.where(F.col("vec_id") % every == 0).collect()
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def _as_set(df):
+    return {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in df.collect()
+    }
+
+
+def _fragmented_index(spark, tmp_path, kind="lsh", name="idx"):
+    """Build over a third of the corpus, then two appended batches —
+    the bucket dirs end up holding several part-file generations."""
+    emb = _embeddings(spark)
+    path = str(tmp_path / name)
+    kw = {"n_planes": 6} if kind == "lsh" else {"n_centroids": 8}
+    write_ann_index(emb.where(F.col("vec_id") < 150), path, kind=kind, **kw)
+    append_to_ann_index(
+        emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)), path
+    )
+    append_to_ann_index(emb.where(F.col("vec_id") >= 300), path)
+    return emb, path
+
+
+def test_compact_reduces_files_probe_identical(spark, tmp_path):
+    emb, path = _fragmented_index(spark, tmp_path)
+    qs = _queries(emb)
+    before = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    out = compact_ann_index(spark, path)
+    assert out["buckets_compacted"] > 0
+    assert out["n_files_after"] < out["n_files_before"]
+    assert out["repaired"] == []
+    # every rewritten bucket was footer-verified row-exact
+    assert out["rows_verified"] > 0
+    after = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    assert after == before
+    # idempotent: a second scheduled compact is a pure-listing no-op
+    again = compact_ann_index(spark, path)
+    assert again["buckets_compacted"] == 0
+    assert again["n_files_after"] == out["n_files_after"]
+
+
+def test_compact_ivf_sidecars_untouched(spark, tmp_path):
+    emb, path = _fragmented_index(spark, tmp_path, kind="ivf", name="ivf")
+    qs = _queries(emb)
+    before = _as_set(ann_index_topk(spark, path, qs, k=5, n_probe=3))
+    sidecars = {
+        d: sorted((tmp_path / "ivf" / d).rglob("*"))
+        for d in ("_ann_meta.parquet", "_ann_centroids.parquet")
+    }
+    out = compact_ann_index(spark, path)
+    assert out["buckets_compacted"] > 0
+    for d, listing in sidecars.items():
+        assert sorted((tmp_path / "ivf" / d).rglob("*")) == listing
+    after = _as_set(ann_index_topk(spark, path, qs, k=5, n_probe=3))
+    assert after == before
+
+
+def test_compact_repairs_crash_windows(spark, tmp_path):
+    """All three swap-protocol crash shapes are repaired on the next
+    compact entry, and the repaired index probes identically to the
+    never-crashed one."""
+    emb, path = _fragmented_index(spark, tmp_path, name="crash")
+    qs = _queries(emb)
+    want = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    root = tmp_path / "crash"
+    buckets = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )
+    assert len(buckets) >= 3
+    b0, b1, b2 = (b[len("bucket="):] for b in buckets[:3])
+
+    # window 1 — crash BEFORE the swap began: tmp + intact live
+    shutil.copytree(root / ("bucket=" + b0), root / ("_compact_tmp_b" + b0))
+    # window 2 — crash BETWEEN the two renames: old + verified tmp,
+    # live absent (tmp here = the verified rewrite = same rows)
+    shutil.copytree(root / ("bucket=" + b1), root / ("_compact_tmp_b" + b1))
+    (root / ("bucket=" + b1)).rename(root / ("_compact_old_b" + b1))
+    # window 3 — crash AFTER the swap, before the old delete
+    shutil.copytree(root / ("bucket=" + b2), root / ("_compact_old_b" + b2))
+
+    out = compact_ann_index(spark, path)
+    fixed = set(out["repaired"])
+    assert {"bucket=" + b0, "bucket=" + b1, "bucket=" + b2} <= fixed
+    leftovers = [
+        d.name for d in root.iterdir() if d.name.startswith("_compact_")
+    ]
+    assert leftovers == []
+    got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    assert got == want
+
+
+def test_crashed_tmp_invisible_to_probes(spark, tmp_path):
+    """The underscore-prefixed tmp/old names are ignored by Spark's
+    partition discovery, so an index with a crashed compact lying
+    around STILL probes correctly before any repair runs."""
+    emb, path = _fragmented_index(spark, tmp_path, name="dirty")
+    qs = _queries(emb)
+    want = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    root = tmp_path / "dirty"
+    b = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )[0][len("bucket="):]
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_tmp_b" + b))
+    got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    assert got == want
+
+
+def test_compact_uri_route(spark, tmp_path, monkeypatch):
+    """Build + append + compact + probe over a file: URI with the
+    driver-local-FS tripwire armed: the whole maintenance cycle works
+    against an index the driver cannot open() (the HDFS/S3 shape)."""
+    emb = _embeddings(spark)
+    qs = _queries(emb)
+    marker = "TRIPWIRE_OUT_DIR"
+    path = "file:" + str(tmp_path / ("uri_" + marker) / "idx")
+    arm_fs_tripwire(monkeypatch, marker)
+    write_ann_index(emb.where(F.col("vec_id") < 300), path, kind="lsh",
+                    n_planes=6)
+    append_to_ann_index(emb.where(F.col("vec_id") >= 300), path)
+    before = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    out = compact_ann_index(spark, path)
+    assert out["buckets_compacted"] > 0
+    after = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    assert after == before

@@ -21,6 +21,7 @@ distributed and the single-node gold path, so comparisons are exact.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator, List, Tuple
 
 import numpy as np
@@ -505,6 +506,171 @@ def ann_index_cell_skew(spark: SparkSession, path: str) -> float:
         .first()
     )
     return float(row["mx"]) / float(row["avg"])
+
+
+# -- ANN index small-file compaction ---------------------------------------
+# Every append_to_ann_index adds part files to the touched bucket
+# partition dirs (mode('append') never rewrites), so a week of
+# appended batches turns each hot bucket into dozens of tiny files —
+# per-file open/footer cost on every probe and listing pressure on
+# the object store, the same pathology plans/compaction.py fixes for
+# the KG stages.  compact_ann_index rewrites fragmented BUCKET dirs
+# (never the whole index): each is coalesced shuffle-free into
+# ceil(bytes/target) files, footer-verified row-exact, then swapped
+# by two renames.  The tmp/old dirs live as underscore-prefixed
+# SIBLINGS inside the index root ("_compact_tmp_b<N>") — Spark's
+# partition discovery ignores _-prefixed names, so a crashed compact
+# never corrupts probes: the live "bucket=N" dir is either the old
+# file set or the complete verified new one.  The one non-atomic
+# instant is between the two renames (the bucket is briefly absent to
+# a concurrent probe); run compaction in the same maintenance window
+# as appends, as with compact_kg.
+
+_ANN_TMP = "_compact_tmp_b"
+_ANN_OLD = "_compact_old_b"
+
+
+def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
+    """Finish or roll back a crashed compact (called on every
+    compact entry).  Windows, per bucket, in protocol order:
+
+    * tmp present, live present          → crashed before the swap
+      began: the live dir is untouched; drop the tmp.
+    * tmp present, live ABSENT, old present → crashed between the two
+      renames: the tmp was row-verified before rename #1, so roll
+      FORWARD (rename tmp→live, drop old).
+    * tmp absent, live present, old present → crashed before the old
+      delete: finish it (drop old).
+
+    Any other shape (live and old both absent) means the index never
+    had that bucket mid-protocol — unreachable under the protocol —
+    and raises rather than guessing.  Returns the repaired buckets'
+    names (for observability)."""
+    from ..plans import fsio
+
+    names = set(fsio.listdir_names(spark, path))
+    repaired: List[str] = []
+    for n in sorted(names):
+        if n.startswith(_ANN_TMP):
+            b = n[len(_ANN_TMP):]
+            live = _sidecar(path, "bucket=" + b)
+            old = _sidecar(path, _ANN_OLD + b)
+            if fsio.exists(spark, live):
+                fsio.delete(spark, _sidecar(path, n))
+            elif fsio.exists(spark, old):
+                fsio.rename(spark, _sidecar(path, n), live)
+                fsio.delete(spark, old)
+            else:
+                raise RuntimeError(
+                    "ann compact repair: %r has a tmp dir but neither "
+                    "a live nor an old 'bucket=%s' — not a crash shape "
+                    "the swap protocol can produce; refusing to guess"
+                    % (path, b)
+                )
+            repaired.append("bucket=" + b)
+    # old-only leftovers (post-swap crash): the live dir is already
+    # the new file set; just drop the old copy
+    names = set(fsio.listdir_names(spark, path))
+    for n in sorted(names):
+        if n.startswith(_ANN_OLD):
+            b = n[len(_ANN_OLD):]
+            if not fsio.exists(spark, _sidecar(path, "bucket=" + b)):
+                raise RuntimeError(
+                    "ann compact repair: %r has an old dir for bucket "
+                    "%s but no live dir — not a crash shape the swap "
+                    "protocol can produce; refusing to guess" % (path, b)
+                )
+            fsio.delete(spark, _sidecar(path, n))
+            if "bucket=" + b not in repaired:
+                repaired.append("bucket=" + b)
+    return repaired
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    force: bool = False,
+) -> dict:
+    """Rewrite fragmented bucket partitions of a
+    :func:`write_ann_index` index into ~``target_bytes`` files.
+
+    Idempotent and cheap when nothing is fragmented: the no-op
+    decision per bucket is ONE dir listing (file count + bytes vs
+    ``ceil(bytes/target)``), never footer reads — a scheduled compact
+    over an already-compact index costs one listing per bucket.  A
+    bucket that IS rewritten is footer-verified row-exact against its
+    pre-rewrite footer total before the swap; a mismatched rewrite is
+    discarded with the live dir untouched.  Sidecars
+    (``_ann_meta.parquet``, ``_ann_centroids.parquet``) are one-row /
+    tiny, never appended to, and never touched here.
+
+    Do not run concurrently with :func:`append_to_ann_index` over the
+    same path (same maintenance-window contract as
+    ``plans.compaction.compact_kg``).  All I/O routes through
+    :mod:`..plans.fsio`, so the index may live on any Hadoop-visible
+    filesystem.  Returns ``{buckets_total, buckets_compacted,
+    n_files_before, n_files_after, rows_verified, repaired}``."""
+    from ..plans import fsio
+    from ..plans.manifest import table_fingerprint
+
+    repaired = _repair_ann_compaction(spark, path)
+    buckets = sorted(
+        n for n in fsio.listdir_names(spark, path) if n.startswith("bucket=")
+    )
+    if not buckets:
+        raise ValueError(
+            "compact_ann_index: no bucket partitions at %r — not a "
+            "write_ann_index directory" % path
+        )
+    out = {
+        "buckets_total": len(buckets),
+        "buckets_compacted": 0,
+        "n_files_before": 0,
+        "n_files_after": 0,
+        "rows_verified": 0,
+        "repaired": repaired,
+    }
+    for b in buckets:
+        live = _sidecar(path, b)
+        pq_files = [
+            (n, sz)
+            for n, sz in fsio.listdir(spark, live)
+            if n.endswith(".parquet")
+        ]
+        n_files = len(pq_files)
+        nbytes = sum(sz for _, sz in pq_files)
+        n_target = max(1, math.ceil(nbytes / float(target_bytes)))
+        out["n_files_before"] += n_files
+        if n_files <= n_target and not force:
+            out["n_files_after"] += n_files
+            continue
+        fp = table_fingerprint(live, spark=spark)
+        bucket_id = b[len("bucket="):]
+        tmp = _sidecar(path, _ANN_TMP + bucket_id)
+        old = _sidecar(path, _ANN_OLD + bucket_id)
+        # reading the bucket dir directly yields the file columns only
+        # (vec_id, vec — the partition value lives in the dir name),
+        # which is exactly what the original part files hold, so the
+        # rewrite is layout-identical; coalesce is shuffle-free
+        spark.read.parquet(live).coalesce(n_target).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        tmp_fp = table_fingerprint(tmp, spark=spark)
+        if tmp_fp["rows"] != fp["rows"]:
+            fsio.delete(spark, tmp)
+            raise RuntimeError(
+                "compact_ann_index: rewrite of %r produced %d rows, "
+                "expected %d — tmp discarded, bucket untouched"
+                % (live, tmp_fp["rows"], fp["rows"])
+            )
+        fsio.rename(spark, live, old)
+        fsio.rename(spark, tmp, live)
+        fsio.delete(spark, old)
+        out["buckets_compacted"] += 1
+        out["n_files_after"] += tmp_fp["n_files"]
+        out["rows_verified"] += tmp_fp["rows"]
+    return out
 
 
 def ann_index_topk(
