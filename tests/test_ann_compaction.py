@@ -136,6 +136,75 @@ def test_crashed_tmp_invisible_to_probes(spark, tmp_path):
     assert got == want
 
 
+def test_threeway_crash_shape_refused_nothing_deleted(spark, tmp_path):
+    """tmp + live + old all present is NOT a protocol crash shape (it
+    means something recreated the live dir after a between-renames
+    crash, so the live dir may hold rows the tmp/old copies lack):
+    repair must refuse with all three dirs intact — the pre-fix code
+    silently deleted the verified tmp AND the pre-crash old copy,
+    permanently losing every pre-crash vector of the bucket."""
+    import pytest
+
+    emb, path = _fragmented_index(spark, tmp_path, name="threeway")
+    root = tmp_path / "threeway"
+    b = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )[0][len("bucket="):]
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_tmp_b" + b))
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_old_b" + b))
+    with pytest.raises(RuntimeError, match="tmp, live AND old"):
+        compact_ann_index(spark, path)
+    for prefix in ("bucket=", "_compact_tmp_b", "_compact_old_b"):
+        assert (root / (prefix + b)).exists()
+    # append refuses the same way instead of writing into the mess
+    with pytest.raises(RuntimeError, match="tmp, live AND old"):
+        append_to_ann_index(emb.where(F.col("vec_id") < 3), path)
+
+
+def test_append_repairs_crashed_compact_first(spark, tmp_path):
+    """A scheduled append landing after a between-renames compact
+    crash rolls the verified swap FORWARD before writing (otherwise
+    it would recreate the live dir with only its own batch — the
+    exact sequence that manufactures the unrepairable three-way
+    shape).  The repaired-and-appended index probes identically to a
+    never-crashed twin with the same build+append history."""
+    emb = _embeddings(spark, n=450)
+    base = emb.where(F.col("vec_id") < 400)
+    extra = emb.where(F.col("vec_id") >= 400)
+    paths = {}
+    for name in ("crashed", "twin"):
+        p = str(tmp_path / name)
+        write_ann_index(base.where(F.col("vec_id") < 150), p,
+                        kind="lsh", n_planes=6)
+        append_to_ann_index(
+            base.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+            p,
+        )
+        append_to_ann_index(base.where(F.col("vec_id") >= 300), p)
+        paths[name] = p
+    root = tmp_path / "crashed"
+    b = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )[0][len("bucket="):]
+    # between-renames shape: verified tmp (same rows) + old, live gone
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_tmp_b" + b))
+    (root / ("bucket=" + b)).rename(root / ("_compact_old_b" + b))
+
+    append_to_ann_index(extra, paths["crashed"])
+    append_to_ann_index(extra, paths["twin"])
+
+    leftovers = [
+        d.name for d in root.iterdir() if d.name.startswith("_compact_")
+    ]
+    assert leftovers == []
+    qs = _queries(emb)
+    got = _as_set(ann_index_topk(spark, paths["crashed"], qs, k=5,
+                                 multiprobe=1))
+    want = _as_set(ann_index_topk(spark, paths["twin"], qs, k=5,
+                                  multiprobe=1))
+    assert got == want
+
+
 def test_compact_uri_route(spark, tmp_path, monkeypatch):
     """Build + append + compact + probe over a file: URI with the
     driver-local-FS tripwire armed: the whole maintenance cycle works

@@ -328,22 +328,34 @@ def test_noop_compact_reads_no_footers(spark, kg_built, tmp_path,
     """A scheduled compact over an already-compact build must decide
     "nothing to do" from ONE dir listing per stage — at the design
     point (40-80k x 128 MiB files) per-file footer reads on the no-op
-    path are the exact pathology the module exists to remove."""
+    path are the exact pathology the module exists to remove.  The
+    guarantee is per-STAGE (every stage has a manifest record whose
+    row total the listing check makes trustworthy); the slim
+    _conv_ids side table has no record, so its no-op keeps the real
+    row report by footer-counting its handful of files."""
     from webstruct_spark.plans import compaction as C
 
     out = _copy_kg(kg_built, tmp_path)
     first = compact_kg(spark, out)
     assert any(r["compacted"] for r in first.values())
+    n_convs = spark.read.parquet(out + "/" + CONV_IDS).count()
 
     def forbidden(*a, **k):
         raise AssertionError("footer read on the no-op compact path")
 
     monkeypatch.setattr(C, "table_fingerprint", forbidden)
-    second = compact_kg(spark, out)
+    second = compact_kg(spark, out, include_conv_ids=False)
     assert not any(r["compacted"] for r in second.values())
+    # every stage's no-op still reports the manifest-trustworthy rows
+    assert all(r["rows"] is not None for r in second.values())
+    monkeypatch.undo()
+    # side-table no-op: not compacted, and rows is the REAL count
+    # (not None — a silent CLI report regression otherwise)
+    third = compact_kg(spark, out)
+    assert not third[CONV_IDS]["compacted"]
+    assert third[CONV_IDS]["rows"] == n_convs
     # the listing-vs-record corruption check still guards the no-op
     # path: delete a part file and the same run refuses
-    monkeypatch.undo()
     victim_dir = os.path.join(out, "extracted")
     victim = next(
         n for n in sorted(os.listdir(victim_dir))

@@ -230,6 +230,40 @@ def test_ingest_before_first_drop_is_noop(spark, tmp_path, thirds):
     assert q is None
 
 
+def test_ingest_input_dir_vanishing_mid_setup_is_noop(
+    spark, tmp_path, thirds, monkeypatch
+):
+    """A retention job can remove input_dir AFTER the existence
+    listing but BEFORE the static schema peek; the scheduled ingest
+    must take the same documented no-op path as the dir never having
+    existed, not crash on the race."""
+    from webstruct_spark.plans.pipeline import build_kg
+    from webstruct_spark.streaming import kg_ingest as KI
+
+    corpus_a, df_b, _c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    input_dir = str(tmp_path / "drops")
+    df_b.repartition(1).write.parquet(input_dir)
+
+    real = KI.fsio.listdir_if_exists
+    calls = {"n": 0}
+
+    def racy(spark_, d):
+        listing = real(spark_, d)
+        calls["n"] += 1
+        if calls["n"] == 1 and d == input_dir:
+            shutil.rmtree(input_dir)  # retention wins the race
+        return listing
+
+    monkeypatch.setattr(KI.fsio, "listdir_if_exists", racy)
+    q = KI.ingest_transcripts_stream(
+        spark, input_dir, out, gaz_path, str(tmp_path / "ckpt")
+    )
+    assert q is None
+    assert calls["n"] >= 2  # the no-op path re-checked, not guessed
+
+
 def test_reconcile_intents_unit(spark, tmp_path):
     """Manifest-level intent semantics: a matching post identity means
     the commit landed (files kept); a mismatch means the write crashed

@@ -454,6 +454,12 @@ def append_to_ann_index(
     default at 100 TB."""
     spark = new_embeddings.sparkSession
     meta = read_ann_meta(spark, path)
+    # repair any crashed-compact leftovers BEFORE writing: appending
+    # into a bucket whose live dir is mid-swap (tmp+old present, live
+    # absent) would recreate the live dir with only the new batch —
+    # the one shape _repair_ann_compaction refuses to untangle.  One
+    # dir listing when there is nothing to repair.
+    _repair_ann_compaction(spark, path)
     # fail-fast dim check on the first non-null vector; ragged or
     # null vectors deeper in the batch are caught executor-side by
     # _bucketized's per-batch dimension guard with the same message
@@ -534,7 +540,7 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
     """Finish or roll back a crashed compact (called on every
     compact entry).  Windows, per bucket, in protocol order:
 
-    * tmp present, live present          → crashed before the swap
+    * tmp present, live present, old ABSENT → crashed before the swap
       began: the live dir is untouched; drop the tmp.
     * tmp present, live ABSENT, old present → crashed between the two
       renames: the tmp was row-verified before rename #1, so roll
@@ -542,10 +548,16 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
     * tmp absent, live present, old present → crashed before the old
       delete: finish it (drop old).
 
-    Any other shape (live and old both absent) means the index never
-    had that bucket mid-protocol — unreachable under the protocol —
-    and raises rather than guessing.  Returns the repaired buckets'
-    names (for observability)."""
+    tmp, live, AND old all present is NOT a crash shape the protocol
+    can produce — it means something recreated the live dir after a
+    between-renames crash (an append run outside the maintenance
+    window; :func:`append_to_ann_index` itself repairs on entry
+    precisely so its own scheduled runs can never manufacture this),
+    and that live dir may hold rows the tmp/old copies lack — so it
+    raises with all three dirs intact rather than deleting any of
+    them.  Likewise live and old both absent (the bucket never
+    existed mid-protocol) raises rather than guessing.  Returns the
+    repaired buckets' names (for observability)."""
     from ..plans import fsio
 
     names = set(fsio.listdir_names(spark, path))
@@ -555,9 +567,23 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
             b = n[len(_ANN_TMP):]
             live = _sidecar(path, "bucket=" + b)
             old = _sidecar(path, _ANN_OLD + b)
-            if fsio.exists(spark, live):
+            live_exists = fsio.exists(spark, live)
+            old_exists = fsio.exists(spark, old)
+            if live_exists and old_exists:
+                raise RuntimeError(
+                    "ann compact repair: %r has tmp, live AND old "
+                    "dirs for bucket %s — a between-renames crash "
+                    "followed by something recreating the live dir "
+                    "(an append outside the maintenance window?); "
+                    "the live dir may hold rows the tmp/old copies "
+                    "lack, so refusing to delete any of the three — "
+                    "merge 'bucket=%s' into '%s%s', remove "
+                    "'%s%s', then rename the tmp back to the live "
+                    "name" % (path, b, b, _ANN_TMP, b, _ANN_OLD, b)
+                )
+            if live_exists:
                 fsio.delete(spark, _sidecar(path, n))
-            elif fsio.exists(spark, old):
+            elif old_exists:
                 fsio.rename(spark, _sidecar(path, n), live)
                 fsio.delete(spark, old)
             else:

@@ -184,6 +184,13 @@ def _compact_dir(
         "compacted": False,
     }
     if n_files <= n_target and not force:
+        if out["rows"] is None:
+            # no manifest record to trust (the _conv_ids side table):
+            # footer-count so the caller's report keeps the real row
+            # total the pre-fast-path code reported.  This never
+            # touches the 100 TB stages — they all pass expected_rows
+            # from the manifest — and the side table is one slim dir.
+            out["rows"] = table_fingerprint(path, spark=spark)["rows"]
         return out
     fp = table_fingerprint(path, spark=spark)
     out["rows"] = fp["rows"]

@@ -41,6 +41,7 @@ import os
 from typing import Optional
 
 from pyspark.sql import SparkSession
+from pyspark.errors import AnalysisException
 
 from ..operators.grouping_op import DEFAULT_DONT_PENALIZE
 from ..plans import fsio
@@ -124,8 +125,17 @@ def ingest_transcripts_stream(
     # — without this, recovering with a fresh checkpoint dir was
     # impossible (its batch 0 always looked like a corrupt replay).
     stream_id = _ensure_stream_id(spark, str(checkpoint_dir))
-    # file-source streams need an explicit schema; peek it statically
-    schema = spark.read.parquet(input_dir).schema
+    # file-source streams need an explicit schema; peek it statically.
+    # The peek re-races the retention job the listing above dodged: if
+    # the dir vanished between the two calls, take the same documented
+    # no-op path; anything else (corrupt footer over files that are
+    # still there) stays a real failure.
+    try:
+        schema = spark.read.parquet(input_dir).schema
+    except AnalysisException:
+        if fsio.listdir_if_exists(spark, input_dir) is None:
+            return None
+        raise
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option(
