@@ -49,6 +49,22 @@ def _sf_of(sf_dir: str) -> float:
     return sf_of_dir(sf_dir)
 
 
+def _keyed_cache_dir(norm: str, family: str, *parts: str) -> str:
+    """The ONE definition of the derived-artifact cache-dir naming
+    scheme: ``data/<family>/<basename>[_<parts>]_<crc32(norm)>``.
+    Keyed on the crc32 of the NORMALIZED absolute path (not just the
+    basename) so two corpus dirs with equal basenames can never share
+    a cache dir — every cache family (docgold, kg_refresh, ann_index)
+    must route through here so the guarantee cannot drift per-site."""
+    import zlib
+
+    name = "_".join((os.path.basename(norm),) + parts)
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", family,
+        "%s_%08x" % (name, zlib.crc32(norm.encode("utf-8"))),
+    )
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _corpus_for(_sf_of(sf_dir))
     return spark.read.parquet(os.path.join(d, "transcripts.parquet"))
@@ -157,8 +173,6 @@ def _q_kg_refreshed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shrunk gazetteer (gold_refreshed_nodes).  Gates that the
     manifest/commit/refresh machinery lands byte-for-byte where the
     pure recompute does."""
-    import zlib
-
     from webstruct_spark.plans.manifest import table_fingerprint
     from webstruct_spark.plans.pipeline import build_kg, refresh_gazetteer
 
@@ -167,12 +181,7 @@ def _q_kg_refreshed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_for(_sf_of(sf_dir))
     norm = os.path.normpath(os.path.abspath(corpus))
     if norm not in _KG_REFRESH_CACHE:
-        out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data",
-            "kg_refresh",
-            "%s_%08x" % (os.path.basename(norm),
-                         zlib.crc32(norm.encode("utf-8"))),
-        )
+        out = _keyed_cache_dir(norm, "kg_refresh")
         # cross-PROCESS reuse sentinel: after a refresh the global
         # stages sit at the SHRUNK gazetteer's identity, which
         # build_kg's resume (keyed on the corpus's own gazetteer)
@@ -673,17 +682,11 @@ def _doc_gold_for(sf_dir: str) -> str:
     # never share a gold dir (the build dir name carries a crc of
     # the full path; staleness against REGENERATED content at the
     # same path is handled by build_doc_gold's fingerprinted _DONE)
-    import zlib
-
     norm = os.path.normpath(os.path.abspath(sf_dir))
     if norm not in _DOCGOLD_CACHE:
         from webstruct_spark.sources.docgold import build_doc_gold
 
-        out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data", "docgold",
-            "%s_%08x" % (os.path.basename(norm),
-                         zlib.crc32(norm.encode("utf-8"))),
-        )
+        out = _keyed_cache_dir(norm, "docgold")
         _DOCGOLD_CACHE[norm] = build_doc_gold(sf_dir, out)
     return _DOCGOLD_CACHE[norm]
 
@@ -786,20 +789,12 @@ def _ann_index_for(spark: SparkSession, sf_dir: str, kind: str) -> str:
     value-identical).  The path is keyed on the FULL normalized
     sf_dir (crc32 suffix), not just its basename — two corpus dirs
     with equal basenames must never share an index directory."""
-    import zlib
-
     norm = os.path.normpath(os.path.abspath(sf_dir))
     key = (norm, kind)
     if key not in _ANN_INDEX_CACHE:
         from webstruct_spark.operators.similarity import write_ann_index
 
-        name = "%s_%s_%08x" % (
-            os.path.basename(norm), kind, zlib.crc32(norm.encode("utf-8"))
-        )
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data",
-            "ann_index", name,
-        )
+        path = _keyed_cache_dir(norm, "ann_index", kind)
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         if kind == "lsh":
             write_ann_index(emb, path, kind="lsh", n_planes=8)

@@ -222,3 +222,16 @@ def test_compact_uri_route(spark, tmp_path, monkeypatch):
     assert out["buckets_compacted"] > 0
     after = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
     assert after == before
+
+
+def test_compact_rejects_nonpositive_target_bytes(tmp_path):
+    """0 would divide by zero mid-maintenance and a negative value
+    would silently coalesce every bucket to one file; both must be
+    refused BEFORE repair touches anything (no SparkSession needed:
+    the guard fires first, so spark=None proves the ordering too)."""
+    import pytest
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="target_bytes"):
+            compact_ann_index(None, str(tmp_path / "idx"),
+                              target_bytes=bad)

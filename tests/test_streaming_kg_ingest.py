@@ -1474,3 +1474,40 @@ def test_torn_resume_skips_committed_canonicalize(spark, tmp_path,
         got = spark.read.parquet(os.path.join(out, stage))
         want = spark.read.parquet(os.path.join(twin, stage))
         assert _none_safe_rows(got) == _none_safe_rows(want), stage
+
+
+def test_ingest_input_dir_emptied_mid_setup_is_noop(
+    spark, tmp_path, thirds, monkeypatch
+):
+    """The other retention shape: the job deletes the parquet FILES
+    but leaves input_dir in place.  The schema peek then raises
+    UNABLE_TO_INFER_SCHEMA with the dir still present, and recovery
+    must mirror the ENTRY condition (dir absent OR no *.parquet), not
+    just dir-gone — otherwise exactly the race the guard documents
+    still crashes the scheduled ingest."""
+    from webstruct_spark.plans.pipeline import build_kg
+    from webstruct_spark.streaming import kg_ingest as KI
+
+    corpus_a, df_b, _c, gaz_path = thirds
+    out = str(tmp_path / "kg")
+    build_kg(spark, corpus_a, out)
+    input_dir = str(tmp_path / "drops")
+    df_b.repartition(1).write.parquet(input_dir)
+
+    real = KI.fsio.listdir_if_exists
+    calls = {"n": 0}
+
+    def racy(spark_, d):
+        listing = real(spark_, d)
+        calls["n"] += 1
+        if calls["n"] == 1 and d == input_dir:
+            for name in os.listdir(input_dir):  # files only, dir stays
+                os.unlink(os.path.join(input_dir, name))
+        return listing
+
+    monkeypatch.setattr(KI.fsio, "listdir_if_exists", racy)
+    q = KI.ingest_transcripts_stream(
+        spark, input_dir, out, gaz_path, str(tmp_path / "ckpt")
+    )
+    assert q is None
+    assert calls["n"] >= 2  # recovery re-listed and saw no parquet

@@ -34,6 +34,14 @@ from .bilou import group_tags
 Entity = Tuple[List[Any], str]  # (token infos, entity type)
 Cluster = List[Tuple[List[Any], str, int]]  # [(infos, type, distance)]
 
+# the ONE grouping-default definition; lives in the pyspark-free
+# kernel so the single-node gold twin (sources/goldbuild.py) can use
+# it without dragging pandas + pyspark into its import chain.
+# operators/grouping_op.py re-exports it for the DataFrame-side users.
+# Reference: webstruct/model.py extract_groups(dont_penalize=
+# {'TEL','FAX'}) in tests/test_crfsuite.py:133-161.
+DEFAULT_DONT_PENALIZE: Set[str] = {"TEL", "FAX"}
+
 
 def block_positions(
     parent_ids: Sequence[Any], elem_ids: Sequence[Any]

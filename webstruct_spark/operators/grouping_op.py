@@ -45,7 +45,9 @@ _GROUP_UDF_SCHEMA = (
     "score int, n_entities int"
 )
 
-DEFAULT_DONT_PENALIZE: Set[str] = {"TEL", "FAX"}
+# re-exported from the pyspark-free kernel (the one definition —
+# see kernel/grouping.py) for the existing DataFrame-side importers
+from ..kernel.grouping import DEFAULT_DONT_PENALIZE  # noqa: F401
 
 
 def _group_one_conversation(conv_id, pdf: pd.DataFrame, dp: Set[str], out: dict):

@@ -578,8 +578,10 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
                     "the live dir may hold rows the tmp/old copies "
                     "lack, so refusing to delete any of the three — "
                     "merge 'bucket=%s' into '%s%s', remove "
-                    "'%s%s', then rename the tmp back to the live "
-                    "name" % (path, b, b, _ANN_TMP, b, _ANN_OLD, b)
+                    "'%s%s', remove the now-merged 'bucket=%s', then "
+                    "rename the tmp to the live name (rename refuses "
+                    "to clobber an existing dir)"
+                    % (path, b, b, _ANN_TMP, b, _ANN_OLD, b, b)
                 )
             if live_exists:
                 fsio.delete(spark, _sidecar(path, n))
@@ -640,6 +642,15 @@ def compact_ann_index(
     from ..plans import fsio
     from ..plans.manifest import table_fingerprint
 
+    # fail fast BEFORE repair mutates anything: 0 would divide by zero
+    # mid-maintenance, a negative value would silently coalesce every
+    # bucket to one file (same guard jobs/kg_build.py applies in front
+    # of compact_kg — this API has no CLI, so it guards itself)
+    if target_bytes <= 0:
+        raise ValueError(
+            "compact_ann_index: target_bytes must be positive, got %r"
+            % (target_bytes,)
+        )
     repaired = _repair_ann_compaction(spark, path)
     buckets = sorted(
         n for n in fsio.listdir_names(spark, path) if n.startswith("bucket=")

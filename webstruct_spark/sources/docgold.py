@@ -65,11 +65,23 @@ def _done_tag(sf_dir: str) -> str:
 
 def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
     done = os.path.join(out_dir, "_DONE")
-    tag = _done_tag(sf_dir)
+    tag = None
     if not force and os.path.exists(done):
+        try:
+            tag = _done_tag(sf_dir)
+        except FileNotFoundError:
+            # corpus dir absent or mid-regeneration: the fingerprint
+            # cannot be recomputed, so fall back to trusting the
+            # sentinel (the pre-fingerprint contract) — anything that
+            # actually READS the absent corpus fails on its own, while
+            # a query over a DIFFERENT sf_dir keeps its cached gold
+            # instead of crashing here
+            return out_dir
         with open(done) as f:
             if f.read().strip() == tag:
                 return out_dir
+    if tag is None:
+        tag = _done_tag(sf_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(

@@ -44,10 +44,11 @@ from ..kernel.smartjoin import smart_join
 from ..kernel.tokenize import default_segment_words
 from ..kernel.triples import assemble_triples_typed
 
-# the ONE grouping-default definition (operators/grouping_op.py) —
-# a local copy here would let the gold twin and the Spark grouping
-# silently drift the moment either set changed
-from ..operators.grouping_op import DEFAULT_DONT_PENALIZE as DONT_PENALIZE
+# the ONE grouping-default definition (kernel/grouping.py — the
+# pyspark-free home, so importing it here keeps this gold builder's
+# import chain pandas/pyspark-free) — a local copy would let the gold
+# twin and the Spark grouping silently drift the moment either changed
+from ..kernel.grouping import DEFAULT_DONT_PENALIZE as DONT_PENALIZE
 
 
 def extract_turn(text: str) -> List[Tuple[str, str]]:

@@ -133,7 +133,13 @@ def ingest_transcripts_stream(
     try:
         schema = spark.read.parquet(input_dir).schema
     except AnalysisException:
-        if fsio.listdir_if_exists(spark, input_dir) is None:
+        # mirror the ENTRY condition, not just dir-gone: a retention
+        # job that empties the dir but leaves it in place (the common
+        # retention shape) must also take the documented no-op path
+        relist = fsio.listdir_if_exists(spark, input_dir)
+        if relist is None or not any(
+            n.endswith(".parquet") for n, _ in relist
+        ):
             return None
         raise
     reader = spark.readStream.schema(schema)
