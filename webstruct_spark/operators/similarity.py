@@ -577,11 +577,17 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
                     "(an append outside the maintenance window?); "
                     "the live dir may hold rows the tmp/old copies "
                     "lack, so refusing to delete any of the three — "
-                    "merge 'bucket=%s' into '%s%s', remove "
-                    "'%s%s', remove the now-merged 'bucket=%s', then "
-                    "rename the tmp to the live name (rename refuses "
-                    "to clobber an existing dir)"
-                    % (path, b, b, _ANN_TMP, b, _ANN_OLD, b, b)
+                    "recover IN THIS ORDER: merge 'bucket=%s' into "
+                    "'%s%s', remove the now-merged 'bucket=%s', "
+                    "rename the tmp to the live name, THEN remove "
+                    "'%s%s' last.  Every intermediate state of that "
+                    "order is one this repair refuses (all three "
+                    "present) or completes forward (tmp+old -> roll "
+                    "forward; live+old -> drop old); removing the "
+                    "old dir any earlier creates the tmp+live-only "
+                    "shape this repair reads as a pre-swap crash and "
+                    "would delete the merged tmp"
+                    % (path, b, b, _ANN_TMP, b, b, _ANN_OLD, b)
                 )
             if live_exists:
                 fsio.delete(spark, _sidecar(path, n))

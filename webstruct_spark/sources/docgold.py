@@ -69,19 +69,46 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
     if not force and os.path.exists(done):
         try:
             tag = _done_tag(sf_dir)
-        except FileNotFoundError:
-            # corpus dir absent or mid-regeneration: the fingerprint
-            # cannot be recomputed, so fall back to trusting the
-            # sentinel (the pre-fingerprint contract) — anything that
-            # actually READS the absent corpus fails on its own, while
-            # a query over a DIFFERENT sf_dir keeps its cached gold
-            # instead of crashing here
+        except (FileNotFoundError, ValueError):
+            # corpus dir absent or mid-regeneration (dir gone, no
+            # .parquet written yet, or a torn footer — pyarrow's
+            # ArrowInvalid is a ValueError subclass): the INPUT
+            # fingerprints cannot be recomputed, so fall back to
+            # trusting the sentinel — but still hold it to the
+            # VERSION check, which needs no corpus access: gold
+            # built by older math must never be served silently.
+            import json
+
+            with open(done) as f:
+                raw = f.read().strip()
+            try:
+                v = json.loads(raw).get("v")
+            except (ValueError, AttributeError):
+                v = None  # pre-JSON or corrupt sentinel
+            if v != DOC_GOLD_VERSION:
+                raise RuntimeError(
+                    "build_doc_gold: corpus %r is unreadable and the "
+                    "cached gold at %r carries version %r (current "
+                    "%r) — cannot rebuild without the corpus and "
+                    "refusing to serve stale-version gold"
+                    % (sf_dir, out_dir, v, DOC_GOLD_VERSION)
+                )
+            # version matches: anything that actually READS the
+            # absent corpus fails on its own, while a query over a
+            # DIFFERENT sf_dir keeps its cached gold instead of
+            # crashing here
             return out_dir
         with open(done) as f:
             if f.read().strip() == tag:
                 return out_dir
     if tag is None:
         tag = _done_tag(sf_dir)
+    # invalidate BEFORE the first table write: a force=True rebuild
+    # over an UNCHANGED corpus would otherwise leave a still-matching
+    # sentinel over a mixed old/new gold dir if it crashes mid-write
+    # (non-force rebuilds are only safe because their tag mismatches)
+    if os.path.exists(done):
+        os.unlink(done)
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(

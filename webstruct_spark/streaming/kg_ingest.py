@@ -78,6 +78,18 @@ def _ensure_stream_id(spark, checkpoint_dir: str) -> str:
     return sid
 
 
+def _nothing_to_ingest(listing) -> bool:
+    """True when the scheduled-before-first-drop no-op condition
+    holds over an ``fsio.listdir_if_exists`` result: the input dir is
+    absent (None) or holds no ``*.parquet`` files yet.  ONE shared
+    predicate for the entry check and the AnalysisException recovery
+    below — the recovery must mirror the entry condition exactly, and
+    a by-hand copy is how the two drift apart."""
+    return listing is None or not any(
+        n.endswith(".parquet") for n, _ in listing
+    )
+
+
 def ingest_transcripts_stream(
     spark: SparkSession,
     input_dir: str,
@@ -112,10 +124,7 @@ def ingest_transcripts_stream(
     # the dir between the two calls, and the scheduled ingest must
     # take the documented does-not-exist no-op path, not crash on
     # the race (same hardening as kg_status / Manifest.intents)
-    listing = fsio.listdir_if_exists(spark, input_dir)
-    if listing is None or not any(
-        n.endswith(".parquet") for n, _ in listing
-    ):
+    if _nothing_to_ingest(fsio.listdir_if_exists(spark, input_dir)):
         return None
     # a stable identity for THIS checkpoint's batch-id sequence, kept
     # beside Spark's own checkpoint state (same lifetime: lose one,
@@ -136,10 +145,7 @@ def ingest_transcripts_stream(
         # mirror the ENTRY condition, not just dir-gone: a retention
         # job that empties the dir but leaves it in place (the common
         # retention shape) must also take the documented no-op path
-        relist = fsio.listdir_if_exists(spark, input_dir)
-        if relist is None or not any(
-            n.endswith(".parquet") for n, _ in relist
-        ):
+        if _nothing_to_ingest(fsio.listdir_if_exists(spark, input_dir)):
             return None
         raise
     reader = spark.readStream.schema(schema)
