@@ -235,3 +235,34 @@ def test_compact_rejects_nonpositive_target_bytes(tmp_path):
         with pytest.raises(ValueError, match="target_bytes"):
             compact_ann_index(None, str(tmp_path / "idx"),
                               target_bytes=bad)
+
+
+def test_probe_refuses_torn_swap_instead_of_dropping_bucket(
+    spark, tmp_path
+):
+    """A between-renames crash leaves the live bucket dir absent —
+    partition discovery would then silently serve results MISSING
+    that whole bucket.  The probe's torn-swap guard must fail loudly
+    instead, and the next maintenance entry's repair restores the
+    exact pre-crash answers."""
+    import pytest
+
+    emb, path = _fragmented_index(spark, tmp_path, name="torn")
+    qs = _queries(emb)
+    want = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    root = tmp_path / "torn"
+    b = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )[0][len("bucket="):]
+    # between-renames shape: verified tmp (same rows) + old, live gone
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_tmp_b" + b))
+    (root / ("bucket=" + b)).rename(root / ("_compact_old_b" + b))
+    with pytest.raises(RuntimeError, match="torn compaction swap"):
+        ann_index_topk(spark, path, qs, k=5, multiprobe=1)
+    # nothing was deleted by the read-only guard
+    assert (root / ("_compact_tmp_b" + b)).exists()
+    assert (root / ("_compact_old_b" + b)).exists()
+    out = compact_ann_index(spark, path)
+    assert ("bucket=" + b) in out["repaired"]
+    got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    assert got == want

@@ -520,17 +520,25 @@ def ann_index_cell_skew(spark: SparkSession, path: str) -> float:
 # appended batches turns each hot bucket into dozens of tiny files —
 # per-file open/footer cost on every probe and listing pressure on
 # the object store, the same pathology plans/compaction.py fixes for
-# the KG stages.  compact_ann_index rewrites fragmented BUCKET dirs
+# the KG stages.  The swap protocol and repair below are the SIBLING
+# of plans/compaction.py's (see its module docstring): per-bucket
+# markers and fingerprint verification here vs per-stage suffix dirs
+# and manifest rows_out there — a fix to either state machine almost
+# certainly applies to the other; mirror it.  compact_ann_index rewrites fragmented BUCKET dirs
 # (never the whole index): each is coalesced shuffle-free into
 # ceil(bytes/target) files, footer-verified row-exact, then swapped
 # by two renames.  The tmp/old dirs live as underscore-prefixed
 # SIBLINGS inside the index root ("_compact_tmp_b<N>") — Spark's
 # partition discovery ignores _-prefixed names, so a crashed compact
-# never corrupts probes: the live "bucket=N" dir is either the old
-# file set or the complete verified new one.  The one non-atomic
-# instant is between the two renames (the bucket is briefly absent to
-# a concurrent probe); run compaction in the same maintenance window
-# as appends, as with compact_kg.
+# never corrupts probes: whenever the live "bucket=N" dir exists it
+# is either the old file set or the complete verified new one, and
+# the one crash window where it does NOT exist (between the two
+# renames) is detected by the probe's torn-swap guard
+# (_check_no_torn_swap), which fails loudly instead of silently
+# serving results missing that bucket.  The same brief absence also
+# exists for a concurrent probe while a compact is RUNNING; run
+# compaction in the same maintenance window as appends, as with
+# compact_kg.
 
 _ANN_TMP = "_compact_tmp_b"
 _ANN_OLD = "_compact_old_b"
@@ -557,7 +565,14 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
     raises with all three dirs intact rather than deleting any of
     them.  Likewise live and old both absent (the bucket never
     existed mid-protocol) raises rather than guessing.  Returns the
-    repaired buckets' names (for observability)."""
+    repaired buckets' names (for observability).
+
+    Costs exactly ONE directory listing: live/old existence is
+    answered from the listing itself and the set is maintained
+    through the repairs (valid because maintenance entries — compact
+    and append — are serialized by contract; nothing else creates or
+    removes these dirs mid-repair), so on an object store a clean
+    entry pays one LIST, not one LIST plus per-dir existence RPCs."""
     from ..plans import fsio
 
     names = set(fsio.listdir_names(spark, path))
@@ -565,10 +580,12 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
     for n in sorted(names):
         if n.startswith(_ANN_TMP):
             b = n[len(_ANN_TMP):]
-            live = _sidecar(path, "bucket=" + b)
-            old = _sidecar(path, _ANN_OLD + b)
-            live_exists = fsio.exists(spark, live)
-            old_exists = fsio.exists(spark, old)
+            live_name = "bucket=" + b
+            old_name = _ANN_OLD + b
+            live = _sidecar(path, live_name)
+            old = _sidecar(path, old_name)
+            live_exists = live_name in names
+            old_exists = old_name in names
             if live_exists and old_exists:
                 raise RuntimeError(
                     "ann compact repair: %r has tmp, live AND old "
@@ -591,9 +608,13 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
                 )
             if live_exists:
                 fsio.delete(spark, _sidecar(path, n))
+                names.discard(n)
             elif old_exists:
                 fsio.rename(spark, _sidecar(path, n), live)
                 fsio.delete(spark, old)
+                names.discard(n)
+                names.add(live_name)
+                names.discard(old_name)
             else:
                 raise RuntimeError(
                     "ann compact repair: %r has a tmp dir but neither "
@@ -603,12 +624,12 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
                 )
             repaired.append("bucket=" + b)
     # old-only leftovers (post-swap crash): the live dir is already
-    # the new file set; just drop the old copy
-    names = set(fsio.listdir_names(spark, path))
+    # the new file set; just drop the old copy.  `names` was kept
+    # current through the loop above, so no re-listing is needed.
     for n in sorted(names):
         if n.startswith(_ANN_OLD):
             b = n[len(_ANN_OLD):]
-            if not fsio.exists(spark, _sidecar(path, "bucket=" + b)):
+            if ("bucket=" + b) not in names:
                 raise RuntimeError(
                     "ann compact repair: %r has an old dir for bucket "
                     "%s but no live dir — not a crash shape the swap "
@@ -618,6 +639,40 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
             if "bucket=" + b not in repaired:
                 repaired.append("bucket=" + b)
     return repaired
+
+
+def _check_no_torn_swap(spark: SparkSession, path: str) -> None:
+    """Probe-side guard for the one crash window a READER can see:
+    between compact's two renames the live ``bucket=N`` dir is absent
+    while its tmp/old copy exists — partition discovery then silently
+    serves results MISSING that entire bucket (no error) until the
+    next maintenance entry repairs it.  Probes are read-only by
+    design — a probe that repaired could race a live in-flight
+    compact and delete the tmp it had just verified — so they detect
+    the torn shape and fail LOUDLY instead, and any maintenance entry
+    (:func:`compact_ann_index` / :func:`append_to_ann_index`) rolls
+    the swap forward.  tmp or old dirs WITH the live dir present are
+    fine: the live file set is intact (pre-swap or post-old-delete
+    crash leftovers), so the probe's answer is correct.  Costs one
+    directory listing per probe call — a batch top-k over a whole
+    query set, not a per-row path."""
+    from ..plans import fsio
+
+    names = set(fsio.listdir_names(spark, path))
+    for prefix in (_ANN_TMP, _ANN_OLD):
+        for n in names:
+            if n.startswith(prefix) and (
+                "bucket=" + n[len(prefix):]
+            ) not in names:
+                raise RuntimeError(
+                    "ann index at %r: torn compaction swap — %r exists "
+                    "but 'bucket=%s' is absent, so a probe would "
+                    "silently return results missing that whole "
+                    "bucket; run compact_ann_index or "
+                    "append_to_ann_index (their entry repair rolls "
+                    "the swap forward) before probing"
+                    % (path, n, n[len(prefix):])
+                )
 
 
 def compact_ann_index(
@@ -732,8 +787,14 @@ def ann_index_topk(
 
     All sidecar reads go through Spark (:func:`read_ann_meta`), so
     the probe works against an index on any Hadoop-visible filesystem
-    — no driver-local ``open()`` of ``path``."""
+    — no driver-local ``open()`` of ``path``.
+
+    Raises RuntimeError if the index has a torn compaction swap (a
+    live bucket dir absent with its tmp/old copy present) — the one
+    crash shape that would otherwise SILENTLY drop a whole bucket
+    from the results; see :func:`_check_no_torn_swap`."""
     meta = read_ann_meta(spark, path)
+    _check_no_torn_swap(spark, path)
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = _normalize_rows(
         np.array([q[1] for q in queries], dtype=np.float32)
