@@ -48,3 +48,49 @@ def test_edge_weights(spark):
     assert got[("B", "has_org", "A")] == (1, 1)
     assert got[("D", "has_tel", "B")] == (1, 1)
     assert len(got) == 4
+
+
+def test_unmatched_triple_endpoints(spark):
+    """The monitoring companion of materialize_edges: links from a
+    DIFFERENT corpus state -> the inner joins drop edges silently,
+    and this check names exactly the dropped endpoints; links in
+    lockstep -> empty."""
+    from webstruct_spark.operators.graph import (
+        materialize_edges,
+        unmatched_triple_endpoints,
+    )
+    from webstruct_spark.operators.linking import norm_text_col
+    from pyspark.sql import functions as F
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", "c1:g0", 0, "Acme Corp", "ORG", "has_tel",
+             "555-0100", "TEL"),
+            ("c1", "c1:g0", 1, "Acme Corp", "ORG", "has_city",
+             "Austin", "CITY"),
+        ],
+        "conv_id string, group_id string, triple_idx int, subj string,"
+        " subj_type string, pred string, obj string, obj_type string",
+    )
+    surfaces = triples.select(
+        F.col("subj_type").alias("entity_type"),
+        norm_text_col(F.col("subj")).alias("norm_text"),
+    ).unionByName(
+        triples.select(
+            F.col("obj_type").alias("entity_type"),
+            norm_text_col(F.col("obj")).alias("norm_text"),
+        )
+    ).distinct()
+    links_full = surfaces.withColumn(
+        "node_id", F.concat_ws(":", "entity_type", "norm_text")
+    )
+    # lockstep links: no drops, edges cover every triple
+    assert unmatched_triple_endpoints(triples, links_full).count() == 0
+    assert materialize_edges(triples, links_full).count() == 2
+    # stale links missing the CITY surface: the edge silently drops
+    # from materialize_edges, and the check names it
+    links_stale = links_full.where(F.col("entity_type") != "CITY")
+    assert materialize_edges(triples, links_stale).count() == 1
+    missing = unmatched_triple_endpoints(triples, links_stale).collect()
+    assert [(r["endpoint"], r["entity_type"], r["text"], r["triple_idx"])
+            for r in missing] == [("obj", "CITY", "Austin", 1)]

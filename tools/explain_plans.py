@@ -109,18 +109,23 @@ def main() -> None:
     add(
         "edges (graph materialization)",
         edges_df,
-        "Expect: two BroadcastHashJoins against the links side "
-        "(endpoint resolution), no extra shuffle of the triples.",
+        "Expect: two joins against the links side (endpoint "
+        "resolution) with the strategy left to AQE — broadcast here "
+        "(links is tiny at this sf), shuffle join past the broadcast "
+        "cap (near-unique TEL/EMAIL surfaces make links grow with "
+        "corpus cardinality, so a forced-broadcast hint would "
+        "hard-fail at the 100 TB design point); no extra shuffle of "
+        "the triples beyond what the chosen strategy needs.",
     )
     from webstruct_spark.operators.graph import edge_weights, node_degrees
 
     add(
         "node_degrees (graph-consumer aggregate)",
         node_degrees(edges_df),
-        "Expect: HashAggregate partial/final pairs on each side "
-        "(map-side combine bounds hub-node skew) feeding a join of "
-        "the two one-row-per-node aggregates; no extra shuffle of "
-        "the edge table beyond the two aggregate exchanges.",
+        "Expect: a Union of two narrow per-endpoint projections "
+        "feeding ONE HashAggregate partial/final pair (map-side "
+        "combine bounds hub-node skew) — a single Exchange on "
+        "node_id, vs the two-aggregate + outer-join shape's three.",
     )
     add(
         "edge_weights (weighted edge collapse)",
