@@ -687,7 +687,16 @@ def _doc_gold_for(sf_dir: str) -> str:
         from webstruct_spark.sources.docgold import build_doc_gold
 
         out = _keyed_cache_dir(norm, "docgold")
-        _DOCGOLD_CACHE[norm] = build_doc_gold(sf_dir, out)
+        got = build_doc_gold(sf_dir, out)
+        # memoize only a fingerprint-VERIFIED build: the unreadable-
+        # corpus fallback (UnverifiedGoldDir) is served for this call
+        # but NOT pinned — once the corpus at this path is readable
+        # again the next call re-enters build_doc_gold, whose
+        # fingerprint check then forces the rebuild a regenerated
+        # corpus needs
+        if getattr(got, "fingerprint_verified", True):
+            _DOCGOLD_CACHE[norm] = got
+        return got
     return _DOCGOLD_CACHE[norm]
 
 

@@ -259,6 +259,14 @@ def test_probe_refuses_torn_swap_instead_of_dropping_bucket(
     (root / ("bucket=" + b)).rename(root / ("_compact_old_b" + b))
     with pytest.raises(RuntimeError, match="torn compaction swap"):
         ann_index_topk(spark, path, qs, k=5, multiprobe=1)
+    # the skew monitor is a reader too: over the torn index it would
+    # compute max/mean with the missing bucket silently absent —
+    # if that was the hot bucket the rebuild trigger is suppressed —
+    # so it must refuse the same shape
+    from webstruct_spark.operators.similarity import ann_index_cell_skew
+
+    with pytest.raises(RuntimeError, match="torn compaction swap"):
+        ann_index_cell_skew(spark, path)
     # nothing was deleted by the read-only guard
     assert (root / ("_compact_tmp_b" + b)).exists()
     assert (root / ("_compact_old_b" + b)).exists()

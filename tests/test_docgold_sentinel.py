@@ -141,3 +141,68 @@ def test_force_rebuild_invalidates_sentinel_before_writing(
     # recovery: the next plain call sees no sentinel and rebuilds
     assert build_doc_gold(corpus, out) == out
     assert os.path.exists(done)
+
+
+def test_fallback_is_marked_unverified_and_not_pinned(tmp_path):
+    """The unreadable-corpus fallback serves the gold path but marks
+    it UnverifiedGoldDir; _doc_gold_for must serve that answer
+    without memoizing it, so once the corpus is regenerated the next
+    call re-enters build_doc_gold and the fingerprint check can
+    force the rebuild.  Pinning the fallback would compare every
+    later distributed output in the driver process against gold from
+    the OLD corpus."""
+    from webstruct_spark.sources.docgold import UnverifiedGoldDir
+
+    out = tmp_path / "gold"
+    out.mkdir()
+    (out / "_DONE").write_text(_current_version_sentinel())
+    missing = str(tmp_path / "no_such_corpus")
+    got = build_doc_gold(missing, str(out))
+    assert got == str(out)  # still equal/usable as the plain path
+    assert isinstance(got, UnverifiedGoldDir)
+    assert got.fingerprint_verified is False
+    # a verified build returns a plain (implicitly verified) path
+    corpus = _tiny_corpus(tmp_path / "corpus")
+    out2 = str(tmp_path / "gold2")
+    got2 = build_doc_gold(corpus, out2)
+    assert getattr(got2, "fingerprint_verified", True) is True
+
+    # _doc_gold_for: fallback served but NOT cached; verified cached
+    import __spark_entry__ as entry
+
+    entry._DOCGOLD_CACHE.clear()
+    try:
+        # point the keyed cache dir at the fallback gold dir
+        import webstruct_spark.sources.docgold as DG
+
+        calls = {"n": 0}
+        real = DG.build_doc_gold
+
+        def counting(sf_dir, out_dir, force=False):
+            calls["n"] += 1
+            return real(missing, str(out), force=force)
+
+        DG.build_doc_gold = counting
+        try:
+            assert entry._doc_gold_for(missing) == str(out)
+            assert entry._DOCGOLD_CACHE == {}  # fallback not pinned
+            assert entry._doc_gold_for(missing) == str(out)
+            assert calls["n"] == 2  # re-entered, not served from cache
+        finally:
+            DG.build_doc_gold = real
+        # and the verified path IS memoized (one underlying build)
+        calls2 = {"n": 0}
+
+        def counting2(sf_dir, out_dir, force=False):
+            calls2["n"] += 1
+            return real(corpus, out2, force=force)
+
+        DG.build_doc_gold = counting2
+        try:
+            assert entry._doc_gold_for(corpus) == out2
+            assert entry._doc_gold_for(corpus) == out2
+            assert calls2["n"] == 1
+        finally:
+            DG.build_doc_gold = real
+    finally:
+        entry._DOCGOLD_CACHE.clear()

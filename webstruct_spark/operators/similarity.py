@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Set, Tuple
 
 import numpy as np
 import pandas as pd
@@ -500,7 +500,13 @@ def ann_index_cell_skew(spark: SparkSession, path: str) -> float:
     """max/mean bucket size of a persistent index — the rebuild
     trigger of the append policy (one Spark agg over the partition
     column; with partition-column-only scans this reads footers, not
-    vectors)."""
+    vectors).  Read-only like the probes, so it shares their
+    torn-swap guard: partition discovery over a mid-swap index would
+    silently skip the absent live bucket — if that was the hot
+    bucket, the reported skew DROPS and the rebuild trigger is
+    suppressed, the same silent-miss shape the probe guard exists
+    for."""
+    _check_no_torn_swap(spark, path)
     row = (
         spark.read.parquet(path)
         .groupBy("bucket")
@@ -544,7 +550,9 @@ _ANN_TMP = "_compact_tmp_b"
 _ANN_OLD = "_compact_old_b"
 
 
-def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
+def _repair_ann_compaction(
+    spark: SparkSession, path: str
+) -> Tuple[List[str], Set[str]]:
     """Finish or roll back a crashed compact (called on every
     compact entry).  Windows, per bucket, in protocol order:
 
@@ -564,15 +572,18 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
     and that live dir may hold rows the tmp/old copies lack — so it
     raises with all three dirs intact rather than deleting any of
     them.  Likewise live and old both absent (the bucket never
-    existed mid-protocol) raises rather than guessing.  Returns the
-    repaired buckets' names (for observability).
+    existed mid-protocol) raises rather than guessing.  Returns
+    ``(repaired bucket names, post-repair root name set)``.
 
     Costs exactly ONE directory listing: live/old existence is
     answered from the listing itself and the set is maintained
     through the repairs (valid because maintenance entries — compact
     and append — are serialized by contract; nothing else creates or
     removes these dirs mid-repair), so on an object store a clean
-    entry pays one LIST, not one LIST plus per-dir existence RPCs."""
+    entry pays one LIST, not one LIST plus per-dir existence RPCs.
+    The returned name set is current under the same serialized-
+    maintenance contract, so callers (compact_ann_index) reuse it
+    instead of paying a second root LIST per maintenance entry."""
     from ..plans import fsio
 
     names = set(fsio.listdir_names(spark, path))
@@ -636,9 +647,10 @@ def _repair_ann_compaction(spark: SparkSession, path: str) -> List[str]:
                     "protocol can produce; refusing to guess" % (path, b)
                 )
             fsio.delete(spark, _sidecar(path, n))
+            names.discard(n)
             if "bucket=" + b not in repaired:
                 repaired.append("bucket=" + b)
-    return repaired
+    return repaired, names
 
 
 def _check_no_torn_swap(spark: SparkSession, path: str) -> None:
@@ -712,10 +724,11 @@ def compact_ann_index(
             "compact_ann_index: target_bytes must be positive, got %r"
             % (target_bytes,)
         )
-    repaired = _repair_ann_compaction(spark, path)
-    buckets = sorted(
-        n for n in fsio.listdir_names(spark, path) if n.startswith("bucket=")
-    )
+    # the repair's post-repair name set is current under the
+    # serialized-maintenance contract — reusing it saves the second
+    # root LIST every scheduled compact would otherwise pay
+    repaired, root_names = _repair_ann_compaction(spark, path)
+    buckets = sorted(n for n in root_names if n.startswith("bucket="))
     if not buckets:
         raise ValueError(
             "compact_ann_index: no bucket partitions at %r — not a "

@@ -45,6 +45,23 @@ def _round_half_up(x: float, n: int) -> float:
 DOC_GOLD_VERSION = "7-ivf"
 
 
+class UnverifiedGoldDir(str):
+    """Returned by :func:`build_doc_gold`'s unreadable-corpus
+    fallback instead of a plain ``str``: the gold at this path passed
+    the VERSION check, but the corpus could not be read so the input
+    FINGERPRINTS were never compared.  Equal to (and usable as) the
+    plain path everywhere; the marker exists so memoizing callers
+    (``__spark_entry__._doc_gold_for``) can serve it for THIS call
+    without pinning it — caching a fallback would keep serving gold
+    built from the OLD corpus for the whole driver-process lifetime
+    after the corpus at the same path is regenerated and readable
+    again (the fingerprint mismatch that forces a rebuild would
+    never be rechecked).  Same attribute-on-return-value convention
+    as ``fuzzy_edges._dropped_blocks``."""
+
+    fingerprint_verified = False
+
+
 def _done_tag(sf_dir: str) -> str:
     """Reuse sentinel content: the gold version PLUS the input
     tables' footer fingerprints.  A version-only sentinel served
@@ -96,8 +113,10 @@ def build_doc_gold(sf_dir: str, out_dir: str, force: bool = False) -> str:
             # version matches: anything that actually READS the
             # absent corpus fails on its own, while a query over a
             # DIFFERENT sf_dir keeps its cached gold instead of
-            # crashing here
-            return out_dir
+            # crashing here.  Marked unverified so callers don't
+            # memoize a fingerprint-unchecked answer (see
+            # UnverifiedGoldDir).
+            return UnverifiedGoldDir(out_dir)
         with open(done) as f:
             if f.read().strip() == tag:
                 return out_dir
