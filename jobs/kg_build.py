@@ -57,6 +57,13 @@ def main() -> None:
                         "per-stage lineage + counters, pending "
                         "write-ahead intents, torn-append diagnosis, "
                         "disk-vs-manifest drift; mutates nothing")
+    p.add_argument("--check-links", action="store_true",
+                   help="read-only DATA audit of the build at --out: "
+                        "report every triple endpoint the edges "
+                        "stage's inner joins would drop (non-zero "
+                        "only after out-of-band table surgery); "
+                        "heavier than --status — two table scans, "
+                        "run scheduled, not per query")
     args = p.parse_args()
     if args.append and args.force:
         p.error("--append and --force are mutually exclusive")
@@ -64,11 +71,16 @@ def main() -> None:
         p.error("--compact is a standalone maintenance mode")
     if args.status and (args.append or args.force or args.compact):
         p.error("--status is a standalone read-only mode")
+    if args.check_links and (args.append or args.force or args.compact
+                             or args.status or args.refresh_gazetteer):
+        p.error("--check-links is a standalone read-only mode")
     if args.refresh_gazetteer and (args.append or args.force
                                    or args.compact or args.status):
         p.error("--refresh-gazetteer is a standalone mode")
-    if not (args.compact or args.status) and not args.corpus_dir:
-        p.error("--corpus-dir is required unless --compact/--status")
+    if not (args.compact or args.status or args.check_links) \
+            and not args.corpus_dir:
+        p.error("--corpus-dir is required unless "
+                "--compact/--status/--check-links")
     if args.compact_target_mb <= 0:
         # 0 would divide-by-zero deep inside compaction; a negative
         # value would silently coalesce every stage to ONE file
@@ -83,6 +95,11 @@ def main() -> None:
             from webstruct_spark.plans.pipeline import kg_status
 
             print(json.dumps(kg_status(spark, args.out)))
+            return
+        if args.check_links:
+            from webstruct_spark.plans.pipeline import check_kg_links
+
+            print(json.dumps(check_kg_links(spark, args.out)))
             return
         if args.compact:
             from webstruct_spark.plans.compaction import compact_kg

@@ -94,3 +94,46 @@ def test_unmatched_triple_endpoints(spark):
     missing = unmatched_triple_endpoints(triples, links_stale).collect()
     assert [(r["endpoint"], r["entity_type"], r["text"], r["triple_idx"])
             for r in missing] == [("obj", "CITY", "Austin", 1)]
+
+
+def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
+    """check_kg_links over a real build: zero uncovered endpoints on
+    the in-pipeline tables; after an out-of-band links overwrite that
+    drops one entity type, the audit counts and names the dropped
+    endpoints; an uncommitted stage is refused (auditing it would
+    prove nothing)."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from webstruct_spark.plans.pipeline import build_kg, check_kg_links
+
+    out = str(tmp_path / "kg")
+    paths = build_kg(spark, corpus_dir, out)
+    clean = check_kg_links(spark, out)
+    assert clean["uncovered"] == 0
+    assert clean["by_endpoint"] == {}
+    assert clean["sample"] == []
+
+    # out-of-band surgery: rewrite links without one entity type —
+    # exactly the stale-links shape the audit exists to make loud
+    links = spark.read.parquet(paths["links"]).cache()
+    links.count()
+    etype = links.select("entity_type").first()["entity_type"]
+    pruned = links.where(F.col("entity_type") != etype)
+    shutil.rmtree(paths["links"])
+    pruned.write.parquet(paths["links"])
+    # the commit's _SUCCESS is recreated by the overwrite write, so
+    # the manifest predicate still passes — this is a pure DATA tear
+    got = check_kg_links(spark, out)
+    assert got["uncovered"] > 0
+    assert set(got["by_endpoint"]) <= {"subj", "obj"}
+    assert sum(got["by_endpoint"].values()) == got["uncovered"]
+    assert 0 < len(got["sample"]) <= 20
+    assert all(r["entity_type"] == etype for r in got["sample"])
+
+    # an uncommitted stage is refused, not silently audited
+    shutil.rmtree(paths["links"])
+    with pytest.raises(RuntimeError, match="not committed"):
+        check_kg_links(spark, out)

@@ -321,6 +321,67 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
+def check_kg_links(
+    spark: SparkSession, out_dir: str, sample: int = 20
+) -> dict:
+    """Read-only link-coverage audit of a built KG
+    (``jobs/kg_build.py --check-links``): runs
+    :func:`~..operators.graph.unmatched_triple_endpoints` over the
+    committed triples and links tables and reports every triple
+    endpoint the edges stage's inner joins would have dropped.
+
+    In-pipeline this is zero by construction (links are recomputed
+    from the same mentions the triples came from, and the
+    append/refresh guards keep the stages in lockstep) — a non-zero
+    count means the tables were modified out-of-band (a hand-rolled
+    links overwrite, a partial restore) and the edge table silently
+    under-covers the triples.  This is the scheduled-health-job
+    companion of the torn/tear diagnosis in :func:`kg_status`: that
+    one audits manifest identity from footers alone; this one audits
+    the DATA relationship, so it pays two table scans (one shuffle-
+    free anti-join pass per endpoint, links side broadcast when it
+    fits) — run it after out-of-band surgery or on a schedule, not
+    per query.  Returns ``{uncovered, by_endpoint, sample}`` with at
+    most ``sample`` offending rows.  Raises if either stage is not
+    committed (an uncommitted table proves nothing about the build)."""
+    from ..operators.graph import unmatched_triple_endpoints
+
+    man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
+                   create=False)
+    committed = man.committed()
+    for s in ("triples", "links"):
+        if not man.is_committed(s, rec=committed.get(s)):
+            raise RuntimeError(
+                "check_kg_links: stage %r at %r is not committed — "
+                "run/resume the build first; auditing an uncommitted "
+                "table proves nothing" % (s, out_dir)
+            )
+    triples = spark.read.parquet(man.stage_path("triples"))
+    links = spark.read.parquet(man.stage_path("links"))
+    missing = unmatched_triple_endpoints(triples, links)
+    # one aggregate pass for the counts; the tiny sample is a second,
+    # limit-pushed pass only taken when something is actually wrong
+    by_ep = {
+        r["endpoint"]: r["n"]
+        for r in missing.groupBy("endpoint").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    uncovered = sum(by_ep.values())
+    out: dict = {
+        "out": out_dir,
+        "uncovered": uncovered,
+        "by_endpoint": by_ep,
+        "sample": [],
+    }
+    if uncovered:
+        out["sample"] = [
+            row.asDict() for row in missing.orderBy(
+                "conv_id", "group_id", "triple_idx", "endpoint"
+            ).limit(sample).collect()
+        ]
+    return out
+
+
 def _overwrite_commit(man: Manifest, stage: str, df: DataFrame,
                       ident: dict, inputs, after_write=None) -> None:
     """The one intent-protected overwrite-and-commit: write-ahead an
