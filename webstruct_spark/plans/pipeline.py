@@ -358,28 +358,37 @@ def check_kg_links(
             )
     triples = spark.read.parquet(man.stage_path("triples"))
     links = spark.read.parquet(man.stage_path("links"))
-    missing = unmatched_triple_endpoints(triples, links)
-    # one aggregate pass for the counts; the tiny sample is a second,
-    # limit-pushed pass only taken when something is actually wrong
-    by_ep = {
-        r["endpoint"]: r["n"]
-        for r in missing.groupBy("endpoint").count()
-        .withColumnRenamed("count", "n").collect()
-    }
-    uncovered = sum(by_ep.values())
-    out: dict = {
-        "out": out_dir,
-        "uncovered": uncovered,
-        "by_endpoint": by_ep,
-        "sample": [],
-    }
-    if uncovered:
-        out["sample"] = [
-            row.asDict() for row in missing.orderBy(
-                "conv_id", "group_id", "triple_idx", "endpoint"
-            ).limit(sample).collect()
-        ]
-    return out
+    # persist across the two passes (count, then sample): without it
+    # the sample pass would re-run both anti-joins — two more full
+    # table scans on the non-zero path.  The missing table is empty
+    # on every healthy build and a small fraction of triples
+    # otherwise; MEMORY_AND_DISK spills rather than OOMs if an audit
+    # ever catches a catastrophically torn build
+    missing = unmatched_triple_endpoints(triples, links).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        by_ep = {
+            r["endpoint"]: r["n"]
+            for r in missing.groupBy("endpoint").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        uncovered = sum(by_ep.values())
+        out: dict = {
+            "out": out_dir,
+            "uncovered": uncovered,
+            "by_endpoint": by_ep,
+            "sample": [],
+        }
+        if uncovered:
+            out["sample"] = [
+                row.asDict() for row in missing.orderBy(
+                    "conv_id", "group_id", "triple_idx", "endpoint"
+                ).limit(sample).collect()
+            ]
+        return out
+    finally:
+        missing.unpersist()
 
 
 def _overwrite_commit(man: Manifest, stage: str, df: DataFrame,
