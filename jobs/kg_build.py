@@ -60,10 +60,11 @@ def main() -> None:
     p.add_argument("--check-links", action="store_true",
                    help="read-only DATA audit of the build at --out: "
                         "report every triple endpoint the edges "
-                        "stage's inner joins would drop (non-zero "
-                        "only after out-of-band table surgery); "
-                        "heavier than --status — two table scans, "
-                        "run scheduled, not per query")
+                        "stage's inner joins would drop; a non-zero "
+                        "report names its probable cause (crashed "
+                        "append/refresh to resume vs out-of-band "
+                        "table surgery); heavier than --status — two "
+                        "table scans, run scheduled, not per query")
     args = p.parse_args()
     if args.append and args.force:
         p.error("--append and --force are mutually exclusive")

@@ -124,6 +124,7 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     pruned = links.where(F.col("entity_type") != etype)
     shutil.rmtree(paths["links"])
     pruned.write.parquet(paths["links"])
+    links.unpersist()  # session-scoped spark — don't pin storage
     # the commit's _SUCCESS is recreated by the overwrite write, so
     # the manifest predicate still passes — this is a pure DATA tear
     got = check_kg_links(spark, out)
@@ -132,6 +133,26 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     assert sum(got["by_endpoint"].values()) == got["uncovered"]
     assert 0 < len(got["sample"]) <= 20
     assert all(r["entity_type"] == etype for r in got["sample"])
+    # no pending intents, no identity tear → the diagnosis must name
+    # out-of-band modification, not a crashed maintenance run
+    assert got["pending_intents"] == 0 and got["torn"] is False
+    assert got["probable_cause"].startswith("out-of-band")
+
+    # with a pending write-ahead intent the SAME uncovered rows must
+    # be diagnosed as a crashed maintenance run (fix = resume it),
+    # not as table surgery
+    from webstruct_spark.plans.manifest import Manifest
+    from webstruct_spark.plans.pipeline import LAYOUT_VERSION
+
+    man = Manifest(out, layout_version=LAYOUT_VERSION, spark=spark)
+    intent = man.write_intent("triples", [], None)
+    try:
+        crashed = check_kg_links(spark, out)
+        assert crashed["uncovered"] == got["uncovered"]
+        assert crashed["pending_intents"] == 1
+        assert crashed["probable_cause"].startswith("crashed append")
+    finally:
+        man.clear_intent(intent)
 
     # an uncommitted stage is refused, not silently audited
     shutil.rmtree(paths["links"])

@@ -332,18 +332,26 @@ def check_kg_links(
 
     In-pipeline this is zero by construction (links are recomputed
     from the same mentions the triples came from, and the
-    append/refresh guards keep the stages in lockstep) — a non-zero
-    count means the tables were modified out-of-band (a hand-rolled
-    links overwrite, a partial restore) and the edge table silently
-    under-covers the triples.  This is the scheduled-health-job
-    companion of the torn/tear diagnosis in :func:`kg_status`: that
-    one audits manifest identity from footers alone; this one audits
-    the DATA relationship, so it pays two table scans (one shuffle-
-    free anti-join pass per endpoint, links side broadcast when it
-    fits) — run it after out-of-band surgery or on a schedule, not
-    per query.  Returns ``{uncovered, by_endpoint, sample}`` with at
-    most ``sample`` offending rows.  Raises if either stage is not
-    committed (an uncommitted table proves nothing about the build)."""
+    append/refresh guards keep the stages in lockstep).  Non-zero has
+    two distinct causes, and the report says which: a CRASHED
+    append/refresh mid-maintenance (pending write-ahead intents or a
+    stage-identity tear — the repairable states; fix = resume/repair,
+    NOT hand-editing tables) vs genuine out-of-band modification (a
+    hand-rolled links overwrite, a partial restore).  The non-zero
+    path therefore folds in :func:`kg_status`'s intent listing and
+    tear diagnosis and emits ``probable_cause`` — without it an
+    operator scheduled between a crash and its repair would be
+    steered toward table surgery when re-running the append is the
+    fix.  This is the scheduled-health-job companion of
+    :func:`kg_status`: that one audits manifest identity from footers
+    alone; this one audits the DATA relationship, so it pays two
+    table scans (one shuffle-free anti-join pass per endpoint, links
+    side broadcast when it fits) — run it after out-of-band surgery
+    or on a schedule, not per query.  Returns ``{uncovered,
+    by_endpoint, sample}`` (+ ``probable_cause, pending_intents,
+    torn`` when non-zero) with at most ``sample`` offending rows.
+    Raises if either stage is not committed (an uncommitted table
+    proves nothing about the build)."""
     from ..operators.graph import unmatched_triple_endpoints
 
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
@@ -386,6 +394,20 @@ def check_kg_links(
                     "conv_id", "group_id", "triple_idx", "endpoint"
                 ).limit(sample).collect()
             ]
+            # diagnose the cause: a crashed append/refresh (pending
+            # intents / identity tear — kg_status's predicates, which
+            # judge recorded fingerprints, not disk bytes) is fixed
+            # by resuming the maintenance, never by table surgery
+            st = kg_status(spark, out_dir)
+            out["pending_intents"] = len(st["pending_intents"])
+            out["torn"] = st["torn"]
+            out["probable_cause"] = (
+                "crashed append/refresh mid-maintenance — re-run the "
+                "same append (or the refresh) to repair; see --status"
+                if st["pending_intents"] or st["torn"]
+                else "out-of-band table modification — the committed "
+                "links table does not cover the committed triples"
+            )
         return out
     finally:
         missing.unpersist()
