@@ -63,7 +63,9 @@ def main() -> None:
                         "stage's inner joins would drop; a non-zero "
                         "report names its probable cause (crashed "
                         "append/refresh to resume vs out-of-band "
-                        "table surgery); heavier than --status — two "
+                        "table surgery); exits 3 when endpoints are "
+                        "uncovered so a scheduler can alert on rc "
+                        "alone; heavier than --status — two "
                         "table scans, run scheduled, not per query")
     args = p.parse_args()
     if args.append and args.force:
@@ -100,7 +102,16 @@ def main() -> None:
         if args.check_links:
             from webstruct_spark.plans.pipeline import check_kg_links
 
-            print(json.dumps(check_kg_links(spark, args.out)))
+            report = check_kg_links(spark, args.out)
+            print(json.dumps(report))
+            if report["uncovered"]:
+                # the mode exists so a SCHEDULED run can alert; an
+                # rc-based monitor (cron/Airflow) never parses stdout,
+                # so a dirty audit must fail the process.  3 ≠ the
+                # 1/2 that argparse/tracebacks produce, so "audit ran
+                # and found a tear" is distinguishable from "audit
+                # itself crashed"
+                sys.exit(3)
             return
         if args.compact:
             from webstruct_spark.plans.compaction import compact_kg

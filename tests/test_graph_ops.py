@@ -102,6 +102,8 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     drops one entity type, the audit counts and names the dropped
     endpoints; an uncommitted stage is refused (auditing it would
     prove nothing)."""
+    import json
+    import os
     import shutil
 
     import pytest
@@ -116,11 +118,37 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     assert clean["by_endpoint"] == {}
     assert clean["sample"] == []
 
+    # a healthy report still carries the full diagnosis schema (a
+    # consumer must never KeyError on the common all-clear case)
+    assert clean["pending_intent_count"] == 0
+    assert clean["torn"] is False and clean["probable_cause"] is None
+
     # out-of-band surgery: rewrite links without one entity type —
-    # exactly the stale-links shape the audit exists to make loud
+    # exactly the stale-links shape the audit exists to make loud.
+    # Pick the type DETERMINISTICALLY from the triples' own endpoint
+    # types (min over distinct), not links.first(): first() on an
+    # unordered scan is partition-order-dependent and could select a
+    # type that never appears as a triple endpoint, making the prune
+    # a no-op
+    triples = spark.read.parquet(paths["triples"])
+    etype = min(
+        r["t"]
+        for r in triples.select(F.col("subj_type").alias("t"))
+        .unionAll(triples.select(F.col("obj_type").alias("t")))
+        .distinct()
+        .collect()
+    )
+    # independent expected count: the join keys are (entity_type,
+    # norm_text), so pruning every etype link uncovers exactly the
+    # triple endpoints of that type — computed here from the triples
+    # table alone, NOT from the audit's own groupBy
+    expected = (
+        triples.where(F.col("subj_type") == etype).count()
+        + triples.where(F.col("obj_type") == etype).count()
+    )
+    assert expected > 0
     links = spark.read.parquet(paths["links"]).cache()
     links.count()
-    etype = links.select("entity_type").first()["entity_type"]
     pruned = links.where(F.col("entity_type") != etype)
     shutil.rmtree(paths["links"])
     pruned.write.parquet(paths["links"])
@@ -128,15 +156,32 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     # the commit's _SUCCESS is recreated by the overwrite write, so
     # the manifest predicate still passes — this is a pure DATA tear
     got = check_kg_links(spark, out)
-    assert got["uncovered"] > 0
+    assert got["uncovered"] == expected
     assert set(got["by_endpoint"]) <= {"subj", "obj"}
-    assert sum(got["by_endpoint"].values()) == got["uncovered"]
     assert 0 < len(got["sample"]) <= 20
     assert all(r["entity_type"] == etype for r in got["sample"])
     # no pending intents, no identity tear → the diagnosis must name
     # out-of-band modification, not a crashed maintenance run
-    assert got["pending_intents"] == 0 and got["torn"] is False
+    assert got["pending_intent_count"] == 0 and got["torn"] is False
     assert got["probable_cause"].startswith("out-of-band")
+
+    # the CLI contract a scheduler alerts on: a dirty audit must FAIL
+    # the process (exit 3 — distinguishable from argparse's 2 and a
+    # crash's 1), not just print JSON; rc-based monitors never parse
+    # stdout.  One subprocess (own JVM) — the only way to observe the
+    # real exit code without stopping the shared fixture session
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "jobs", "kg_build.py"),
+         "--out", out, "--check-links", "--cores", "2"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 3, proc.stderr[-2000:]
+    cli_report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert cli_report["uncovered"] == expected
 
     # with a pending write-ahead intent the SAME uncovered rows must
     # be diagnosed as a crashed maintenance run (fix = resume it),
@@ -149,7 +194,7 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     try:
         crashed = check_kg_links(spark, out)
         assert crashed["uncovered"] == got["uncovered"]
-        assert crashed["pending_intents"] == 1
+        assert crashed["pending_intent_count"] == 1
         assert crashed["probable_cause"].startswith("crashed append")
     finally:
         man.clear_intent(intent)

@@ -345,13 +345,19 @@ def check_kg_links(
     fix.  This is the scheduled-health-job companion of
     :func:`kg_status`: that one audits manifest identity from footers
     alone; this one audits the DATA relationship, so it pays two
-    table scans (one shuffle-free anti-join pass per endpoint, links
-    side broadcast when it fits) — run it after out-of-band surgery
-    or on a schedule, not per query.  Returns ``{uncovered,
-    by_endpoint, sample}`` (+ ``probable_cause, pending_intents,
-    torn`` when non-zero) with at most ``sample`` offending rows.
-    Raises if either stage is not committed (an uncommitted table
-    proves nothing about the build)."""
+    anti-join passes over the triples table (join strategy left to
+    AQE, same as :func:`materialize_edges`: broadcast while links
+    fits under the cap, shuffle anti-joins past it — at the 100 TB
+    design point budget for the shuffle shape) — run it after
+    out-of-band surgery or on a schedule, not per query.  Returns
+    ``{uncovered, by_endpoint, sample, pending_intent_count, torn,
+    probable_cause}`` with at most ``sample`` offending rows;
+    ``probable_cause`` is None on a healthy report, and the intent
+    count is an int (``pending_intent_count``, NOT kg_status's
+    ``pending_intents`` list — different name so a consumer parsing
+    both can never apply the wrong accessor).  Raises if either
+    stage is not committed (an uncommitted table proves nothing
+    about the build)."""
     from ..operators.graph import unmatched_triple_endpoints
 
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
@@ -382,11 +388,20 @@ def check_kg_links(
             .withColumnRenamed("count", "n").collect()
         }
         uncovered = sum(by_ep.values())
+        # the diagnosis fields are ALWAYS present (uniform report
+        # schema for scheduled consumers — a healthy report must not
+        # KeyError the accessor that the unhealthy one trains);
+        # kg_status is footer-only, so the extra cost on the healthy
+        # path is noise next to the two table scans already paid
+        st = kg_status(spark, out_dir)
         out: dict = {
             "out": out_dir,
             "uncovered": uncovered,
             "by_endpoint": by_ep,
             "sample": [],
+            "pending_intent_count": len(st["pending_intents"]),
+            "torn": st["torn"],
+            "probable_cause": None,
         }
         if uncovered:
             out["sample"] = [
@@ -398,9 +413,6 @@ def check_kg_links(
             # intents / identity tear — kg_status's predicates, which
             # judge recorded fingerprints, not disk bytes) is fixed
             # by resuming the maintenance, never by table surgery
-            st = kg_status(spark, out_dir)
-            out["pending_intents"] = len(st["pending_intents"])
-            out["torn"] = st["torn"]
             out["probable_cause"] = (
                 "crashed append/refresh mid-maintenance — re-run the "
                 "same append (or the refresh) to repair; see --status"
