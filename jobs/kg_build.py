@@ -20,6 +20,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def check_links_rc(report: dict) -> int:
+    """Exit code for ``--check-links`` from its report — factored out
+    so the taxonomy is unit-testable without a subprocess JVM:
+
+    * 0 — audited, fully covered, no pending maintenance, no tear.
+    * 3 — coverage violated (``uncovered > 0``) OR un-auditable
+      (``audited`` False: a triples/links stage is not committed, so
+      coverage is unknowable).  Alert and read ``probable_cause``.
+    * 4 — covered but the store is torn or holds pending write-ahead
+      intents: a crashed maintenance run whose links still happen to
+      cover every endpoint (e.g. a gazetteer refresh that died
+      between the links and edges commits), or a LIVE append/refresh
+      racing the audit (intents and transient identity tears are
+      normal inside a healthy maintenance window).  A monitor should
+      alert on rc 4 persisting across two consecutive audits, not on
+      one reading.
+
+    3 and 4 are both ≠ the 1/2 that tracebacks/argparse produce, so
+    "audit found a problem" is always distinguishable from "audit
+    itself crashed", and the two problem classes from each other."""
+    if not report["audited"] or report["uncovered"]:
+        return 3
+    if report["torn"] or report["pending_intent_count"]:
+        return 4
+    return 0
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--corpus-dir",
@@ -64,9 +91,11 @@ def main() -> None:
                         "report names its probable cause (crashed "
                         "append/refresh to resume vs out-of-band "
                         "table surgery); exits 3 when endpoints are "
-                        "uncovered so a scheduler can alert on rc "
-                        "alone; heavier than --status — two "
-                        "table scans, run scheduled, not per query")
+                        "uncovered or the stages are un-auditable, 4 "
+                        "when covered but torn/mid-maintenance, so a "
+                        "scheduler can alert on rc alone; heavier "
+                        "than --status — two table scans, run "
+                        "scheduled, not per query")
     args = p.parse_args()
     if args.append and args.force:
         p.error("--append and --force are mutually exclusive")
@@ -104,14 +133,14 @@ def main() -> None:
 
             report = check_kg_links(spark, args.out)
             print(json.dumps(report))
-            if report["uncovered"]:
-                # the mode exists so a SCHEDULED run can alert; an
-                # rc-based monitor (cron/Airflow) never parses stdout,
-                # so a dirty audit must fail the process.  3 ≠ the
-                # 1/2 that argparse/tracebacks produce, so "audit ran
-                # and found a tear" is distinguishable from "audit
-                # itself crashed"
-                sys.exit(3)
+            # the mode exists so a SCHEDULED run can alert; an
+            # rc-based monitor (cron/Airflow) never parses stdout, so
+            # every problem class must map to a distinct nonzero rc —
+            # see check_links_rc for the 0/3/4 taxonomy (3 = coverage
+            # violated or un-auditable, 4 = covered but torn/pending)
+            rc = check_links_rc(report)
+            if rc:
+                sys.exit(rc)
             return
         if args.compact:
             from webstruct_spark.plans.compaction import compact_kg

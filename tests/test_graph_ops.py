@@ -100,13 +100,15 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     """check_kg_links over a real build: zero uncovered endpoints on
     the in-pipeline tables; after an out-of-band links overwrite that
     drops one entity type, the audit counts and names the dropped
-    endpoints; an uncommitted stage is refused (auditing it would
-    prove nothing)."""
+    endpoints; an uncommitted stage yields a structured refusal
+    report (auditing it would prove nothing, but the refusal still
+    carries the crash-vs-deletion diagnosis); the exit-code taxonomy
+    (0 healthy / 3 dirty-or-unauditable / 4 covered-but-torn) is
+    pinned via the factored check_links_rc."""
     import json
     import os
     import shutil
 
-    import pytest
     from pyspark.sql import functions as F
 
     from webstruct_spark.plans.pipeline import build_kg, check_kg_links
@@ -122,6 +124,11 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     # consumer must never KeyError on the common all-clear case)
     assert clean["pending_intent_count"] == 0
     assert clean["torn"] is False and clean["probable_cause"] is None
+    assert clean["audited"] is True and clean["not_committed"] == []
+
+    from jobs.kg_build import check_links_rc
+
+    assert check_links_rc(clean) == 0
 
     # out-of-band surgery: rewrite links without one entity type —
     # exactly the stale-links shape the audit exists to make loud.
@@ -164,6 +171,7 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
     # out-of-band modification, not a crashed maintenance run
     assert got["pending_intent_count"] == 0 and got["torn"] is False
     assert got["probable_cause"].startswith("out-of-band")
+    assert check_links_rc(got) == 3
 
     # the CLI contract a scheduler alerts on: a dirty audit must FAIL
     # the process (exit 3 — distinguishable from argparse's 2 and a
@@ -196,10 +204,63 @@ def test_check_kg_links_audit(spark, corpus_dir, tmp_path):
         assert crashed["uncovered"] == got["uncovered"]
         assert crashed["pending_intent_count"] == 1
         assert crashed["probable_cause"].startswith("crashed append")
+        assert check_links_rc(crashed) == 3  # uncovered wins over torn
     finally:
         man.clear_intent(intent)
 
-    # an uncommitted stage is refused, not silently audited
+    # covered-but-pending (a crashed maintenance run whose links
+    # still cover every endpoint, or a live append racing the audit)
+    # must be rc-alertable too — rc 4, distinct from dirty's 3
+    from webstruct_spark.operators.linking import norm_text_col
+
     shutil.rmtree(paths["links"])
-    with pytest.raises(RuntimeError, match="not committed"):
-        check_kg_links(spark, out)
+    (
+        triples.select(
+            F.col("subj_type").alias("entity_type"),
+            norm_text_col(F.col("subj")).alias("norm_text"),
+        )
+        .unionAll(
+            triples.select(
+                F.col("obj_type").alias("entity_type"),
+                norm_text_col(F.col("obj")).alias("norm_text"),
+            )
+        )
+        .distinct()
+        .withColumn(
+            "node_id", F.concat_ws("|", "entity_type", "norm_text")
+        )
+        .write.parquet(paths["links"])
+    )
+    intent = man.write_intent("edges", [], None)
+    try:
+        covered = check_kg_links(spark, out)
+        assert covered["uncovered"] == 0
+        assert covered["pending_intent_count"] == 1
+        assert check_links_rc(covered) == 4
+    finally:
+        man.clear_intent(intent)
+
+    # an uncommitted stage yields a structured REFUSAL report (not a
+    # traceback): audited=False, uncovered unknown (None), the stage
+    # named, and — with no pending maintenance — the never-built /
+    # out-of-band-deletion diagnosis.  rc 3: un-auditable is
+    # alert-worthy, and "the audit code broke" (rc 1) it is not
+    shutil.rmtree(paths["links"])
+    refused = check_kg_links(spark, out)
+    assert refused["audited"] is False and refused["uncovered"] is None
+    assert refused["not_committed"] == ["links"]
+    assert refused["sample"] == [] and refused["by_endpoint"] == {}
+    assert "out-of-band deletion" in refused["probable_cause"]
+    assert check_links_rc(refused) == 3
+
+    # same missing stage WITH a pending intent → the refusal blames
+    # the crashed maintenance run and points at resume, not surgery
+    intent = man.write_intent("links", [], None, kind="overwrite")
+    try:
+        refused2 = check_kg_links(spark, out)
+        assert refused2["audited"] is False
+        assert refused2["pending_intent_count"] == 1
+        assert refused2["probable_cause"].startswith("crashed append")
+        assert check_links_rc(refused2) == 3
+    finally:
+        man.clear_intent(intent)

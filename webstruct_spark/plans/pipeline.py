@@ -350,26 +350,62 @@ def check_kg_links(
     fits under the cap, shuffle anti-joins past it — at the 100 TB
     design point budget for the shuffle shape) — run it after
     out-of-band surgery or on a schedule, not per query.  Returns
-    ``{uncovered, by_endpoint, sample, pending_intent_count, torn,
-    probable_cause}`` with at most ``sample`` offending rows;
-    ``probable_cause`` is None on a healthy report, and the intent
-    count is an int (``pending_intent_count``, NOT kg_status's
-    ``pending_intents`` list — different name so a consumer parsing
-    both can never apply the wrong accessor).  Raises if either
-    stage is not committed (an uncommitted table proves nothing
-    about the build)."""
+    ``{audited, uncovered, by_endpoint, sample, not_committed,
+    pending_intent_count, torn, probable_cause}`` with at most
+    ``sample`` offending rows; ``probable_cause`` is None on a healthy
+    report, and the intent count is an int (``pending_intent_count``,
+    NOT kg_status's ``pending_intents`` list — different name so a
+    consumer parsing both can never apply the wrong accessor).
+
+    An uncommitted triples/links stage does NOT raise: auditing it
+    would prove nothing, but the most common way a committed stage
+    goes missing is a crashed refresh/append mid-overwrite — exactly
+    the repairable state this audit's taxonomy exists to name — so
+    the refusal is itself a report (``audited=False``,
+    ``uncovered=None``, ``not_committed`` naming the stages, the same
+    diagnosis fields) instead of an undifferentiated RuntimeError
+    that an rc-based monitor reads as "the audit code broke".
+
+    Race-bounding: the status snapshot feeding the diagnosis is taken
+    BEFORE the anti-join scans (one snapshot also serves the commit
+    refusal — kg_status's per-stage ``committed`` uses the same
+    is_committed predicate, so no second manifest read); on the
+    dirty path a second snapshot is taken after the scans and the
+    two are OR-ed.  Without the pre-scan snapshot, an audit racing a
+    resuming append could scan stray rows while the intent is still
+    pending, then watch the resume commit and clear it before the
+    diagnosis looks — misreporting a healthy self-repair as
+    out-of-band table surgery."""
     from ..operators.graph import unmatched_triple_endpoints
 
+    st = kg_status(spark, out_dir)
+    not_committed = [
+        s for s in ("triples", "links")
+        if not st["stages"][s]["committed"]
+    ]
+    if not_committed:
+        return {
+            "out": out_dir,
+            "audited": False,
+            "uncovered": None,
+            "by_endpoint": {},
+            "sample": [],
+            "not_committed": not_committed,
+            "pending_intent_count": len(st["pending_intents"]),
+            "torn": st["torn"],
+            "probable_cause": (
+                "crashed append/refresh mid-maintenance — stage(s) %s "
+                "not committed with a pending intent or identity tear; "
+                "re-run the same append (or the refresh) to repair; "
+                "see --status" % ",".join(not_committed)
+                if st["pending_intents"] or st["torn"]
+                else "stage(s) %s not committed and no pending "
+                "maintenance — never built, or out-of-band deletion; "
+                "run/resume the build" % ",".join(not_committed)
+            ),
+        }
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
                    create=False)
-    committed = man.committed()
-    for s in ("triples", "links"):
-        if not man.is_committed(s, rec=committed.get(s)):
-            raise RuntimeError(
-                "check_kg_links: stage %r at %r is not committed — "
-                "run/resume the build first; auditing an uncommitted "
-                "table proves nothing" % (s, out_dir)
-            )
     triples = spark.read.parquet(man.stage_path("triples"))
     links = spark.read.parquet(man.stage_path("links"))
     # persist across the two passes (count, then sample): without it
@@ -390,15 +426,16 @@ def check_kg_links(
         uncovered = sum(by_ep.values())
         # the diagnosis fields are ALWAYS present (uniform report
         # schema for scheduled consumers — a healthy report must not
-        # KeyError the accessor that the unhealthy one trains);
-        # kg_status is footer-only, so the extra cost on the healthy
-        # path is noise next to the two table scans already paid
-        st = kg_status(spark, out_dir)
+        # KeyError the accessor that the unhealthy one trains); they
+        # come from the PRE-scan snapshot, refreshed below on the
+        # dirty path
         out: dict = {
             "out": out_dir,
+            "audited": True,
             "uncovered": uncovered,
             "by_endpoint": by_ep,
             "sample": [],
+            "not_committed": [],
             "pending_intent_count": len(st["pending_intents"]),
             "torn": st["torn"],
             "probable_cause": None,
@@ -412,11 +449,26 @@ def check_kg_links(
             # diagnose the cause: a crashed append/refresh (pending
             # intents / identity tear — kg_status's predicates, which
             # judge recorded fingerprints, not disk bytes) is fixed
-            # by resuming the maintenance, never by table surgery
+            # by resuming the maintenance, never by table surgery.
+            # OR the pre-scan snapshot with a fresh post-scan one: a
+            # resume racing the audit may have cleared its intent
+            # DURING the scans (pre catches it), and a maintenance
+            # run may have started during them (post catches it) —
+            # either way the uncovered rows came from a maintenance
+            # window, not from table surgery
+            st_post = kg_status(spark, out_dir)
+            maintenance = (
+                st["pending_intents"] or st["torn"]
+                or st_post["pending_intents"] or st_post["torn"]
+            )
+            # report the FRESHEST counts (what --status shows now)
+            out["pending_intent_count"] = len(st_post["pending_intents"])
+            out["torn"] = st_post["torn"]
             out["probable_cause"] = (
-                "crashed append/refresh mid-maintenance — re-run the "
-                "same append (or the refresh) to repair; see --status"
-                if st["pending_intents"] or st["torn"]
+                "crashed append/refresh mid-maintenance (or one racing "
+                "this audit) — re-run the same append (or the refresh) "
+                "to repair; see --status"
+                if maintenance
                 else "out-of-band table modification — the committed "
                 "links table does not cover the committed triples"
             )
