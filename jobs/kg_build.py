@@ -28,21 +28,23 @@ def check_links_rc(report: dict) -> int:
     * 3 — coverage violated (``uncovered > 0``) OR un-auditable
       (``audited`` False: a triples/links stage is not committed, so
       coverage is unknowable).  Alert and read ``probable_cause``.
-    * 4 — covered but the store is torn or holds pending write-ahead
-      intents: a crashed maintenance run whose links still happen to
-      cover every endpoint (e.g. a gazetteer refresh that died
-      between the links and edges commits), or a LIVE append/refresh
-      racing the audit (intents and transient identity tears are
-      normal inside a healthy maintenance window).  A monitor should
-      alert on rc 4 persisting across two consecutive audits, not on
-      one reading.
+    * 4 — covered but the store is torn, holds pending write-ahead
+      intents, or carries crashed-compaction swap markers: a crashed
+      maintenance run whose links still happen to cover every
+      endpoint (e.g. a gazetteer refresh that died between the links
+      and edges commits, or a compact that died between its swap and
+      its re-commit), or a LIVE append/refresh racing the audit
+      (intents and transient identity tears are normal inside a
+      healthy maintenance window).  A monitor should alert on rc 4
+      persisting across two consecutive audits, not on one reading.
 
     3 and 4 are both ≠ the 1/2 that tracebacks/argparse produce, so
     "audit found a problem" is always distinguishable from "audit
     itself crashed", and the two problem classes from each other."""
     if not report["audited"] or report["uncovered"]:
         return 3
-    if report["torn"] or report["pending_intent_count"]:
+    if report["torn"] or report["pending_intent_count"] \
+            or report.get("crashed_compaction"):
         return 4
     return 0
 

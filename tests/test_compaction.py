@@ -199,6 +199,87 @@ def test_repair_windows(spark, kg_built, tmp_path):
     assert _stage_rows(spark, out, stage) == rows
 
 
+def test_non_compact_entries_repair_crashed_swap(spark, kg_built,
+                                                 tmp_path):
+    """A kill inside compact_kg's swap must be settled by EVERY
+    maintenance entry, not only the next --compact.  Mid-swap (stage
+    dir ABSENT, row-verified data one rename away in the tmp): the
+    read-only paths name the crashed compaction instead of
+    misdiagnosing out-of-band deletion, and an append rolls the swap
+    forward and proceeds instead of refusing "missing stages".
+    Post-swap-pre-recommit (stage present, old-marker left, record
+    totals STALE): the append entry re-syncs the record before
+    rolling totals forward, so manifest n_files/bytes match disk."""
+    import json as _json
+
+    from jobs.kg_build import check_links_rc
+    from webstruct_spark.plans.pipeline import check_kg_links, kg_status
+
+    stage = "triples"
+
+    # -- window 1: mid-swap (between the two renames) -----------------
+    out = _copy_kg(kg_built, tmp_path)
+    path = out + "/" + stage
+    rows = _stage_rows(spark, out, stage)
+    spark.read.parquet(path).coalesce(1).write.parquet(path + SUF_TMP)
+    fsio.rename(spark, path, path + SUF_OLD)
+
+    # read-only diagnosis mutates nothing and names the cause: the
+    # audit's own input stage is mid-swap → structured refusal with
+    # the compaction diagnosis, NOT "never built / out-of-band
+    # deletion" steering toward a destructive rebuild
+    st = kg_status(spark, out)
+    assert st["crashed_compaction"] == [stage]
+    rep = check_kg_links(spark, out)
+    assert rep["audited"] is False
+    assert rep["crashed_compaction"] == [stage]
+    assert rep["probable_cause"].startswith("crashed compaction")
+    assert check_links_rc(rep) == 3
+    assert not fsio.exists(spark, path), "read-only audit repaired?!"
+
+    # the append entry settles the swap (roll forward + re-commit)
+    # and then appends normally — before the repair this refused
+    # with "missing stages: mentions"
+    append_kg(spark, kg_built["base"] + "/corpus_c", out)
+    assert not fsio.exists(spark, path + SUF_OLD)
+    assert not fsio.exists(spark, path + SUF_TMP)
+    # compacted base + the disjoint delta, nothing lost or doubled
+    twin = _copy_kg(kg_built, str(tmp_path / "twin"))
+    append_kg(spark, kg_built["base"] + "/corpus_c", twin)
+    assert _stage_rows(spark, out, stage) == _stage_rows(
+        spark, twin, stage
+    )
+
+    # -- window 2: post-swap, pre-recommit (stale record totals) ------
+    stage = "mentions"
+    out2 = _copy_kg(kg_built, str(tmp_path / "w2"))
+    path2 = out2 + "/" + stage
+    spark.read.parquet(path2).coalesce(1).write.parquet(path2 + SUF_TMP)
+    fsio.rename(spark, path2, path2 + SUF_OLD)
+    fsio.rename(spark, path2 + SUF_TMP, path2)
+    # a marker on a NON-audit stage leaves triples↔links auditable:
+    # covered but mid-maintenance → rc 4, the "alert if it persists"
+    # class, distinct from dirty's 3
+    rep2 = check_kg_links(spark, out2)
+    assert rep2["audited"] is True and rep2["uncovered"] == 0
+    assert rep2["crashed_compaction"] == [stage]
+    assert check_links_rc(rep2) == 4
+    # record still lists pre-compaction n_files/bytes; without the
+    # entry repair the append would roll these stale totals forward
+    append_kg(spark, kg_built["base"] + "/corpus_c", out2)
+    assert not fsio.exists(spark, path2 + SUF_OLD)
+    rec = Manifest(out2, spark=spark).committed()[stage]
+    listing = fsio.listdir(spark, path2)
+    pq = [(n, b) for n, b in listing if n.endswith(".parquet")]
+    assert rec["n_files"] == len(pq)
+    assert rec["bytes"] == sum(b for _, b in pq)
+    # and the status drift check agrees
+    st2 = kg_status(spark, out2)
+    assert st2["stages"][stage]["disk_matches_manifest"], _json.dumps(
+        st2["stages"][stage]
+    )
+
+
 def test_refuses_row_mismatch_and_unknown_stage(spark, kg_built, tmp_path):
     out = _copy_kg(kg_built, tmp_path)
     path = out + "/mentions"

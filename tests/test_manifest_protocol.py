@@ -1,0 +1,181 @@
+# -*- coding: utf-8 -*-
+"""Crash/race windows of the manifest protocol itself
+(:mod:`webstruct_spark.plans.manifest`): the records()-vs-
+compact_records() vanish race, the intent-stamped landed proof for
+overwrite reconciliation (clock-skew independence), and the
+zero-part-file committed stage surviving a pre-write overwrite crash.
+All local-filesystem — no Spark session needed."""
+import json
+import os
+import time
+
+from webstruct_spark.plans import fsio
+from webstruct_spark.plans.manifest import Manifest
+
+
+def _write_record(man: Manifest, stage: str, seq: int, **fields) -> str:
+    """Fabricate a commit record file the way commit() names them."""
+    rec = dict(
+        stage=stage,
+        layout=man.layout_version,
+        inputs=[],
+        rows_out=0,
+        n_files=0,
+        bytes=0,
+        files=[],
+        wall_sec=0.0,
+        committed_utc_ns=time.time_ns(),
+    )
+    rec.update(fields)
+    name = "rec-%020d-%06d-%07d-%s.json" % (
+        rec["committed_utc_ns"], seq, os.getpid(), stage
+    )
+    fsio.write_text_atomic(
+        None, fsio.join(man.records_dir, name), json.dumps(rec)
+    )
+    return name
+
+
+def test_records_tolerates_compact_records_race(tmp_path, monkeypatch):
+    """A record file listed by records() can vanish before its read —
+    compact_records() deletes superseded files after writing its
+    snapshot.  The read must RETRY from a fresh listing (which
+    includes the snapshot), not skip the file (losing a stage) and
+    not crash (turning a healthy scheduled audit into rc 1)."""
+    man = Manifest(str(tmp_path / "kg"), spark=None)
+    _write_record(man, "extracted", 0, rows_out=10)
+    _write_record(man, "mentions", 1, rows_out=7)
+    before = man.records()
+    assert {r["stage"] for r in before} == {"extracted", "mentions"}
+
+    real_read = fsio.read_text
+    state = {"fired": False}
+
+    def racing_read(spark, path):
+        # first record-file read: simulate a concurrent
+        # compact_records() — fold both records into one snapshot,
+        # delete the originals, then fail the in-flight read the way
+        # the deleted file would
+        if path.endswith(".json") and not state["fired"]:
+            state["fired"] = True
+            snap = dict(
+                type="snapshot",
+                records=before,
+                committed_utc_ns=time.time_ns(),
+            )
+            for n in os.listdir(man.records_dir):
+                if n.endswith(".json"):
+                    os.remove(os.path.join(man.records_dir, n))
+            fsio.write_text_atomic(
+                None,
+                fsio.join(
+                    man.records_dir,
+                    "rec-%020d-%06d-%07d-snapshot.json"
+                    % (snap["committed_utc_ns"], 99, os.getpid()),
+                ),
+                json.dumps(snap),
+            )
+            raise FileNotFoundError(path)
+        return real_read(spark, path)
+
+    import webstruct_spark.plans.manifest as manifest_mod
+
+    monkeypatch.setattr(manifest_mod.fsio, "read_text", racing_read)
+    after = man.records()
+    assert sorted(r["stage"] for r in after) == ["extracted", "mentions"]
+    assert {r["stage"]: r["rows_out"] for r in after} == {
+        "extracted": 10, "mentions": 7,
+    }
+
+    # a read failure on a file that STILL EXISTS is not the benign
+    # race — it must raise immediately, not be skipped or retried
+    # into silence
+    def broken_read(spark, path):
+        if path.endswith(".json"):
+            raise IOError("disk says no: %s" % path)
+        return real_read(spark, path)
+
+    monkeypatch.setattr(manifest_mod.fsio, "read_text", broken_read)
+    try:
+        man.records()
+    except IOError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected a persistent read error to raise")
+
+
+def test_overwrite_landed_proof_is_intent_stamp_not_clock(tmp_path):
+    """reconcile_intents' landed proof for an overwrite intent: the
+    commit record stamps the intent name it was written under, and
+    that exact match decides — NOT cross-process wall-clock ordering.
+    A record stamped with a DIFFERENT (older) intent must read as
+    unlanded even when a skewed clock makes it look newer than the
+    pending intent."""
+    man = Manifest(str(tmp_path / "kg"), spark=None)
+    stage_dir = man.stage_path("links")
+    os.makedirs(stage_dir)
+    # the crashed overwrite landed new UUID-named files + _SUCCESS
+    open(os.path.join(stage_dir, "part-new.parquet"), "w").close()
+    open(os.path.join(stage_dir, "_SUCCESS"), "w").close()
+
+    fp = {"gazetteer": {"rows": 5}}
+    # prior record: same identity (a same-identity re-run), stamped
+    # with an OLD intent, committed_utc_ns in the FUTURE (clock skew
+    # that would defeat a recency comparison)
+    _write_record(
+        man, "links", 0,
+        source_fp=fp,
+        intent_file="intent-0-old.intent",
+        committed_utc_ns=time.time_ns() + 10**12,
+    )
+    name = man.write_intent("links", ["part-old.parquet"], fp,
+                            kind="overwrite")
+    res = man.reconcile_intents()
+    # unlanded + pre-state not intact (the write started) → cleared
+    assert res["links"] == "cleared"
+    assert not os.path.exists(stage_dir)
+    assert man.intents() == []
+
+    # positive: a record stamping THIS intent is the landed proof,
+    # even with committed_utc_ns BEHIND the intent's (reverse skew —
+    # the recency fallback would misread this landed write as
+    # unlanded and destroy it).  Start from a clean record history:
+    # record NAMES sort by committed_utc_ns, so the skewed record
+    # must be the only one for last-wins folding to surface it.
+    for n in os.listdir(man.records_dir):
+        if n.endswith(".json"):
+            os.remove(os.path.join(man.records_dir, n))
+    os.makedirs(stage_dir)
+    open(os.path.join(stage_dir, "part-new2.parquet"), "w").close()
+    open(os.path.join(stage_dir, "_SUCCESS"), "w").close()
+    name2 = man.write_intent("links", [], fp, kind="overwrite")
+    _write_record(
+        man, "links", 1,
+        source_fp=fp,
+        intent_file=name2,
+        committed_utc_ns=1,  # "older" than the intent by clock
+    )
+    res = man.reconcile_intents()
+    assert res["links"] == "committed"
+    assert os.path.exists(os.path.join(stage_dir, "part-new2.parquet"))
+
+
+def test_empty_committed_stage_survives_prewrite_crash(tmp_path):
+    """A legitimately committed ZERO-part-file stage (an empty
+    0-partition result writes only _SUCCESS) whose overwrite crashed
+    BEFORE the write began must reconcile as intact — pre == cur ==
+    [] with the marker and record present proves the old state is
+    byte-for-byte untouched; deleting it would force a recompute for
+    a crash that touched nothing."""
+    man = Manifest(str(tmp_path / "kg"), spark=None)
+    stage_dir = man.stage_path("links")
+    os.makedirs(stage_dir)
+    open(os.path.join(stage_dir, "_SUCCESS"), "w").close()
+    _write_record(man, "links", 0, source_fp={"gazetteer": {"rows": 1}})
+    # refresh intent written, then killed before the write started
+    man.write_intent("links", [], {"gazetteer": {"rows": 2}},
+                     kind="overwrite")
+    res = man.reconcile_intents()
+    assert res["links"] == "intact"
+    assert os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
+    assert man.intents() == []

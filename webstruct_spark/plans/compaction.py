@@ -235,6 +235,73 @@ def _compact_dir(
     return out
 
 
+def repair_crashed_compactions(spark, man: Manifest) -> Dict[str, str]:
+    """Settle crashed :func:`compact_kg` swaps at a NON-compact entry
+    (build resume / append / refresh-gazetteer call this right after
+    ``reconcile_intents``).  Without it, a kill between the swap's two
+    renames leaves the stage dir absent and every other entry
+    misdiagnoses the repairable state: append/refresh refuse with
+    "missing stages", ``build_kg(resume=True)`` destructively
+    recomputes the corpus-scale stage, and the link audit blames
+    out-of-band deletion — while the row-verified compacted data sits
+    one rename away in ``<stage>.__compact_tmp__``.  A kill after the
+    swap but before the re-commit (marker still present) is equally
+    wrong to ignore: the stage reads committed, so an append would
+    roll the record's STALE ``n_files``/``bytes`` totals forward and
+    the manifest would permanently disagree with disk.
+
+    ONE out_dir listing decides the happy path (no marker names → no
+    per-stage probes — entries run per append at the 100 TB design
+    point, they must not pay 2 exists() hops × 6 stages for a state
+    that almost never exists).  For flagged stages this replays
+    :func:`_repair` plus protocol steps 5-6 exactly as ``compact_kg``
+    would (re-commit same source identity + fresh physical lineage +
+    delta provenance, THEN drop the marker).  Returns
+    ``{stage_or_side_table: repair_state}`` for non-clean states."""
+    from .pipeline import CONV_IDS, STAGE_INPUTS
+
+    listing = fsio.listdir_if_exists(spark, man.out_dir)
+    if listing is None:
+        return {}
+    names = {n for n, _ in listing}
+    out: Dict[str, str] = {}
+    committed: Optional[Dict[str, dict]] = None
+    for stage in APPEND_STAGES:
+        if (stage + SUF_TMP) not in names and \
+                (stage + SUF_OLD) not in names:
+            continue
+        path = man.stage_path(stage)
+        state = _repair(spark, path)
+        if state in ("rolled_forward", "finished_swap"):
+            if committed is None:
+                committed = man.committed()
+            rec = committed.get(stage)
+            if rec is not None:
+                # protocol step 5 then 6 (same order-invariant as
+                # compact_kg._recommit_and_drop_marker): re-commit
+                # the lineage FIRST so a crash in between lands back
+                # here, never in a "clean" state with stale lineage
+                man.commit(
+                    stage, 0.0,
+                    inputs=["compact:%s" % i
+                            for i in STAGE_INPUTS.get(stage, [stage])],
+                    source_fp=rec.get("source_fp"),
+                    extra=_delta_provenance(rec),
+                )
+            fsio.delete(spark, path + SUF_OLD)
+        if state != "clean":
+            out[stage] = state
+    conv_path = fsio.join(man.out_dir, CONV_IDS)
+    if (CONV_IDS + SUF_TMP) in names or (CONV_IDS + SUF_OLD) in names:
+        state = _repair(spark, conv_path)
+        # the side table has no manifest record to re-sync — the
+        # marker drops as soon as the repair settles the dir
+        fsio.delete(spark, conv_path + SUF_OLD)
+        if state != "clean":
+            out[CONV_IDS] = state
+    return out
+
+
 def compact_kg(
     spark: SparkSession,
     out_dir: str,

@@ -110,6 +110,7 @@ class Manifest:
         self.records_dir = fsio.join(out_dir, self.RECORDS_DIR)
         self._lock = threading.Lock()
         self._seq = 0
+        self._last_read_vanished = False
         if create:
             fsio.mkdirs(spark, self.records_dir)
 
@@ -126,7 +127,20 @@ class Manifest:
     # -- reading ------------------------------------------------------
     def records(self) -> List[dict]:
         """Every commit record in fold order (legacy jsonl lines
-        first, then record files sorted by name = commit order)."""
+        first, then record files sorted by name = commit order).
+
+        Vanish-tolerant like :meth:`intents`: the read-only audits
+        (kg_status / check_kg_links) race live maintenance BY DESIGN,
+        and :meth:`compact_records` deletes superseded record files
+        after writing its snapshot — a record file listed here can
+        legitimately vanish before its read.  Skipping it would be
+        WRONG (if our listing predates the snapshot write, the
+        vanished record's content lives in a snapshot we never
+        listed), so a vanish restarts the listing+read pass: the
+        retry's listing includes the snapshot that superseded the
+        vanished file.  Bounded retries — manifest compaction is a
+        rare scheduled event, so a second concurrent vanish means
+        something other than the benign race and raises."""
         out: List[dict] = []
         if fsio.exists(self.spark, self.path):
             lines = fsio.read_text(self.spark, self.path).splitlines()
@@ -143,6 +157,26 @@ class Manifest:
                     if i == len(lines) - 1:
                         break
                     raise
+        for attempt in range(3):
+            try:
+                out_files = self._read_record_files()
+                break
+            except Exception:
+                # only the vanished-file race retries: every file we
+                # failed on must now be GONE (deleted by a concurrent
+                # compact_records); a file that still exists failed
+                # for a real reason
+                if attempt == 2 or not self._last_read_vanished:
+                    raise
+        return out + out_files
+
+    def _read_record_files(self) -> List[dict]:
+        """One listing+read pass over ``manifest.d``; sets
+        ``_last_read_vanished`` when the read failed because the file
+        disappeared after the listing (the compact_records race —
+        retryable), as opposed to a real read/parse error."""
+        self._last_read_vanished = False
+        out: List[dict] = []
         # a read-only handle (create=False) may point at a dir that
         # was never built — no records, not an error
         names = (
@@ -152,9 +186,13 @@ class Manifest:
         for name in names:
             if not name.endswith(".json"):
                 continue  # .tmp orphans of crashed commits
-            text = fsio.read_text(
-                self.spark, fsio.join(self.records_dir, name)
-            )
+            fpath = fsio.join(self.records_dir, name)
+            try:
+                text = fsio.read_text(self.spark, fpath)
+            except Exception:
+                if not fsio.exists(self.spark, fpath):
+                    self._last_read_vanished = True
+                raise
             # records are tmp+rename'd, so a torn one cannot exist —
             # an unparsable record is real corruption and raises
             rec = json.loads(text)
@@ -430,16 +468,28 @@ class Manifest:
             # carries, so a crash anywhere in that overwrite would
             # read as "committed" and keep a half-written dir (or a
             # landed write whose record still describes the OLD
-            # files).  The commit record is written strictly after
-            # the intent by the same process, so record-newer-than-
-            # intent is the landed proof.  Append intents need no
-            # recency check — their post identity always advances
-            # past the prior record's (the delta adds rows).
+            # files).  The landed proof: the commit record STAMPS the
+            # intent file name it was written under
+            # (pipeline._overwrite_commit), so record-names-THIS-
+            # intent is exact and process-independent.  Records from
+            # before the stamp fall back to record-newer-than-intent
+            # (committed_utc_ns > intent utc_ns) — valid only when
+            # one process wrote both, which the same-run case
+            # satisfies; across machines a skewed clock could invert
+            # it, which is why new commits carry the stamp.  Append
+            # intents need no recency check — their post identity
+            # always advances past the prior record's (the delta
+            # adds rows).
             landed = bool(rec) and rec.get("source_fp") == it["post_fp"]
             if landed and it.get("kind", "append") == "overwrite":
-                landed = (
-                    rec.get("committed_utc_ns", 0) > it.get("utc_ns", 0)
-                )
+                stamped = rec.get("intent_file")
+                if stamped is not None:
+                    landed = stamped == name
+                else:
+                    landed = (
+                        rec.get("committed_utc_ns", 0)
+                        > it.get("utc_ns", 0)
+                    )
             if landed:
                 out[stage] = "committed"
             elif it.get("kind", "append") == "overwrite":
@@ -452,7 +502,7 @@ class Manifest:
                 cur = sorted(
                     n for n in listing if n.endswith(".parquet")
                 )
-                if rec is not None and pre and cur == pre \
+                if rec is not None and cur == pre \
                         and "_SUCCESS" in listing:
                     # the crash hit BEFORE the overwrite's write
                     # began: mode("overwrite") deletes the dir at
@@ -463,7 +513,15 @@ class Manifest:
                     # the old committed state is fully intact.
                     # Deleting it would destroy a healthy stage and
                     # force a corpus-scale recompute for a crash
-                    # that touched nothing.
+                    # that touched nothing.  pre == cur == [] (a
+                    # legitimately committed ZERO-part-file stage —
+                    # an empty 0-partition result writes only
+                    # _SUCCESS) is intact by the same proof; the one
+                    # ambiguity — the new overwrite itself landed
+                    # empty, _SUCCESS but no record — is harmless to
+                    # keep: both states hold zero rows, and if the
+                    # identities differ is_committed's fp check
+                    # rebuilds anyway.
                     out[stage] = "intact"
                 else:
                     # write started (or landed uncommitted, or the

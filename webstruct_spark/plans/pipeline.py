@@ -306,11 +306,26 @@ def kg_status(spark: SparkSession, out_dir: str) -> dict:
         side["success_marker"] = any(
             n == "_SUCCESS" for n, _ in conv_listing
         )
+    # crashed-compaction markers (<stage>.__compact_tmp__/__old__):
+    # mid-swap the stage dir is ABSENT and reads as "missing"/
+    # "never built" everywhere else — the marker is what routes the
+    # diagnosis to "re-run --compact or any build/append entry to
+    # settle" instead of a destructive rebuild.  ONE root listing.
+    from .compaction import SUF_OLD, SUF_TMP
+
+    root_names = {
+        n for n, _ in (fsio.listdir_if_exists(spark, out_dir) or [])
+    }
+    crashed_compaction = sorted(
+        s for s in list(STAGES) + [CONV_IDS]
+        if (s + SUF_TMP) in root_names or (s + SUF_OLD) in root_names
+    )
     return {
         "out": out_dir,
         "stages": stages,
         "conv_ids": side,
         "pending_intents": intents,
+        "crashed_compaction": crashed_compaction,
         # torn = stages disagree on identity: >1 shared-identity
         # class (transcripts/stream stamps) OR a per-stage
         # params/gazetteer tear (replaying the crashed append resumes
@@ -384,6 +399,27 @@ def check_kg_links(
         if not st["stages"][s]["committed"]
     ]
     if not_committed:
+        if st["crashed_compaction"]:
+            cause = (
+                "crashed compaction mid-swap (markers on: %s) — the "
+                "verified data is one rename away; run --compact (or "
+                "any build/append/refresh entry) to settle, do NOT "
+                "rebuild or hand-edit"
+                % ",".join(st["crashed_compaction"])
+            )
+        elif st["pending_intents"] or st["torn"]:
+            cause = (
+                "crashed append/refresh mid-maintenance — stage(s) %s "
+                "not committed with a pending intent or identity "
+                "tear; re-run the same append (or the refresh) to "
+                "repair; see --status" % ",".join(not_committed)
+            )
+        else:
+            cause = (
+                "stage(s) %s not committed and no pending "
+                "maintenance — never built, or out-of-band deletion; "
+                "run/resume the build" % ",".join(not_committed)
+            )
         return {
             "out": out_dir,
             "audited": False,
@@ -393,16 +429,8 @@ def check_kg_links(
             "not_committed": not_committed,
             "pending_intent_count": len(st["pending_intents"]),
             "torn": st["torn"],
-            "probable_cause": (
-                "crashed append/refresh mid-maintenance — stage(s) %s "
-                "not committed with a pending intent or identity tear; "
-                "re-run the same append (or the refresh) to repair; "
-                "see --status" % ",".join(not_committed)
-                if st["pending_intents"] or st["torn"]
-                else "stage(s) %s not committed and no pending "
-                "maintenance — never built, or out-of-band deletion; "
-                "run/resume the build" % ",".join(not_committed)
-            ),
+            "crashed_compaction": st["crashed_compaction"],
+            "probable_cause": cause,
         }
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
                    create=False)
@@ -438,6 +466,7 @@ def check_kg_links(
             "not_committed": [],
             "pending_intent_count": len(st["pending_intents"]),
             "torn": st["torn"],
+            "crashed_compaction": st["crashed_compaction"],
             "probable_cause": None,
         }
         if uncovered:
@@ -459,14 +488,17 @@ def check_kg_links(
             st_post = kg_status(spark, out_dir)
             maintenance = (
                 st["pending_intents"] or st["torn"]
+                or st["crashed_compaction"]
                 or st_post["pending_intents"] or st_post["torn"]
+                or st_post["crashed_compaction"]
             )
             # report the FRESHEST counts (what --status shows now)
             out["pending_intent_count"] = len(st_post["pending_intents"])
             out["torn"] = st_post["torn"]
+            out["crashed_compaction"] = st_post["crashed_compaction"]
             out["probable_cause"] = (
-                "crashed append/refresh mid-maintenance (or one racing "
-                "this audit) — re-run the same append (or the refresh) "
+                "crashed append/refresh/compact mid-maintenance (or "
+                "one racing this audit) — re-run the same maintenance "
                 "to repair; see --status"
                 if maintenance
                 else "out-of-band table modification — the committed "
@@ -510,8 +542,25 @@ def _overwrite_commit(man: Manifest, stage: str, df: DataFrame,
     df.write.mode("overwrite").parquet(man.stage_path(stage))
     if after_write is not None:
         after_write()
-    man.commit(stage, time.time() - t0, inputs=inputs, source_fp=ident)
+    # stamp the intent's name into the commit record: reconciliation's
+    # landed-proof for a same-identity overwrite becomes an exact,
+    # process-independent match (record names THIS intent) instead of
+    # a cross-process wall-clock comparison that a skewed or stepped
+    # clock can invert (see Manifest.reconcile_intents)
+    man.commit(stage, time.time() - t0, inputs=inputs, source_fp=ident,
+               extra={"intent_file": intent})
     man.clear_intent(intent)
+
+
+def _compaction_repairs(spark, man: Manifest) -> Dict[str, str]:
+    """Entry-time settlement of crashed compaction swaps — thin
+    deferred-import wrapper over
+    :func:`~.compaction.repair_crashed_compactions` (compaction
+    already imports this module inside its functions; importing it
+    lazily here keeps the modules cycle-free in both directions)."""
+    from .compaction import repair_crashed_compactions
+
+    return repair_crashed_compactions(spark, man)
 
 
 def build_kg(
@@ -546,6 +595,11 @@ def build_kg(
     # dir) — reconciling at entry, while the dir still matches the
     # crashed state, is what keeps that impossible
     man.reconcile_intents()
+    # ...and crashed compaction swaps: a kill between compact_kg's two
+    # renames leaves the stage dir absent with the verified data one
+    # rename away — without the repair, resume would destructively
+    # re-extract a corpus-scale stage a rename fixes
+    _compaction_repairs(spark, man)
 
     # run identity: a resume against a CHANGED corpus (or changed
     # grouping params — they shape group_entities/groups/triples just
@@ -914,8 +968,14 @@ def _append_kg_frames_impl(
     # settle any crashed append's landed-but-uncommitted stage write
     # FIRST: every read below (the replay check, the overlap
     # disambiguation, _rebuild_conv_ids) trusts the stage dirs to
-    # match the manifest
+    # match the manifest.  Then crashed compaction swaps: mid-swap
+    # the stage dir is absent (this preamble would refuse "missing
+    # stages" for a state one rename repairs), and post-swap-
+    # pre-recommit the record's totals are stale (this append's
+    # prior_rec roll-forward would commit totals that disagree with
+    # disk)
     man.reconcile_intents()
+    _compaction_repairs(spark, man)
     base = man.committed()
     missing = [
         s for s in STAGES
@@ -1580,8 +1640,11 @@ def refresh_gazetteer(
     # fresh manifest.d behind (see Manifest.ensure_dirs)
     man = Manifest(out_dir, layout_version=LAYOUT_VERSION, spark=spark,
                    create=False)
-    # settle any crashed run's landed-but-uncommitted write first
+    # settle any crashed run's landed-but-uncommitted write first,
+    # then any crashed compaction swap (mid-swap the stage dir is
+    # absent and this preamble would refuse a state a rename repairs)
     man.reconcile_intents()
+    _compaction_repairs(spark, man)
     base = man.committed()
     missing = [
         s for s in STAGES
