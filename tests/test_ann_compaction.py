@@ -205,6 +205,141 @@ def test_append_repairs_crashed_compact_first(spark, tmp_path):
     assert got == want
 
 
+def test_append_intent_reverts_crashed_half_batch(spark, tmp_path,
+                                                  monkeypatch):
+    """A driver kill during an append's job commit can leave a
+    VISIBLE SUBSET of the batch (some buckets gained part files,
+    others did not) with the write-ahead intent still pending.  The
+    next maintenance entry must revert exactly the strays, so the
+    upstream retry lands the whole batch once — probe-identical to a
+    never-crashed twin."""
+    import pytest
+
+    from webstruct_spark.plans import fsio
+
+    emb = _embeddings(spark)
+    base = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "idx")
+    twin = str(tmp_path / "twin")
+    write_ann_index(base, path, kind="lsh", n_planes=6)
+    write_ann_index(base, twin, kind="lsh", n_planes=6)
+
+    # crash between the batch landing and the intent clear
+    real_delete = fsio.delete
+
+    def crashing_delete(s, p, recursive=True):
+        if p.endswith("_ann_append_intent.json"):
+            raise RuntimeError("simulated crash before intent clear")
+        return real_delete(s, p, recursive)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsio, "delete", crashing_delete)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            append_to_ann_index(batch, path)
+    root = tmp_path / "idx"
+    assert (root / "_ann_append_intent.json").exists()
+
+    # make the landed batch PARTIAL: drop the strays from one touched
+    # bucket (as a mid-commit kill would), keep them in the rest
+    import json as _json
+
+    intent = _json.loads((root / "_ann_append_intent.json").read_text())
+    touched = sorted(d for d, pre in intent["pre"].items())
+    assert touched, "batch touched no buckets?"
+    d0 = touched[0]
+    pre0 = set(intent["pre"][d0])
+    victim_dir = root / d0
+    strays0 = [
+        f.name
+        for f in victim_dir.iterdir()
+        if f.name.endswith(".parquet") and f.name not in pre0
+    ]
+    for n in strays0:
+        (victim_dir / n).unlink()
+
+    # the retry (the caller never saw success) reconciles the intent
+    # — deleting the remaining strays — then appends the full batch
+    append_to_ann_index(batch, path)
+    assert not (root / "_ann_append_intent.json").exists()
+    append_to_ann_index(batch, twin)
+
+    qs = _queries(emb)
+    got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    want = _as_set(ann_index_topk(spark, twin, qs, k=5, multiprobe=1))
+    assert got == want
+    # the revert was surgical: no duplicate vec_ids anywhere
+    ids = spark.read.parquet(path).groupBy("vec_id").count()
+    assert ids.where(F.col("count") > 1).count() == 0
+
+
+def test_rebuild_over_live_index_is_swap_protected(spark, tmp_path,
+                                                   monkeypatch):
+    """write_ann_index over a LIVE index must not overwrite in place:
+    a crash before the swap leaves the old index serving identical
+    answers; a crash between the two swap renames is diagnosed loudly
+    by probes and rolled forward by the next maintenance entry."""
+    import pytest
+
+    from webstruct_spark.operators.similarity import read_ann_meta
+    from webstruct_spark.plans import fsio
+
+    emb = _embeddings(spark)
+    base = emb.where(F.col("vec_id") < 200)
+    path = str(tmp_path / "idx")
+    write_ann_index(base, path, kind="lsh", n_planes=6)
+    qs = _queries(emb)
+    before = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+
+    # window 1: killed at the FIRST swap rename — the fully built tmp
+    # is an orphan, the live index never stopped serving
+    real_rename = fsio.rename
+
+    def crash_at_first_rename(s, a, b):
+        raise RuntimeError("simulated crash at swap start")
+
+    with monkeypatch.context() as m:
+        m.setattr(fsio, "rename", crash_at_first_rename)
+        with pytest.raises(RuntimeError, match="swap start"):
+            write_ann_index(emb, path, kind="lsh", n_planes=6)
+    assert _as_set(
+        ann_index_topk(spark, path, qs, k=5, multiprobe=1)
+    ) == before
+
+    # window 2: killed BETWEEN the two renames — live absent, old +
+    # complete tmp present.  Probes refuse with the rebuild diagnosis
+    # instead of a bare missing-path error...
+    calls = {"n": 0}
+
+    def crash_between_renames(s, a, b):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between renames")
+        return real_rename(s, a, b)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsio, "rename", crash_between_renames)
+        with pytest.raises(RuntimeError, match="between renames"):
+            write_ann_index(emb, path, kind="lsh", n_planes=6)
+    with pytest.raises(RuntimeError, match="rebuild swap crashed"):
+        read_ann_meta(spark, path)
+
+    # ...and ANY maintenance entry settles it (an empty append is the
+    # cheapest): the complete tmp rolls forward
+    append_to_ann_index(emb.where(F.col("vec_id") < 0), path)
+    twin = str(tmp_path / "twin")
+    write_ann_index(emb, twin, kind="lsh", n_planes=6)
+    got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    want = _as_set(ann_index_topk(spark, twin, qs, k=5, multiprobe=1))
+    assert got == want
+    root = tmp_path
+    leftovers = [
+        d.name for d in root.iterdir()
+        if "__ann_rebuild" in d.name
+    ]
+    assert leftovers == []
+
+
 def test_compact_uri_route(spark, tmp_path, monkeypatch):
     """Build + append + compact + probe over a file: URI with the
     driver-local-FS tripwire armed: the whole maintenance cycle works

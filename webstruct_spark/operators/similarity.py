@@ -21,11 +21,14 @@ distributed and the single-node gold path, so comparisons are exact.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
+import time
 from typing import Iterator, List, Set, Tuple
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -284,8 +287,26 @@ def _write_ann_meta(spark: SparkSession, path: str, meta: dict) -> None:
 
 def read_ann_meta(spark: SparkSession, path: str) -> dict:
     """Read the one-row ``_ann_meta.parquet`` sidecar (via Spark, so
-    any Hadoop-visible filesystem works)."""
-    r = spark.read.parquet(_sidecar(path, "_ann_meta.parquet")).first()
+    any Hadoop-visible filesystem works).  A missing sidecar with a
+    ``.__ann_rebuild_old__`` sibling present is the one shape a
+    READER can see of a rebuild crashed between its two swap renames
+    — diagnosed loudly (run any maintenance entry to settle) instead
+    of surfacing as a bare missing-path error that reads like the
+    index was never built."""
+    from ..plans import fsio
+
+    meta_path = _sidecar(path, "_ann_meta.parquet")
+    if not fsio.exists(spark, meta_path) and fsio.exists(
+        spark, path + _ANN_REBUILD_OLD
+    ):
+        raise RuntimeError(
+            "ann index at %r: rebuild swap crashed between its two "
+            "renames (the old index is intact at %r) — run "
+            "write_ann_index / append_to_ann_index / "
+            "compact_ann_index (their entry repair settles it) "
+            "before probing" % (path, path + _ANN_REBUILD_OLD)
+        )
+    r = spark.read.parquet(meta_path).first()
     meta = {"kind": r["kind"], "dim": int(r["dim"])}
     if r["n_planes"] is not None:
         meta["n_planes"] = int(r["n_planes"])
@@ -356,6 +377,80 @@ def _bucketized(
     return src.mapInPandas(bucketize, out_schema)
 
 
+# whole-index rebuild swap markers (sibling DIRS of the index path —
+# the per-bucket _ANN_TMP/_ANN_OLD markers live INSIDE it)
+_ANN_REBUILD_TMP = ".__ann_rebuild_tmp__"
+_ANN_REBUILD_OLD = ".__ann_rebuild_old__"
+
+
+def _build_index_at(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    target: str,
+    kind: str,
+    state: np.ndarray,
+    meta: dict,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Write the full index layout (bucket-partitioned data +
+    centroid sidecar + meta sidecar) at ``target``.  The meta sidecar
+    is written LAST on purpose: its presence is the completeness
+    marker the rebuild-swap repair trusts (a crash anywhere earlier
+    leaves a metaless dir that reads as incomplete)."""
+    (
+        _bucketized(embeddings, kind, state, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(target)
+    )
+    if kind == "ivf":
+        cent_rows = [
+            (int(i), [float(x) for x in row])
+            for i, row in enumerate(state)
+        ]
+        # repartition(1), not coalesce(1) — see _write_ann_meta
+        spark.createDataFrame(
+            cent_rows, "cell int, centroid array<float>"
+        ).repartition(1).write.mode("overwrite").parquet(
+            _sidecar(target, "_ann_centroids.parquet")
+        )
+    _write_ann_meta(spark, target, meta)
+
+
+def _repair_ann_rebuild(spark: SparkSession, path: str) -> str:
+    """Settle a crashed whole-index rebuild swap (see
+    :func:`write_ann_index`'s live-rebuild path).  Windows, in
+    protocol order: rebuild-tmp alone → pre-swap orphan, drop it;
+    old present + live ABSENT → between the two renames — roll
+    FORWARD when the tmp is complete (meta sidecar present — written
+    last), else roll BACK to the old index; old + live both present →
+    post-swap crash, finish the old delete.  Called at every
+    maintenance entry (append / compact / rebuild); read-only probes
+    instead get a loud diagnosis from :func:`read_ann_meta`.  Returns
+    the repair state ("clean" when nothing was pending)."""
+    from ..plans import fsio
+
+    tmp = path + _ANN_REBUILD_TMP
+    old = path + _ANN_REBUILD_OLD
+    if fsio.exists(spark, old):
+        if fsio.exists(spark, path):
+            fsio.delete(spark, tmp)
+            fsio.delete(spark, old)
+            return "finished_swap"
+        if fsio.exists(spark, _sidecar(tmp, "_ann_meta.parquet")):
+            fsio.rename(spark, tmp, path)
+            fsio.delete(spark, old)
+            return "rolled_forward"
+        fsio.delete(spark, tmp)
+        fsio.rename(spark, old, path)
+        return "rolled_back"
+    if fsio.exists(spark, tmp):
+        fsio.delete(spark, tmp)
+        return "dropped_tmp"
+    return "clean"
+
+
 def write_ann_index(
     embeddings: DataFrame,
     path: str,
@@ -378,7 +473,22 @@ def write_ann_index(
     the metadata dict (also written as a one-row
     ``_ann_meta.parquet`` sidecar through Spark, so the index works
     on any Hadoop-visible filesystem — the driver never needs a POSIX
-    view of ``path``)."""
+    view of ``path``).
+
+    Rebuilding OVER a live index (the append policy's skew-triggered
+    retrain) does NOT overwrite in place — ``mode('overwrite')``
+    deletes the live index at write start, so a crash anywhere in a
+    100 TB-scale rebuild would leave probes with nothing to serve and
+    nothing to roll back to, for as long as the redo takes.  Instead
+    the new index is built at a ``.__ann_rebuild_tmp__`` sibling
+    (meta sidecar written last = completeness marker) and swapped in
+    with the same two-rename protocol as compaction; the old index
+    keeps serving probes for the whole build, and every crash window
+    is settled by :func:`_repair_ann_rebuild` at the next
+    maintenance entry (probes mid-swap get a loud diagnosis from
+    :func:`read_ann_meta` instead of a bare missing-path error)."""
+    from ..plans import fsio
+
     spark = embeddings.sparkSession
     first = embeddings.select(vec_col).first()
     if first is None:
@@ -397,24 +507,21 @@ def write_ann_index(
                 "dim": dim}
     else:
         raise ValueError("kind must be 'lsh' or 'ivf'")
-    (
-        _bucketized(embeddings, kind, state, id_col, vec_col)
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    if kind == "ivf":
-        cent_rows = [
-            (int(i), [float(x) for x in row])
-            for i, row in enumerate(state)
-        ]
-        # repartition(1), not coalesce(1) — see _write_ann_meta
-        spark.createDataFrame(
-            cent_rows, "cell int, centroid array<float>"
-        ).repartition(1).write.mode("overwrite").parquet(
-            _sidecar(path, "_ann_centroids.parquet")
-        )
-    _write_ann_meta(spark, path, meta)
+    _repair_ann_rebuild(spark, path)
+    live = fsio.exists(spark, _sidecar(path, "_ann_meta.parquet"))
+    if not live:
+        # first build (or a metaless partial first build — nothing
+        # servable to protect): write directly
+        _build_index_at(spark, embeddings, path, kind, state, meta,
+                        id_col, vec_col)
+        return meta
+    tmp = path + _ANN_REBUILD_TMP
+    old = path + _ANN_REBUILD_OLD
+    _build_index_at(spark, embeddings, tmp, kind, state, meta,
+                    id_col, vec_col)
+    fsio.rename(spark, path, old)
+    fsio.rename(spark, tmp, path)
+    fsio.delete(spark, old)
     return meta
 
 
@@ -444,21 +551,39 @@ def append_to_ann_index(
     :func:`write_ann_index` (optionally seeding ``centroids=`` from
     the old quantizer's cells).  Returns the (unchanged) meta dict.
 
-    Idempotence: ``mode('append')`` is at-least-once — re-running a
-    COMPLETED append duplicates its vec_ids, after which probes can
-    return the same neighbor in several top-k slots.  Either make the
-    retry decision upstream (the write either committed or it
-    didn't), or pass ``skip_existing_ids=True`` to anti-join the new
-    batch against the index's current ids first — exact, but costs a
-    full id-column scan of the index, so it is opt-in rather than the
-    default at 100 TB."""
+    Crash safety: the multi-bucket append is NOT atomic — a driver
+    kill during the job commit can leave a visible SUBSET of the
+    batch's part files (some buckets gained files, others did not),
+    and "the write either committed or it didn't" would be false.
+    Every append therefore writes a tiny write-ahead intent sidecar
+    first (``_ann_append_intent.json``: the touched buckets' pre-
+    write part-file listings), cleared only after the write lands;
+    the next maintenance entry (append / compact / rebuild)
+    reconciles a pending intent by deleting exactly the stray files,
+    restoring the pre-append state so the caller's retry is clean —
+    neither duplicated nor silently half-applied.  A retry after a
+    FULLY landed write still duplicates (the intent was cleared);
+    pass ``skip_existing_ids=True`` to anti-join the new batch
+    against the index's current ids first — exact, but costs a full
+    id-column scan of the index, so it is opt-in rather than the
+    default at 100 TB.  Probes never refuse on a pending intent (a
+    partial batch adds uncommitted extras, it never loses committed
+    vectors), matching the KG side's read-vs-repair split."""
+    from ..plans import fsio
+
     spark = new_embeddings.sparkSession
+    # settle a crashed whole-index rebuild first (live dir may be one
+    # rename away), then read the meta the repair may have restored
+    _repair_ann_rebuild(spark, path)
     meta = read_ann_meta(spark, path)
-    # repair any crashed-compact leftovers BEFORE writing: appending
-    # into a bucket whose live dir is mid-swap (tmp+old present, live
-    # absent) would recreate the live dir with only the new batch —
-    # the one shape _repair_ann_compaction refuses to untangle.  One
-    # dir listing when there is nothing to repair.
+    # settle a prior crashed APPEND (delete its stray part files so
+    # this run starts from disk == committed), then any crashed-
+    # compact leftovers: appending into a bucket whose live dir is
+    # mid-swap (tmp+old present, live absent) would recreate the live
+    # dir with only the new batch — the one shape
+    # _repair_ann_compaction refuses to untangle.  One dir listing
+    # each when there is nothing to repair.
+    _reconcile_ann_append_intent(spark, path)
     _repair_ann_compaction(spark, path)
     # fail-fast dim check on the first non-null vector; ragged or
     # null vectors deeper in the batch are caught executor-side by
@@ -487,13 +612,96 @@ def append_to_ann_index(
         state = _planes(meta["n_planes"], meta["dim"])
     else:
         state = _read_centroids(spark, path)
-    (
-        _bucketized(new_embeddings, meta["kind"], state, id_col, vec_col)
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
+    bucketized = _bucketized(
+        new_embeddings, meta["kind"], state, id_col, vec_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # the intent needs the TOUCHED buckets' pre-write listings;
+        # persisting the bucketized delta means the bucket-set agg
+        # and the write share one bucketize pass over the batch
+        touched = sorted(
+            r["bucket"]
+            for r in bucketized.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return meta  # all rows filtered (skip_existing_ids)
+        root = set(fsio.listdir_names(spark, path))
+        pre: dict = {}
+        for b in touched:
+            dname = "bucket=%d" % b
+            if dname in root:
+                pre[dname] = sorted(
+                    n
+                    for n in fsio.listdir_names(
+                        spark, _sidecar(path, dname)
+                    )
+                    if n.endswith(".parquet")
+                )
+            else:
+                pre[dname] = []
+        # no-clobber atomic write: a concurrent append (maintenance
+        # contract violation) fails HERE, loudly, before any data
+        # write — not after interleaving part files
+        fsio.write_text_atomic(
+            spark, _sidecar(path, _ANN_INTENT),
+            json.dumps({"utc_ns": time.time_ns(), "pre": pre}),
+        )
+        bucketized.write.mode("append").partitionBy("bucket").parquet(
+            path
+        )
+        fsio.delete(spark, _sidecar(path, _ANN_INTENT), recursive=False)
+    finally:
+        bucketized.unpersist()
     return meta
+
+
+_ANN_INTENT = "_ann_append_intent.json"
+
+
+def _reconcile_ann_append_intent(spark: SparkSession, path: str) -> dict:
+    """Settle a crashed :func:`append_to_ann_index`: a pending intent
+    sidecar means a prior append died between its intent write and
+    its clear — the batch may be HALF-visible (some buckets gained
+    part files, others did not; Spark's job commit is not atomic
+    across partition dirs).  Reverting to the intent's pre-write
+    listings restores exactly the committed state, so the upstream
+    retry that is coming anyway (the caller never saw success)
+    re-appends the whole batch once — exactly-once from the caller's
+    perspective, with no index-wide id scan.  Returns
+    ``{bucket_dir: n_strays_deleted}``."""
+    from ..plans import fsio
+
+    ipath = _sidecar(path, _ANN_INTENT)
+    if not fsio.exists(spark, ipath):
+        return {}
+    it = json.loads(fsio.read_text(spark, ipath))
+    reverted: dict = {}
+    for dname in sorted(it.get("pre", {})):
+        pre_set = set(it["pre"][dname])
+        bdir = _sidecar(path, dname)
+        listing = fsio.listdir_if_exists(spark, bdir)
+        if listing is None:
+            continue
+        n_strays = 0
+        remaining = 0
+        for n, _ in listing:
+            if not n.endswith(".parquet"):
+                continue
+            if n in pre_set:
+                remaining += 1
+            else:
+                fsio.delete(spark, fsio.join(bdir, n), recursive=False)
+                n_strays += 1
+        if not pre_set and not remaining:
+            # the crashed append CREATED this bucket dir — drop it so
+            # partition discovery never sees an empty phantom bucket
+            fsio.delete(spark, bdir)
+        if n_strays:
+            reverted[dname] = n_strays
+    # job-temp leftovers of the crashed write
+    fsio.delete(spark, _sidecar(path, "_temporary"))
+    fsio.delete(spark, ipath, recursive=False)
+    return reverted
 
 
 def ann_index_cell_skew(spark: SparkSession, path: str) -> float:
@@ -724,6 +932,12 @@ def compact_ann_index(
             "compact_ann_index: target_bytes must be positive, got %r"
             % (target_bytes,)
         )
+    # settle crashed sibling maintenance first: a crashed whole-index
+    # rebuild (live dir one rename away), then a crashed append's
+    # stray part files — compacting strays would launder an
+    # uncommitted half-batch into the compacted file set
+    _repair_ann_rebuild(spark, path)
+    _reconcile_ann_append_intent(spark, path)
     # the repair's post-repair name set is current under the
     # serialized-maintenance contract — reusing it saves the second
     # root LIST every scheduled compact would otherwise pay
