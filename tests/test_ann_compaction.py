@@ -323,6 +323,13 @@ def test_rebuild_over_live_index_is_swap_protected(spark, tmp_path,
             write_ann_index(emb, path, kind="lsh", n_planes=6)
     with pytest.raises(RuntimeError, match="rebuild swap crashed"):
         read_ann_meta(spark, path)
+    # the skew monitor — the very reader that drives rebuilds — gets
+    # the same loud diagnosis, not a bare missing-path error that
+    # reads like the index was never built
+    from webstruct_spark.operators.similarity import ann_index_cell_skew
+
+    with pytest.raises(RuntimeError, match="rebuild swap crashed"):
+        ann_index_cell_skew(spark, path)
 
     # ...and ANY maintenance entry settles it (an empty append is the
     # cheapest): the complete tmp rolls forward

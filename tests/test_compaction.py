@@ -280,6 +280,56 @@ def test_non_compact_entries_repair_crashed_swap(spark, kg_built,
     )
 
 
+def test_entry_repair_does_not_launder_stale_layout(spark, kg_built,
+                                                    tmp_path):
+    """A compaction crashed mid-swap under layout N, then the library
+    is upgraded (layout N+1): the entry-time repair must settle the
+    DIR (roll the swap forward, drop the marker) but must NOT
+    re-commit — ``Manifest.commit`` stamps the CURRENT layout, which
+    would launder the old-layout record past ``is_committed``'s
+    layout-bump refusal and let a resume serve old-schema data.
+    ``compact_kg`` refuses this state outright; the entries repair
+    the files and leave the stale record to the normal rebuild
+    path."""
+    from webstruct_spark.plans.compaction import (
+        repair_crashed_compactions,
+    )
+
+    stage = "mentions"
+    out = _copy_kg(kg_built, tmp_path)
+    path = out + "/" + stage
+    rows = _stage_rows(spark, out, stage)
+    spark.read.parquet(path).coalesce(1).write.parquet(path + SUF_TMP)
+    fsio.rename(spark, path, path + SUF_OLD)
+
+    # an upgraded library: same out_dir, bumped layout version
+    man = Manifest(out, layout_version="~tests-bumped-layout~",
+                   spark=spark, create=False)
+    states = repair_crashed_compactions(spark, man)
+    assert states[stage] == "rolled_forward"
+    assert _stage_rows(spark, out, stage) == rows  # data settled
+    assert not fsio.exists(spark, path + SUF_OLD)  # marker dropped
+    assert not fsio.exists(spark, path + SUF_TMP)
+    rec = man.committed()[stage]
+    assert rec["layout"] != man.layout_version  # NOT re-stamped
+    assert not man.is_committed(stage, rec=rec)  # rebuild path holds
+
+    # control: under the ORIGINAL layout the same crash shape IS
+    # re-committed (fresh lineage, marker dropped) — the guard only
+    # bites on a layout mismatch
+    out2 = _copy_kg(kg_built, str(tmp_path / "same_layout"))
+    path2 = out2 + "/" + stage
+    spark.read.parquet(path2).coalesce(1).write.parquet(path2 + SUF_TMP)
+    fsio.rename(spark, path2, path2 + SUF_OLD)
+    man2 = Manifest(out2, layout_version=rec["layout"], spark=spark,
+                    create=False)
+    states2 = repair_crashed_compactions(spark, man2)
+    assert states2[stage] == "rolled_forward"
+    rec2 = man2.committed()[stage]
+    assert rec2["inputs"][0].startswith("compact:")
+    assert man2.is_committed(stage, rec=rec2)
+
+
 def test_refuses_row_mismatch_and_unknown_stage(spark, kg_built, tmp_path):
     out = _copy_kg(kg_built, tmp_path)
     path = out + "/mentions"

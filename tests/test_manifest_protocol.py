@@ -104,6 +104,74 @@ def test_records_tolerates_compact_records_race(tmp_path, monkeypatch):
         raise AssertionError("expected a persistent read error to raise")
 
 
+def test_records_tolerates_legacy_manifest_vanish(tmp_path, monkeypatch):
+    """The legacy ``manifest.jsonl`` read races compact_records() too
+    — it deletes that file LAST, strictly after its snapshot (which
+    folds every legacy line) is on disk.  A vanish between the
+    exists() probe and the read must fall through to the manifest.d
+    pass (whose listing, starting after the vanish, necessarily
+    includes the snapshot = the post-compaction view), not crash a
+    scheduled read-only audit into rc 1.  A read failure with the
+    file still present stays a hard error."""
+    man = Manifest(str(tmp_path / "kg"), spark=None)
+    legacy = dict(
+        stage="extracted", layout=man.layout_version, inputs=[],
+        rows_out=10, n_files=1, bytes=1, files=[], wall_sec=0.0,
+        committed_utc_ns=time.time_ns(),
+    )
+    with open(man.path, "w") as f:
+        f.write(json.dumps(legacy) + "\n")
+    assert [r["stage"] for r in man.records()] == ["extracted"]
+
+    real_read = fsio.read_text
+
+    def racing_read(spark, path):
+        if path == man.path:
+            # concurrent compact_records(): snapshot written FIRST,
+            # then the legacy file deleted, then our in-flight read
+            # fails the way the deleted file would
+            snap = dict(
+                type="snapshot", records=[legacy],
+                committed_utc_ns=time.time_ns(),
+            )
+            fsio.write_text_atomic(
+                None,
+                fsio.join(
+                    man.records_dir,
+                    "rec-%020d-%06d-%07d-snapshot.json"
+                    % (snap["committed_utc_ns"], 99, os.getpid()),
+                ),
+                json.dumps(snap),
+            )
+            os.remove(man.path)
+            raise FileNotFoundError(path)
+        return real_read(spark, path)
+
+    import webstruct_spark.plans.manifest as manifest_mod
+
+    monkeypatch.setattr(manifest_mod.fsio, "read_text", racing_read)
+    after = man.records()
+    assert {r["stage"]: r["rows_out"] for r in after} == {"extracted": 10}
+
+    # persistent failure with the legacy file still present is NOT
+    # the benign race — it must raise, never be read as "no legacy"
+    with open(man.path, "w") as f:
+        f.write(json.dumps(legacy) + "\n")
+
+    def broken_read(spark, path):
+        if path == man.path:
+            raise IOError("disk says no: %s" % path)
+        return real_read(spark, path)
+
+    monkeypatch.setattr(manifest_mod.fsio, "read_text", broken_read)
+    try:
+        man.records()
+    except IOError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected a persistent read error to raise")
+
+
 def test_overwrite_landed_proof_is_intent_stamp_not_clock(tmp_path):
     """reconcile_intents' landed proof for an overwrite intent: the
     commit record stamps the intent name it was written under, and

@@ -713,7 +713,12 @@ def ann_index_cell_skew(spark: SparkSession, path: str) -> float:
     silently skip the absent live bucket — if that was the hot
     bucket, the reported skew DROPS and the rebuild trigger is
     suppressed, the same silent-miss shape the probe guard exists
-    for."""
+    for.  And like the probes it goes through :func:`read_ann_meta`
+    first, so a rebuild crashed between its two swap renames is
+    diagnosed loudly ("run maintenance to settle") instead of
+    surfacing as a bare missing-path error — the skew monitor is
+    exactly the reader that runs right after rebuilds."""
+    read_ann_meta(spark, path)
     _check_no_torn_swap(spark, path)
     row = (
         spark.read.parquet(path)

@@ -235,6 +235,31 @@ def _compact_dir(
     return out
 
 
+def _recommit_and_drop_marker(spark, man: Manifest, stage: str,
+                              rec: dict, wall: float) -> None:
+    """Protocol step 5 then 6, in THAT order — the crash-safety-
+    critical invariant, expressed once for the crashed-swap retry
+    (both the :func:`compact_kg` branch and the entry-time
+    :func:`repair_crashed_compactions`) and the fresh compaction:
+    re-commit the lineage FIRST (same source identity, fresh physical
+    file list, delta provenance carried forward), and only then drop
+    the ``__compact_old__`` marker.  A crash between the two leaves
+    the marker, so the next run lands back in the retry branch and
+    repeats the re-commit; drop-first would strand the stale record
+    forever (the following run would see "clean" + already-compact
+    and skip the commit)."""
+    from .pipeline import STAGE_INPUTS
+
+    man.commit(
+        stage, wall,
+        inputs=["compact:%s" % i
+                for i in STAGE_INPUTS.get(stage, [stage])],
+        source_fp=rec.get("source_fp"),
+        extra=_delta_provenance(rec),
+    )
+    fsio.delete(spark, man.stage_path(stage) + SUF_OLD)
+
+
 def repair_crashed_compactions(spark, man: Manifest) -> Dict[str, str]:
     """Settle crashed :func:`compact_kg` swaps at a NON-compact entry
     (build resume / append / refresh-gazetteer call this right after
@@ -258,7 +283,7 @@ def repair_crashed_compactions(spark, man: Manifest) -> Dict[str, str]:
     would (re-commit same source identity + fresh physical lineage +
     delta provenance, THEN drop the marker).  Returns
     ``{stage_or_side_table: repair_state}`` for non-clean states."""
-    from .pipeline import CONV_IDS, STAGE_INPUTS
+    from .pipeline import CONV_IDS
 
     listing = fsio.listdir_if_exists(spark, man.out_dir)
     if listing is None:
@@ -276,19 +301,19 @@ def repair_crashed_compactions(spark, man: Manifest) -> Dict[str, str]:
             if committed is None:
                 committed = man.committed()
             rec = committed.get(stage)
-            if rec is not None:
-                # protocol step 5 then 6 (same order-invariant as
-                # compact_kg._recommit_and_drop_marker): re-commit
-                # the lineage FIRST so a crash in between lands back
-                # here, never in a "clean" state with stale lineage
-                man.commit(
-                    stage, 0.0,
-                    inputs=["compact:%s" % i
-                            for i in STAGE_INPUTS.get(stage, [stage])],
-                    source_fp=rec.get("source_fp"),
-                    extra=_delta_provenance(rec),
-                )
-            fsio.delete(spark, path + SUF_OLD)
+            if rec is not None and \
+                    rec.get("layout", "1") == man.layout_version:
+                _recommit_and_drop_marker(spark, man, stage, rec, 0.0)
+            else:
+                # no record, or a record from an OLDER table layout:
+                # re-committing would stamp the current layout onto
+                # old-layout data, laundering it past is_committed's
+                # layout-bump refusal (compact_kg refuses this state
+                # outright).  Settle the dir, drop the marker, and
+                # leave the record as-is — the stage reads
+                # uncommitted/stale and the calling entry rebuilds or
+                # refuses exactly as it would for any stale stage.
+                fsio.delete(spark, path + SUF_OLD)
         if state != "clean":
             out[stage] = state
     conv_path = fsio.join(man.out_dir, CONV_IDS)
@@ -323,7 +348,7 @@ def compact_kg(
     or if a stage's on-disk row total disagrees with its manifest
     record (refusing to launder corruption into a "compacted" table).
     """
-    from .pipeline import CONV_IDS, LAYOUT_VERSION, STAGE_INPUTS
+    from .pipeline import CONV_IDS, LAYOUT_VERSION
 
     # read-only handle until the preamble proves a committed base —
     # a compact against a typo'd out_dir must refuse without leaving
@@ -352,27 +377,6 @@ def compact_kg(
         )
     man.ensure_dirs()
 
-    def _recommit_and_drop_marker(stage: str, rec: dict,
-                                  wall: float) -> None:
-        """Protocol step 5 then 6, in THAT order — the crash-safety-
-        critical invariant, expressed once for both the crashed-swap
-        retry and the fresh compaction: re-commit the lineage FIRST
-        (same source identity, fresh physical file list, delta
-        provenance carried forward), and only then drop the
-        ``__compact_old__`` marker.  A crash between the two leaves
-        the marker, so the next run lands back in the retry branch
-        and repeats the re-commit; drop-first would strand the stale
-        record forever (the following run would see "clean" +
-        already-compact and skip the commit)."""
-        man.commit(
-            stage, wall,
-            inputs=["compact:%s" % i
-                    for i in STAGE_INPUTS.get(stage, [stage])],
-            source_fp=rec.get("source_fp"),
-            extra=_delta_provenance(rec),
-        )
-        fsio.delete(spark, man.stage_path(stage) + SUF_OLD)
-
     for stage in stages:
         path = man.stage_path(stage)
         state = _repair(spark, path)
@@ -384,7 +388,7 @@ def compact_kg(
             )
         if state in ("rolled_forward", "finished_swap"):
             # step 5 retry for the crashed swap _repair just finished
-            _recommit_and_drop_marker(stage, rec, 0.0)
+            _recommit_and_drop_marker(spark, man, stage, rec, 0.0)
             # the retry's re-commit refreshed the record's physical
             # lineage — reload it so the listing-vs-record check in
             # _compact_dir judges the repaired dir against its OWN
@@ -397,7 +401,8 @@ def compact_kg(
             expected_bytes=rec.get("bytes"),
         )
         if res["compacted"]:
-            _recommit_and_drop_marker(stage, rec, time.time() - t0)
+            _recommit_and_drop_marker(spark, man, stage, rec,
+                                      time.time() - t0)
         res["repair"] = state
         results[stage] = res
 

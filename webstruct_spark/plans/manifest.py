@@ -143,7 +143,20 @@ class Manifest:
         something other than the benign race and raises."""
         out: List[dict] = []
         if fsio.exists(self.spark, self.path):
-            lines = fsio.read_text(self.spark, self.path).splitlines()
+            try:
+                lines = fsio.read_text(self.spark, self.path).splitlines()
+            except Exception:
+                if fsio.exists(self.spark, self.path):
+                    raise
+                # the legacy file vanished between exists() and the
+                # read: compact_records deletes it LAST, strictly
+                # after writing its snapshot, so the snapshot file —
+                # which folds every legacy line — is already on disk
+                # and the manifest.d pass below (whose listing starts
+                # after this failure) necessarily includes it.
+                # Returning only the record files is exactly the
+                # post-compaction view; no retry needed.
+                lines = []
             for i, line in enumerate(lines):
                 line = line.strip()
                 if not line:
