@@ -416,3 +416,86 @@ def test_probe_refuses_torn_swap_instead_of_dropping_bucket(
     assert ("bucket=" + b) in out["repaired"]
     got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
     assert got == want
+
+
+def test_rebuild_settles_crashed_append_then_crashed_compact(
+    spark, tmp_path, monkeypatch
+):
+    """A skew-triggered rebuild whose input derives from READING the
+    live index (the natural shape: re-bucket the stored vectors with
+    a bigger quantizer) must settle pending maintenance state at
+    entry, like the other two maintenance entries — otherwise a
+    crashed append's uncommitted half-batch is laundered into the
+    rebuilt index (the caller's retry then duplicates those ids
+    forever), and a bucket mid-compact-swap is silently DROPPED from
+    the rebuild (its live dir is absent, so partition discovery never
+    sees its rows).  The two crash states cannot COEXIST (every
+    serialized maintenance entry settles both before doing work), so
+    each window is exercised in sequence against the same index."""
+    import pytest
+
+    from webstruct_spark.operators.similarity import rebuild_ann_index
+    from webstruct_spark.plans import fsio
+
+    emb = _embeddings(spark)
+    base = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "idx")
+    write_ann_index(base, path, kind="lsh", n_planes=6)
+    root = tmp_path / "idx"
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+
+    # window 1 — crashed APPEND: the batch landed but the intent was
+    # never cleared; the caller saw a failure and will retry, so the
+    # landed part files are uncommitted strays
+    real_delete = fsio.delete
+
+    def crashing_delete(s, p, recursive=True):
+        if p.endswith("_ann_append_intent.json"):
+            raise RuntimeError("simulated crash before intent clear")
+        return real_delete(s, p, recursive)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsio, "delete", crashing_delete)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            append_to_ann_index(batch, path)
+    assert (root / "_ann_append_intent.json").exists()
+
+    rebuild_ann_index(spark, path, n_planes=8)
+    rebuilt_ids = {
+        r["vec_id"] for r in
+        spark.read.parquet(path).select("vec_id").collect()
+    }
+    # no laundering: the crashed append's uncommitted batch is gone
+    # from the rebuilt index, and the intent was reconciled away
+    assert rebuilt_ids == base_ids
+    assert not (root / "_ann_append_intent.json").exists()
+
+    # window 2 — crashed per-bucket COMPACT on the rebuilt index: one
+    # bucket mid-swap (verified tmp + old, live absent)
+    b = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )[0][len("bucket="):]
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_tmp_b" + b))
+    (root / ("bucket=" + b)).rename(root / ("_compact_old_b" + b))
+
+    rebuild_ann_index(spark, path)  # same-shape rebalance (meta dims)
+    rebuilt_ids = {
+        r["vec_id"] for r in
+        spark.read.parquet(path).select("vec_id").collect()
+    }
+    # no dropped bucket: the mid-swap live dir was rolled forward
+    # BEFORE the rebuild read its input, so every vector survived
+    assert rebuilt_ids == base_ids
+    leftovers = [
+        d.name for d in root.iterdir() if d.name.startswith("_compact_")
+    ]
+    assert leftovers == []
+    # the twice-rebuilt index answers exactly like a fresh build with
+    # the same (deterministic) quantizer
+    qs = _queries(base)
+    got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    twin = str(tmp_path / "twin")
+    write_ann_index(base, twin, kind="lsh", n_planes=8)
+    want = _as_set(ann_index_topk(spark, twin, qs, k=5, multiprobe=1))
+    assert got == want

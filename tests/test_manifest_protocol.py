@@ -104,6 +104,78 @@ def test_records_tolerates_compact_records_race(tmp_path, monkeypatch):
         raise AssertionError("expected a persistent read error to raise")
 
 
+def test_records_survives_whole_compaction_delete_loop(
+    tmp_path, monkeypatch
+):
+    """ONE compact_records() deletes O(history) superseded files one
+    by one (an object-store RPC each), so a concurrent reader can hit
+    a vanished file on EVERY file it touches — many more vanishes
+    than the retry bound.  After the first restart the fresh listing
+    contains the snapshot, so every further vanish from the same
+    delete loop must be skipped IN-PASS (the snapshot proves the
+    fold), not spent as another retry: a bound-exhaustion crash here
+    turns a healthy scheduled audit into the rc-1 'audit code broke'
+    class.  This simulates the delete loop staying one file ahead of
+    the reader for the whole pass."""
+    man = Manifest(str(tmp_path / "kg"), spark=None)
+    stages = ["s%02d" % i for i in range(6)]
+    for i, s in enumerate(stages):
+        _write_record(man, s, i, rows_out=i)
+    before = man.records()
+    assert [r["stage"] for r in before] == stages
+
+    real_read = fsio.read_text
+    state = {"snap_written": False, "listing_passes": 0}
+    snap_prefix = "rec-99999999999999999999"  # sorts after everything
+
+    def delete_loop_read(spark, path):
+        name = os.path.basename(path)
+        # snapshot reads succeed; original record files each vanish
+        # just before their read, exactly as a delete loop running
+        # ahead of the reader produces
+        if name.endswith("-snapshot.json"):
+            return real_read(spark, path)
+        if path.endswith(".json"):
+            if not state["snap_written"]:
+                state["snap_written"] = True
+                snap = dict(
+                    type="snapshot", records=before,
+                    committed_utc_ns=time.time_ns(),
+                )
+                fsio.write_text_atomic(
+                    None,
+                    fsio.join(
+                        man.records_dir,
+                        snap_prefix + "-000099-0000001-snapshot.json",
+                    ),
+                    json.dumps(snap),
+                )
+            os.remove(path)
+            raise FileNotFoundError(path)
+        return real_read(spark, path)
+
+    import webstruct_spark.plans.manifest as manifest_mod
+
+    real_list = fsio.listdir_names
+
+    def counting_list(spark, path):
+        state["listing_passes"] += 1
+        return real_list(spark, path)
+
+    monkeypatch.setattr(manifest_mod.fsio, "read_text", delete_loop_read)
+    monkeypatch.setattr(
+        manifest_mod.fsio, "listdir_names", counting_list
+    )
+    after = man.records()
+    assert {r["stage"]: r["rows_out"] for r in after} == {
+        s: i for i, s in enumerate(stages)
+    }
+    # one restart absorbs the whole delete loop: pass 1 hits the
+    # first vanish (no snapshot listed yet) and restarts; pass 2
+    # lists the snapshot and skips every further vanish in-pass
+    assert state["listing_passes"] == 2, state["listing_passes"]
+
+
 def test_records_tolerates_legacy_manifest_vanish(tmp_path, monkeypatch):
     """The legacy ``manifest.jsonl`` read races compact_records() too
     — it deletes that file LAST, strictly after its snapshot (which

@@ -490,6 +490,25 @@ def write_ann_index(
     from ..plans import fsio
 
     spark = embeddings.sparkSession
+    _repair_ann_rebuild(spark, path)
+    live = fsio.exists(spark, _sidecar(path, "_ann_meta.parquet"))
+    if live:
+        # settle a crashed APPEND and a crashed per-bucket COMPACT
+        # before ANY action on `embeddings`, like the other two
+        # maintenance entries: a rebuild whose `embeddings` derive
+        # from reading the live index (e.g. re-bucketing with more
+        # planes/centroids) would otherwise launder a crashed
+        # append's uncommitted half-batch into the new index (the
+        # caller's retry then duplicates those ids forever), and a
+        # bucket mid-swap (live dir absent) would silently drop that
+        # bucket from the rebuilt index.  One root LIST each when
+        # there is nothing to repair.  NOTE: Spark captures a
+        # DataFrame's file listing when the CALLER constructs it —
+        # before these repairs can run — so an index-derived rebuild
+        # should go through :func:`rebuild_ann_index`, which repairs
+        # first and only then reads.
+        _reconcile_ann_append_intent(spark, path)
+        _repair_ann_compaction(spark, path)
     first = embeddings.select(vec_col).first()
     if first is None:
         raise ValueError("cannot build an ANN index over an empty table")
@@ -507,8 +526,6 @@ def write_ann_index(
                 "dim": dim}
     else:
         raise ValueError("kind must be 'lsh' or 'ivf'")
-    _repair_ann_rebuild(spark, path)
-    live = fsio.exists(spark, _sidecar(path, "_ann_meta.parquet"))
     if not live:
         # first build (or a metaless partial first build — nothing
         # servable to protect): write directly
@@ -523,6 +540,59 @@ def write_ann_index(
     fsio.rename(spark, tmp, path)
     fsio.delete(spark, old)
     return meta
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    path: str,
+    kind: str | None = None,
+    n_planes: int | None = None,
+    n_centroids: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> dict:
+    """Retrain a live index FROM ITS OWN stored vectors — the
+    skew-trigger's natural shape (:func:`ann_index_cell_skew` crossed
+    the threshold; re-bucket with a fresh or bigger quantizer).
+
+    Hand-rolling ``write_ann_index(spark.read.parquet(path), path)``
+    is unsafe for one subtle reason: Spark captures the file listing
+    when the CALLER constructs the DataFrame, BEFORE
+    :func:`write_ann_index`'s entry repairs settle pending
+    maintenance state — a crashed append's strays then fail the
+    build scan loudly mid-swap (FILE_NOT_EXIST after the repair
+    deletes them), and a bucket mid-compact-swap is silently MISSING
+    from the stale listing (its restored live dir was never listed),
+    so the rebuilt index drops the whole bucket.  This helper settles
+    every window FIRST and only then reads, so the rebuild input is
+    exactly the committed index.
+
+    Defaults (``kind``/``n_planes``/``n_centroids`` = None) re-use
+    the live meta's values — a same-shape rebalance; override to grow
+    the quantizer.  ``centroids`` passes a frozen pre-trained IVF
+    quantizer through (else one is retrained on the current vectors —
+    the drift policy's retrain step)."""
+    _repair_ann_rebuild(spark, path)
+    meta = read_ann_meta(spark, path)
+    _reconcile_ann_append_intent(spark, path)
+    _repair_ann_compaction(spark, path)
+    kind = kind or meta["kind"]
+    kw: dict = {"kind": kind, "id_col": "vec_id", "vec_col": "vec"}
+    if kind == "lsh":
+        kw["n_planes"] = (
+            n_planes if n_planes is not None
+            else meta.get("n_planes", 8)
+        )
+    else:
+        kw["n_centroids"] = (
+            n_centroids if n_centroids is not None
+            else meta.get("n_centroids", 16)
+        )
+        kw["centroids"] = centroids
+    # listing captured HERE — strictly after the repairs above; the
+    # scan itself executes inside write_ann_index's tmp build, before
+    # the two swap renames touch the live dir
+    stored = spark.read.parquet(path).select("vec_id", "vec")
+    return write_ann_index(stored, path, **kw)
 
 
 def append_to_ann_index(
@@ -548,8 +618,11 @@ def append_to_ann_index(
     centroids).  Rebuild trigger: monitor
     :func:`ann_index_cell_skew`; when max/mean cell size exceeds the
     deployment threshold (≈8 is a reasonable default), retrain with
-    :func:`write_ann_index` (optionally seeding ``centroids=`` from
-    the old quantizer's cells).  Returns the (unchanged) meta dict.
+    :func:`rebuild_ann_index` (optionally seeding ``centroids=`` from
+    the old quantizer's cells) — NOT with a hand-rolled
+    ``write_ann_index(spark.read.parquet(path), path)``, whose file
+    listing is captured before the entry repairs run (see
+    :func:`rebuild_ann_index`).  Returns the (unchanged) meta dict.
 
     Crash safety: the multi-bucket append is NOT atomic — a driver
     kill during the job commit can leave a visible SUBSET of the
@@ -584,7 +657,12 @@ def append_to_ann_index(
     # _repair_ann_compaction refuses to untangle.  One dir listing
     # each when there is nothing to repair.
     _reconcile_ann_append_intent(spark, path)
-    _repair_ann_compaction(spark, path)
+    # keep the repair's post-repair root name set: it stays current
+    # until our own intent write (maintenance entries are serialized
+    # by contract and nothing below mutates the root), so the
+    # pre-write bucket listings reuse it instead of paying a second
+    # root LIST per scheduled append
+    _, root_names = _repair_ann_compaction(spark, path)
     # fail-fast dim check on the first non-null vector; ragged or
     # null vectors deeper in the batch are caught executor-side by
     # _bucketized's per-batch dimension guard with the same message
@@ -625,7 +703,7 @@ def append_to_ann_index(
         )
         if not touched:
             return meta  # all rows filtered (skip_existing_ids)
-        root = set(fsio.listdir_names(spark, path))
+        root = root_names  # post-repair listing, see entry preamble
         pre: dict = {}
         for b in touched:
             dname = "bucket=%d" % b

@@ -85,6 +85,17 @@ def table_fingerprint(path: str, spark=None) -> dict:
     return {"rows": rows, "bytes": nbytes, "n_files": len(files)}
 
 
+class _VanishedRecordError(Exception):
+    """A ``manifest.d`` record file disappeared between the listing
+    and its read, with no later ``-snapshot.json`` in the SAME
+    listing to prove its content was folded — the one retryable read
+    race (:meth:`Manifest.compact_records` deletes superseded files
+    strictly after writing its snapshot, so the retry's fresh listing
+    necessarily includes that snapshot).  A dedicated exception keeps
+    the retry condition race-free across concurrent reader threads —
+    no shared mutable flag on the instance."""
+
+
 class Manifest:
     """Commit records are one file each (see module docstring); the
     per-instance lock only serializes the sequence counter that breaks
@@ -110,7 +121,6 @@ class Manifest:
         self.records_dir = fsio.join(out_dir, self.RECORDS_DIR)
         self._lock = threading.Lock()
         self._seq = 0
-        self._last_read_vanished = False
         if create:
             fsio.mkdirs(spark, self.records_dir)
 
@@ -138,9 +148,14 @@ class Manifest:
         vanished record's content lives in a snapshot we never
         listed), so a vanish restarts the listing+read pass: the
         retry's listing includes the snapshot that superseded the
-        vanished file.  Bounded retries — manifest compaction is a
-        rare scheduled event, so a second concurrent vanish means
-        something other than the benign race and raises."""
+        vanished file, and every FURTHER vanish from that same
+        compaction (it deletes O(history) superseded files one by
+        one) is then skipped in-pass because the snapshot proving the
+        fold is already in the listing — one compaction costs at most
+        one retry, however many files it deletes.  Bounded retries —
+        manifest compaction is a rare scheduled event, so a third
+        consecutive listing-predates-snapshot restart means something
+        other than the benign race and raises."""
         out: List[dict] = []
         if fsio.exists(self.spark, self.path):
             try:
@@ -174,21 +189,34 @@ class Manifest:
             try:
                 out_files = self._read_record_files()
                 break
-            except Exception:
-                # only the vanished-file race retries: every file we
-                # failed on must now be GONE (deleted by a concurrent
-                # compact_records); a file that still exists failed
-                # for a real reason
-                if attempt == 2 or not self._last_read_vanished:
+            except _VanishedRecordError:
+                # only the vanished-file race retries (real read and
+                # parse errors raise as themselves above); see the
+                # docstring for why one retry absorbs a whole
+                # compaction's delete loop
+                if attempt == 2:
                     raise
         return out + out_files
 
     def _read_record_files(self) -> List[dict]:
-        """One listing+read pass over ``manifest.d``; sets
-        ``_last_read_vanished`` when the read failed because the file
-        disappeared after the listing (the compact_records race —
-        retryable), as opposed to a real read/parse error."""
-        self._last_read_vanished = False
+        """One listing+read pass over ``manifest.d``.  A file that
+        vanishes after the listing (the compact_records delete race)
+        is SKIPPED when the same listing already holds a later
+        ``-snapshot.json``: the compactor writes its snapshot
+        strictly before any delete and only deletes names sorting
+        BEFORE it, so the vanished file's content is folded into (or
+        last-wins-superseded by) a record this pass will still read.
+        (That inference leans on the serialized-maintenance contract:
+        commits never race compact_records, so a record whose name
+        sorts before a snapshot was fully committed before that
+        snapshot's compaction computed its fold — an in-flight commit
+        whose timestamp predates a concurrent snapshot could
+        otherwise escape the fold while satisfying the name test.)
+        Without such a snapshot the listing predates the snapshot
+        write and skipping could lose the record — raise
+        :class:`_VanishedRecordError` so :meth:`records` restarts
+        with a fresh listing.  Real read/parse errors raise as
+        themselves."""
         out: List[dict] = []
         # a read-only handle (create=False) may point at a dir that
         # was never built — no records, not an error
@@ -196,16 +224,22 @@ class Manifest:
             sorted(fsio.listdir_names(self.spark, self.records_dir))
             if fsio.exists(self.spark, self.records_dir) else []
         )
-        for name in names:
-            if not name.endswith(".json"):
-                continue  # .tmp orphans of crashed commits
+        json_names = [n for n in names if n.endswith(".json")]
+        for name in json_names:
+            # non-.json names (.tmp orphans of crashed commits) were
+            # filtered above
             fpath = fsio.join(self.records_dir, name)
             try:
                 text = fsio.read_text(self.spark, fpath)
             except Exception:
-                if not fsio.exists(self.spark, fpath):
-                    self._last_read_vanished = True
-                raise
+                if fsio.exists(self.spark, fpath):
+                    raise  # failed for a real reason, not the race
+                if any(
+                    n > name and n.endswith("-snapshot.json")
+                    for n in json_names
+                ):
+                    continue  # folded into a snapshot we will read
+                raise _VanishedRecordError(name)
             # records are tmp+rename'd, so a torn one cannot exist —
             # an unparsable record is real corruption and raises
             rec = json.loads(text)
