@@ -319,3 +319,52 @@ def test_empty_committed_stage_survives_prewrite_crash(tmp_path):
     assert res["links"] == "intact"
     assert os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
     assert man.intents() == []
+
+
+def test_user_snapshot_like_stage_is_no_fold_proof(tmp_path, monkeypatch):
+    """The vanish-skip proof must match the COMPACTOR's exact record
+    name shape (``rec-<20d>-<6d>-<7d>-snapshot.json``), not any name
+    that merely ends ``-snapshot.json``: a user stage named
+    'db-snapshot' produces such a name, and treating it as fold-proof
+    would silently DROP a vanished record (stage reported
+    uncommitted → spurious recompute) instead of retrying.  The stage
+    name 'snapshot' itself — the one name the regex cannot tell apart
+    — is rejected at commit() time."""
+    import pytest
+
+    from webstruct_spark.plans.manifest import _VanishedRecordError
+
+    man = Manifest(str(tmp_path / "kg"), spark=None)
+    victim = _write_record(man, "aa_victim", 0)
+    time.sleep(0.001)
+    _write_record(man, "db-snapshot", 1)  # sorts after the victim
+
+    real_read = fsio.read_text
+    real_exists = fsio.exists
+
+    # the victim stays LISTED (the compactor's delete loop runs one
+    # step ahead of the reader every pass) but reads as vanished
+    def vanishing_read(spark, path):
+        if os.path.basename(path) == victim:
+            raise FileNotFoundError(path)
+        return real_read(spark, path)
+
+    def vanished_exists(spark, path):
+        if os.path.basename(path) == victim:
+            return False
+        return real_exists(spark, path)
+
+    import webstruct_spark.plans.manifest as manifest_mod
+
+    monkeypatch.setattr(manifest_mod.fsio, "read_text", vanishing_read)
+    monkeypatch.setattr(manifest_mod.fsio, "exists", vanished_exists)
+    # the user record is NOT proof the victim was folded — records()
+    # must exhaust its retries and surface the vanish, not skip it
+    with pytest.raises(_VanishedRecordError):
+        man.records()
+
+    # and the truly ambiguous stage name is refused outright
+    monkeypatch.setattr(manifest_mod.fsio, "read_text", real_read)
+    monkeypatch.setattr(manifest_mod.fsio, "exists", real_exists)
+    with pytest.raises(ValueError, match="reserved"):
+        man.commit("snapshot", wall_sec=0.0)

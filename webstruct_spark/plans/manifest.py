@@ -37,11 +37,23 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 from typing import Dict, List, Optional
 
 from . import fsio
+
+# the exact shape compact_records gives its snapshot file — stage
+# slot literally "snapshot".  The vanish-skip proof below must match
+# THIS, not a bare "-snapshot.json" suffix, or a user stage named
+# "foo-snapshot" (whose record name also ends "-snapshot.json")
+# would count as fold-proof and let a vanished record be silently
+# dropped instead of retried.  A stage named exactly "snapshot" is
+# rejected in commit() for the same reason.
+_SNAPSHOT_NAME_RE = re.compile(
+    r"^rec-\d{20}-\d{6}-\d{7}-snapshot\.json$"
+)
 
 # sentinel distinguishing "key absent from the record" from a None
 # value in the projection comparison below
@@ -202,7 +214,8 @@ class Manifest:
         """One listing+read pass over ``manifest.d``.  A file that
         vanishes after the listing (the compact_records delete race)
         is SKIPPED when the same listing already holds a later
-        ``-snapshot.json``: the compactor writes its snapshot
+        snapshot record (exact compactor name shape, see
+        :data:`_SNAPSHOT_NAME_RE`): the compactor writes its snapshot
         strictly before any delete and only deletes names sorting
         BEFORE it, so the vanished file's content is folded into (or
         last-wins-superseded by) a record this pass will still read.
@@ -225,21 +238,31 @@ class Manifest:
             if fsio.exists(self.spark, self.records_dir) else []
         )
         json_names = [n for n in names if n.endswith(".json")]
+        # the single latest snapshot name decides every vanish in the
+        # pass (computed once — a compaction delete-loop makes nearly
+        # every file vanish, and an any() rescan per vanish would be
+        # O(n^2) in history size)
+        max_snap = max(
+            (n for n in json_names if _SNAPSHOT_NAME_RE.match(n)),
+            default="",
+        )
         for name in json_names:
             # non-.json names (.tmp orphans of crashed commits) were
             # filtered above
             fpath = fsio.join(self.records_dir, name)
             try:
                 text = fsio.read_text(self.spark, fpath)
-            except Exception:
+            except Exception as exc:
                 if fsio.exists(self.spark, fpath):
                     raise  # failed for a real reason, not the race
-                if any(
-                    n > name and n.endswith("-snapshot.json")
-                    for n in json_names
-                ):
+                if max_snap > name:
                     continue  # folded into a snapshot we will read
-                raise _VanishedRecordError(name)
+                raise _VanishedRecordError(
+                    "record %s vanished from %s with no later "
+                    "snapshot in the same listing (listing predates "
+                    "a compaction's snapshot write, or files are "
+                    "vanishing without one)" % (name, self.records_dir)
+                ) from exc
             # records are tmp+rename'd, so a torn one cannot exist —
             # an unparsable record is real corruption and raises
             rec = json.loads(text)
@@ -330,6 +353,14 @@ class Manifest:
         delta — O(delta) per commit instead of O(total files ever
         written), and each record's ``files`` lineage lists only what
         that commit added (``files_delta: true``)."""
+        if stage == "snapshot":
+            # its record file would be name-indistinguishable from a
+            # compact_records snapshot, breaking the vanish-skip
+            # proof in _read_record_files
+            raise ValueError(
+                "stage name 'snapshot' is reserved for "
+                "compact_records history folds"
+            )
         path = self.stage_path(stage)
         if only_files is not None:
             if prior_rec is None:
