@@ -499,3 +499,106 @@ def test_rebuild_settles_crashed_append_then_crashed_compact(
     write_ann_index(base, twin, kind="lsh", n_planes=8)
     want = _as_set(ann_index_topk(spark, twin, qs, k=5, multiprobe=1))
     assert got == want
+
+
+def test_external_rebuild_recovers_refused_compact_shape(
+    spark, tmp_path
+):
+    """The tmp+live+old shape refuses every READING maintenance entry
+    (see test_threeway_crash_shape_refused_nothing_deleted) — but the
+    operator's documented LAST-RESORT recovery is a full retrain from
+    the external source table, and write_ann_index's swap replaces
+    the whole live root, refused dirs included.  Blocking THAT entry
+    on the same refusal (as the entry repair briefly did) would force
+    manual filesystem surgery on a caller whose input never reads the
+    live buckets at all."""
+    emb, path = _fragmented_index(spark, tmp_path, name="wholesale")
+    root = tmp_path / "wholesale"
+    b = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )[0][len("bucket="):]
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_tmp_b" + b))
+    shutil.copytree(root / ("bucket=" + b), root / ("_compact_old_b" + b))
+
+    # external-source rebuild proceeds (pre-fix: RuntimeError) ...
+    write_ann_index(emb, path, kind="lsh", n_planes=6)
+    # ... and the swap removed the refused shape with the old root
+    leftovers = [
+        d.name for d in root.iterdir() if d.name.startswith("_compact_")
+    ]
+    assert leftovers == []
+    # the recovered index answers exactly like a fresh twin build
+    qs = _queries(emb)
+    got = _as_set(ann_index_topk(spark, path, qs, k=5, multiprobe=1))
+    twin = str(tmp_path / "wholesale_twin")
+    write_ann_index(emb, twin, kind="lsh", n_planes=6)
+    want = _as_set(ann_index_topk(spark, twin, qs, k=5, multiprobe=1))
+    assert got == want
+
+
+def test_rebuild_refuses_kind_param_mismatch(spark, tmp_path):
+    """A quantizer parameter that does not match the RESOLVED kind
+    must raise, not be silently dropped: rebuild(..., n_centroids=32)
+    on an LSH index is a caller who meant to migrate to IVF but
+    forgot kind='ivf' — handing back a same-shape LSH rebuild leaves
+    their skew problem in place with no warning."""
+    import pytest
+
+    from webstruct_spark.operators.similarity import rebuild_ann_index
+
+    emb = _embeddings(spark, n=120)
+    lsh = str(tmp_path / "mm_lsh")
+    write_ann_index(emb, lsh, kind="lsh", n_planes=6)
+    with pytest.raises(ValueError, match="kind='lsh'.*n_centroids"):
+        rebuild_ann_index(spark, lsh, n_centroids=32)
+    with pytest.raises(ValueError, match="kind='lsh'.*centroids"):
+        rebuild_ann_index(
+            spark, lsh, centroids=np.zeros((4, 16), dtype=np.float32)
+        )
+    ivf = str(tmp_path / "mm_ivf")
+    write_ann_index(emb, ivf, kind="ivf", n_centroids=8)
+    with pytest.raises(ValueError, match="kind='ivf'.*n_planes"):
+        rebuild_ann_index(spark, ivf, n_planes=8)
+    # the explicit-migration spellings still work
+    meta = rebuild_ann_index(spark, lsh, kind="ivf", n_centroids=4)
+    assert meta["kind"] == "ivf" and meta["n_centroids"] == 4
+
+
+def test_rebuild_runs_each_entry_repair_once(
+    spark, tmp_path, monkeypatch
+):
+    """rebuild_ann_index's preamble already settles every crash
+    window; write_ann_index must not repeat the pass (two extra root
+    LISTs plus existence RPCs per scheduled rebuild on an object
+    store — the same duplicate cost the append path's cached listing
+    eliminates)."""
+    import webstruct_spark.operators.similarity as sim
+
+    emb = _embeddings(spark, n=120)
+    path = str(tmp_path / "once")
+    write_ann_index(emb, path, kind="lsh", n_planes=6)
+
+    calls = {"rebuild": 0, "intent": 0, "compact": 0}
+    real = (
+        sim._repair_ann_rebuild,
+        sim._reconcile_ann_append_intent,
+        sim._repair_ann_compaction,
+    )
+
+    def wrap(key, fn):
+        def inner(*a, **kw):
+            calls[key] += 1
+            return fn(*a, **kw)
+        return inner
+
+    monkeypatch.setattr(
+        sim, "_repair_ann_rebuild", wrap("rebuild", real[0])
+    )
+    monkeypatch.setattr(
+        sim, "_reconcile_ann_append_intent", wrap("intent", real[1])
+    )
+    monkeypatch.setattr(
+        sim, "_repair_ann_compaction", wrap("compact", real[2])
+    )
+    sim.rebuild_ann_index(spark, path)
+    assert calls == {"rebuild": 1, "intent": 1, "compact": 1}, calls

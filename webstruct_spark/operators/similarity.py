@@ -460,6 +460,7 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    _prerepaired: bool = False,
 ) -> dict:
     """Materialize a bucket-partitioned ANN index at ``path``.
 
@@ -490,25 +491,25 @@ def write_ann_index(
     from ..plans import fsio
 
     spark = embeddings.sparkSession
-    _repair_ann_rebuild(spark, path)
+    if not _prerepaired:
+        _repair_ann_rebuild(spark, path)
     live = fsio.exists(spark, _sidecar(path, "_ann_meta.parquet"))
-    if live:
-        # settle a crashed APPEND and a crashed per-bucket COMPACT
-        # before ANY action on `embeddings`, like the other two
-        # maintenance entries: a rebuild whose `embeddings` derive
-        # from reading the live index (e.g. re-bucketing with more
-        # planes/centroids) would otherwise launder a crashed
-        # append's uncommitted half-batch into the new index (the
-        # caller's retry then duplicates those ids forever), and a
-        # bucket mid-swap (live dir absent) would silently drop that
-        # bucket from the rebuilt index.  One root LIST each when
-        # there is nothing to repair.  NOTE: Spark captures a
-        # DataFrame's file listing when the CALLER constructs it —
-        # before these repairs can run — so an index-derived rebuild
-        # should go through :func:`rebuild_ann_index`, which repairs
-        # first and only then reads.
+    if live and not _prerepaired:
+        # settle a crashed APPEND and a crashed per-bucket COMPACT so
+        # the old index serves clean probes for the whole tmp build.
+        # `embeddings` here is by contract an EXTERNAL source (an
+        # index-derived rebuild must go through
+        # :func:`rebuild_ann_index`, whose preamble repairs BEFORE the
+        # caller's DataFrame captures its file listing and which then
+        # passes ``_prerepaired=True`` to skip this duplicate pass) —
+        # so a compact shape the repair refuses to untangle is
+        # tolerated in place (``on_unrepairable='keep'``) rather than
+        # raised: the two-rename swap below replaces the whole live
+        # root, refused dirs included, making this entry the
+        # documented wholesale recovery from those shapes.  One root
+        # LIST each when there is nothing to repair.
         _reconcile_ann_append_intent(spark, path)
-        _repair_ann_compaction(spark, path)
+        _repair_ann_compaction(spark, path, on_unrepairable="keep")
     first = embeddings.select(vec_col).first()
     if first is None:
         raise ValueError("cannot build an ANN index over an empty table")
@@ -576,6 +577,34 @@ def rebuild_ann_index(
     _reconcile_ann_append_intent(spark, path)
     _repair_ann_compaction(spark, path)
     kind = kind or meta["kind"]
+    # cross-check quantizer params against the RESOLVED kind before
+    # anything runs: silently dropping a mismatched one (n_centroids=
+    # on what resolves to an LSH rebuild — the caller who meant to
+    # migrate to IVF but forgot kind='ivf') would hand back a
+    # same-shape rebuild with no warning and leave their skew problem
+    # in place
+    if kind == "lsh" and (
+        n_centroids is not None or centroids is not None
+    ):
+        raise ValueError(
+            "rebuild of %r resolves to kind='lsh' (stored meta) but "
+            "got IVF parameter(s) %s — pass kind='ivf' to migrate the "
+            "index, or drop them" % (
+                path,
+                ", ".join(
+                    p for p, v in (
+                        ("n_centroids", n_centroids),
+                        ("centroids", centroids),
+                    ) if v is not None
+                ),
+            )
+        )
+    if kind == "ivf" and n_planes is not None:
+        raise ValueError(
+            "rebuild of %r resolves to kind='ivf' (stored meta) but "
+            "got LSH parameter n_planes — pass kind='lsh' to migrate "
+            "the index, or drop it" % path
+        )
     kw: dict = {"kind": kind, "id_col": "vec_id", "vec_col": "vec"}
     if kind == "lsh":
         kw["n_planes"] = (
@@ -590,9 +619,14 @@ def rebuild_ann_index(
         kw["centroids"] = centroids
     # listing captured HERE — strictly after the repairs above; the
     # scan itself executes inside write_ann_index's tmp build, before
-    # the two swap renames touch the live dir
+    # the two swap renames touch the live dir.  _prerepaired: this
+    # preamble already ran the full repair set, so write_ann_index
+    # skips its duplicate pass (two root LISTs + existence RPCs per
+    # scheduled rebuild on an object store) — safe under the
+    # serialized-maintenance contract: nothing between here and the
+    # swap mutates the index root
     stored = spark.read.parquet(path).select("vec_id", "vec")
-    return write_ann_index(stored, path, **kw)
+    return write_ann_index(stored, path, _prerepaired=True, **kw)
 
 
 def append_to_ann_index(
@@ -842,7 +876,7 @@ _ANN_OLD = "_compact_old_b"
 
 
 def _repair_ann_compaction(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, on_unrepairable: str = "raise"
 ) -> Tuple[List[str], Set[str]]:
     """Finish or roll back a crashed compact (called on every
     compact entry).  Windows, per bucket, in protocol order:
@@ -874,11 +908,21 @@ def _repair_ann_compaction(
     entry pays one LIST, not one LIST plus per-dir existence RPCs.
     The returned name set is current under the same serialized-
     maintenance contract, so callers (compact_ann_index) reuse it
-    instead of paying a second root LIST per maintenance entry."""
+    instead of paying a second root LIST per maintenance entry.
+
+    ``on_unrepairable='keep'`` turns both refusals into leave-in-place
+    skips (the unrepairable bucket's dirs are not touched and not
+    listed as repaired) — ONLY for callers about to replace the whole
+    index tree from an EXTERNAL source (:func:`write_ann_index`'s
+    live-rebuild swap deletes the old root, refused shapes included),
+    where raising would block the wholesale recovery that makes the
+    refusal moot.  Every entry whose input or probes READ the live
+    buckets must keep the default ``'raise'``."""
     from ..plans import fsio
 
     names = set(fsio.listdir_names(spark, path))
     repaired: List[str] = []
+    kept: Set[str] = set()  # buckets left in place under 'keep'
     for n in sorted(names):
         if n.startswith(_ANN_TMP):
             b = n[len(_ANN_TMP):]
@@ -889,6 +933,12 @@ def _repair_ann_compaction(
             live_exists = live_name in names
             old_exists = old_name in names
             if live_exists and old_exists:
+                if on_unrepairable == "keep":
+                    # the old dir below must survive too — deleting
+                    # it would manufacture the pre-swap tmp+live
+                    # shape and a later entry would drop the tmp
+                    kept.add(b)
+                    continue
                 raise RuntimeError(
                     "ann compact repair: %r has tmp, live AND old "
                     "dirs for bucket %s — a between-renames crash "
@@ -918,6 +968,8 @@ def _repair_ann_compaction(
                 names.add(live_name)
                 names.discard(old_name)
             else:
+                if on_unrepairable == "keep":
+                    continue
                 raise RuntimeError(
                     "ann compact repair: %r has a tmp dir but neither "
                     "a live nor an old 'bucket=%s' — not a crash shape "
@@ -931,7 +983,11 @@ def _repair_ann_compaction(
     for n in sorted(names):
         if n.startswith(_ANN_OLD):
             b = n[len(_ANN_OLD):]
+            if b in kept:
+                continue  # part of a shape left intact above
             if ("bucket=" + b) not in names:
+                if on_unrepairable == "keep":
+                    continue
                 raise RuntimeError(
                     "ann compact repair: %r has an old dir for bucket "
                     "%s but no live dir — not a crash shape the swap "
