@@ -509,9 +509,15 @@ def test_external_rebuild_recovers_refused_compact_shape(
     operator's documented LAST-RESORT recovery is a full retrain from
     the external source table, and write_ann_index's swap replaces
     the whole live root, refused dirs included.  Blocking THAT entry
-    on the same refusal (as the entry repair briefly did) would force
-    manual filesystem surgery on a caller whose input never reads the
-    live buckets at all."""
+    on the same refusal would force manual filesystem surgery on a
+    caller whose input never reads the live buckets at all — but
+    write_ann_index cannot VERIFY the input is external (the
+    hand-rolled index-derived misuse the docstrings warn against
+    would lose the refused bucket's only copies), so the bypass is
+    the caller's explicit recover=True assertion, and the default
+    refusal tells them about it."""
+    import pytest
+
     emb, path = _fragmented_index(spark, tmp_path, name="wholesale")
     root = tmp_path / "wholesale"
     b = sorted(
@@ -520,8 +526,15 @@ def test_external_rebuild_recovers_refused_compact_shape(
     shutil.copytree(root / ("bucket=" + b), root / ("_compact_tmp_b" + b))
     shutil.copytree(root / ("bucket=" + b), root / ("_compact_old_b" + b))
 
-    # external-source rebuild proceeds (pre-fix: RuntimeError) ...
-    write_ann_index(emb, path, kind="lsh", n_planes=6)
+    # the default still refuses (guards hand-rolled index-derived
+    # input) and the message points at the recover flag
+    with pytest.raises(RuntimeError, match="recover=True"):
+        write_ann_index(emb, path, kind="lsh", n_planes=6)
+    for prefix in ("bucket=", "_compact_tmp_b", "_compact_old_b"):
+        assert (root / (prefix + b)).exists()
+
+    # the asserted-external rebuild proceeds ...
+    write_ann_index(emb, path, kind="lsh", n_planes=6, recover=True)
     # ... and the swap removed the refused shape with the old root
     leftovers = [
         d.name for d in root.iterdir() if d.name.startswith("_compact_")

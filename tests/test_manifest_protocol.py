@@ -363,8 +363,31 @@ def test_user_snapshot_like_stage_is_no_fold_proof(tmp_path, monkeypatch):
     with pytest.raises(_VanishedRecordError):
         man.records()
 
-    # and the truly ambiguous stage name is refused outright
+    # a compactor snapshot whose seq field OVERFLOWED its %06d pad
+    # (long-lived driver) must still count as fold-proof — the regex
+    # widths are minimums, or the compactor's own snapshot would stop
+    # absorbing its delete loop
+    snap = dict(
+        type="snapshot",
+        records=[dict(stage="aa_victim", rows_out=0)],
+        committed_utc_ns=time.time_ns(),
+    )
+    fsio.write_text_atomic(
+        None,
+        fsio.join(
+            man.records_dir,
+            "rec-99999999999999999999-8888888-0000001-snapshot.json",
+        ),
+        json.dumps(snap),
+    )
+    got = {r["stage"] for r in man.records()}
+    assert "aa_victim" in got and "db-snapshot" in got
+
+    # and the truly ambiguous stage name is refused outright — at
+    # BOTH file-naming entries, before any work runs on its behalf
     monkeypatch.setattr(manifest_mod.fsio, "read_text", real_read)
     monkeypatch.setattr(manifest_mod.fsio, "exists", real_exists)
     with pytest.raises(ValueError, match="reserved"):
         man.commit("snapshot", wall_sec=0.0)
+    with pytest.raises(ValueError, match="reserved"):
+        man.write_intent("snapshot", [], None)

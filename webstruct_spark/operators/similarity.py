@@ -460,6 +460,7 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    recover: bool = False,
     _prerepaired: bool = False,
 ) -> dict:
     """Materialize a bucket-partitioned ANN index at ``path``.
@@ -487,7 +488,17 @@ def write_ann_index(
     keeps serving probes for the whole build, and every crash window
     is settled by :func:`_repair_ann_rebuild` at the next
     maintenance entry (probes mid-swap get a loud diagnosis from
-    :func:`read_ann_meta` instead of a bare missing-path error)."""
+    :func:`read_ann_meta` instead of a bare missing-path error).
+
+    ``recover=True`` asserts that ``embeddings`` is an external
+    source (reads nothing from the live index) and lets the rebuild
+    proceed over a crashed-compact shape the entry repair refuses to
+    untangle — the swap replaces the whole index root, refused dirs
+    included, so a full retrain from source is the wholesale recovery
+    from those shapes.  Never pass it with index-derived input: its
+    file listing is missing the refused bucket's rows (parquet
+    discovery skips the ``_``-prefixed dirs holding their only copy)
+    and the swap would delete them permanently."""
     from ..plans import fsio
 
     spark = embeddings.sparkSession
@@ -496,20 +507,42 @@ def write_ann_index(
     live = fsio.exists(spark, _sidecar(path, "_ann_meta.parquet"))
     if live and not _prerepaired:
         # settle a crashed APPEND and a crashed per-bucket COMPACT so
-        # the old index serves clean probes for the whole tmp build.
-        # `embeddings` here is by contract an EXTERNAL source (an
-        # index-derived rebuild must go through
+        # the old index serves clean probes for the whole tmp build
+        # (an index-derived rebuild must go through
         # :func:`rebuild_ann_index`, whose preamble repairs BEFORE the
         # caller's DataFrame captures its file listing and which then
-        # passes ``_prerepaired=True`` to skip this duplicate pass) —
-        # so a compact shape the repair refuses to untangle is
-        # tolerated in place (``on_unrepairable='keep'``) rather than
-        # raised: the two-rename swap below replaces the whole live
-        # root, refused dirs included, making this entry the
-        # documented wholesale recovery from those shapes.  One root
-        # LIST each when there is nothing to repair.
+        # passes ``_prerepaired=True`` to skip this duplicate pass).
+        # One root LIST each when there is nothing to repair.  A
+        # compact shape the repair refuses to untangle raises by
+        # default — write_ann_index cannot verify that `embeddings`
+        # is external, and for the hand-rolled index-derived misuse
+        # the docstrings warn against (its parquet discovery skips
+        # the _-prefixed dirs holding the bucket's only copy) the
+        # swap below would make the loss permanent.  ``recover=True``
+        # is the caller's assertion that the input IS external, and
+        # downgrades the refusal to leave-in-place: the swap replaces
+        # the whole live root, refused dirs included, so the full
+        # retrain stays the documented wholesale recovery.
         _reconcile_ann_append_intent(spark, path)
-        _repair_ann_compaction(spark, path, on_unrepairable="keep")
+        if recover:
+            _repair_ann_compaction(spark, path, on_unrepairable="keep")
+        else:
+            try:
+                _repair_ann_compaction(spark, path)
+            except RuntimeError as exc:
+                raise RuntimeError(
+                    "live index at %r holds a crashed-compact shape "
+                    "the entry repair refuses to untangle (chained "
+                    "below).  If `embeddings` is an EXTERNAL source "
+                    "— it does not read the live index — re-run with "
+                    "recover=True: the rebuild swap replaces the "
+                    "whole index root, refused shapes included.  If "
+                    "it derives from reading the index, do NOT: its "
+                    "file listing is missing the refused bucket's "
+                    "rows, and the swap would delete their only "
+                    "copies — follow the chained recovery order "
+                    "instead" % path
+                ) from exc
     first = embeddings.select(vec_col).first()
     if first is None:
         raise ValueError("cannot build an ANN index over an empty table")
@@ -576,6 +609,9 @@ def rebuild_ann_index(
     meta = read_ann_meta(spark, path)
     _reconcile_ann_append_intent(spark, path)
     _repair_ann_compaction(spark, path)
+    kind_src = (
+        "explicit kind= argument" if kind else "stored meta"
+    )
     kind = kind or meta["kind"]
     # cross-check quantizer params against the RESOLVED kind before
     # anything runs: silently dropping a mismatched one (n_centroids=
@@ -587,10 +623,10 @@ def rebuild_ann_index(
         n_centroids is not None or centroids is not None
     ):
         raise ValueError(
-            "rebuild of %r resolves to kind='lsh' (stored meta) but "
+            "rebuild of %r resolves to kind='lsh' (from %s) but "
             "got IVF parameter(s) %s — pass kind='ivf' to migrate the "
             "index, or drop them" % (
-                path,
+                path, kind_src,
                 ", ".join(
                     p for p, v in (
                         ("n_centroids", n_centroids),
@@ -601,9 +637,9 @@ def rebuild_ann_index(
         )
     if kind == "ivf" and n_planes is not None:
         raise ValueError(
-            "rebuild of %r resolves to kind='ivf' (stored meta) but "
+            "rebuild of %r resolves to kind='ivf' (from %s) but "
             "got LSH parameter n_planes — pass kind='lsh' to migrate "
-            "the index, or drop it" % path
+            "the index, or drop it" % (path, kind_src)
         )
     kw: dict = {"kind": kind, "id_col": "vec_id", "vec_col": "vec"}
     if kind == "lsh":

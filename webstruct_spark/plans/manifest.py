@@ -49,11 +49,37 @@ from . import fsio
 # THIS, not a bare "-snapshot.json" suffix, or a user stage named
 # "foo-snapshot" (whose record name also ends "-snapshot.json")
 # would count as fold-proof and let a vanished record be silently
-# dropped instead of retried.  A stage named exactly "snapshot" is
-# rejected in commit() for the same reason.
+# dropped instead of retried.  Field widths are minimums, not exact:
+# "%020d-%06d-%07d" only pads — a long-lived driver's seq past
+# 999999 or a pid past 7 digits widens its field, and an exact-width
+# regex would then reject the compactor's OWN snapshot (every vanish
+# in a delete loop would exhaust the retry bound).  The dash
+# separators keep the match unambiguous either way: \d cannot cross
+# a dash, so a record of a digit-named stage like "1234567-snapshot"
+# still has one dash-group too many.  The one truly ambiguous stage
+# name, "snapshot" itself, is rejected in _check_stage_name.
 _SNAPSHOT_NAME_RE = re.compile(
-    r"^rec-\d{20}-\d{6}-\d{7}-snapshot\.json$"
+    r"^rec-\d{20,}-\d{6,}-\d{7,}-snapshot\.json$"
 )
+
+
+def _check_stage_name(stage: str) -> None:
+    """Reject the reserved stage name BEFORE any work happens on its
+    behalf — enforced at both entries that name files after a stage
+    (:meth:`Manifest.write_intent`, :meth:`Manifest.commit`).  The
+    intent-side check matters most: an append-mode stage validated
+    only at commit() time would run its whole (possibly hours-long)
+    Spark write, be refused, and then have the landed files deleted
+    by the next reconcile_intents() as an unlanded commit — silent
+    rollback of real work instead of a zero-cost fail-fast."""
+    if stage == "snapshot":
+        # its record file would be name-indistinguishable from a
+        # compact_records snapshot, breaking the vanish-skip proof
+        # in _read_record_files
+        raise ValueError(
+            "stage name 'snapshot' is reserved for "
+            "compact_records history folds"
+        )
 
 # sentinel distinguishing "key absent from the record" from a None
 # value in the projection comparison below
@@ -353,14 +379,7 @@ class Manifest:
         delta — O(delta) per commit instead of O(total files ever
         written), and each record's ``files`` lineage lists only what
         that commit added (``files_delta: true``)."""
-        if stage == "snapshot":
-            # its record file would be name-indistinguishable from a
-            # compact_records snapshot, breaking the vanish-skip
-            # proof in _read_record_files
-            raise ValueError(
-                "stage name 'snapshot' is reserved for "
-                "compact_records history folds"
-            )
+        _check_stage_name(stage)
         path = self.stage_path(stage)
         if only_files is not None:
             if prior_rec is None:
@@ -463,6 +482,7 @@ class Manifest:
         (e.g. refreshed nodes beside original-gazetteer links)."""
         if kind not in ("append", "overwrite"):
             raise ValueError("intent kind must be append|overwrite")
+        _check_stage_name(stage)
         rec = dict(
             stage=stage,
             kind=kind,
