@@ -615,3 +615,41 @@ def test_rebuild_runs_each_entry_repair_once(
     )
     sim.rebuild_ann_index(spark, path)
     assert calls == {"rebuild": 1, "intent": 1, "compact": 1}, calls
+
+
+def test_metaless_root_with_compact_dirs_requires_recover(
+    spark, tmp_path
+):
+    """_compact_* dirs only exist on crashed maintenance of a
+    once-live index; if the meta sidecar is then lost, the root reads
+    as not-live and the first-build path would mode('overwrite')
+    straight over them — deleting an old-without-live dir that may
+    hold a bucket's only copies with no refusal at all.  The metaless
+    path must demand the same recover=True assertion as the live
+    gate."""
+    import pytest
+
+    emb = _embeddings(spark, n=80)
+    path = str(tmp_path / "metaless")
+    root = tmp_path / "metaless"
+    write_ann_index(emb, path, kind="lsh", n_planes=4)
+    b = sorted(
+        d.name for d in root.iterdir() if d.name.startswith("bucket=")
+    )[0][len("bucket="):]
+    # crashed compact leftover, then the meta sidecar is lost
+    (root / ("bucket=" + b)).rename(root / ("_compact_old_b" + b))
+    shutil.rmtree(root / "_ann_meta.parquet")
+
+    with pytest.raises(RuntimeError, match="recover=True"):
+        write_ann_index(emb, path, kind="lsh", n_planes=4)
+    assert (root / ("_compact_old_b" + b)).exists()
+
+    write_ann_index(emb, path, kind="lsh", n_planes=4, recover=True)
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    assert got == {int(r["vec_id"]) for r in emb.collect()}
+    assert not any(
+        d.name.startswith("_compact_") for d in root.iterdir()
+    )

@@ -540,8 +540,11 @@ def write_ann_index(
                     "it derives from reading the index, do NOT: its "
                     "file listing is missing the refused bucket's "
                     "rows, and the swap would delete their only "
-                    "copies — follow the chained recovery order "
-                    "instead" % path
+                    "copies — see the chained refusal's diagnosis "
+                    "(the three-way shape includes its manual "
+                    "recovery order; the not-a-protocol-shape "
+                    "refusals need the stray dirs inspected and "
+                    "salvaged by hand)" % path
                 ) from exc
     first = embeddings.select(vec_col).first()
     if first is None:
@@ -562,7 +565,31 @@ def write_ann_index(
         raise ValueError("kind must be 'lsh' or 'ivf'")
     if not live:
         # first build (or a metaless partial first build — nothing
-        # servable to protect): write directly
+        # servable to protect): write directly.  EXCEPT when the
+        # metaless root still holds _compact_* dirs — those only
+        # exist on crashed maintenance of a once-live index (the meta
+        # sidecar was lost, not never written), an old-without-live
+        # dir may hold a bucket's only copies, and mode('overwrite')
+        # below deletes them without the swap the refusal gate
+        # protects — so the same recover=True assertion is required
+        # here, or the metaless path would silently bypass the gate
+        if not recover:
+            root_listing = fsio.listdir_if_exists(spark, path)
+            leftovers = sorted(
+                n for n, _sz in (root_listing or [])
+                if n.startswith(_ANN_TMP) or n.startswith(_ANN_OLD)
+            )
+            if leftovers:
+                raise RuntimeError(
+                    "metaless index root %r still holds crashed-"
+                    "compact dirs %s — the meta sidecar of a live "
+                    "index was lost, and an old-without-live dir may "
+                    "hold a bucket's only copies, which this build's "
+                    "overwrite would delete.  Re-run with "
+                    "recover=True if `embeddings` is a complete "
+                    "external source; otherwise salvage the _compact_"
+                    "* dirs first" % (path, leftovers)
+                )
         _build_index_at(spark, embeddings, path, kind, state, meta,
                         id_col, vec_col)
         return meta
