@@ -53,7 +53,18 @@ def _norm(v) -> str:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] in ("-h", "--help"):
+        # without this, "--help" was taken as the sf_dir and the full
+        # ~10-min 42-query suite ran instead of printing usage
+        print(__doc__)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        sys.exit(
+            "check_queries: sf_dir %r does not exist (usage: "
+            "python tools/check_queries.py [sf_dir] [query ...])"
+            % sf_dir
+        )
     only = set(sys.argv[2:])
 
     import duckdb
