@@ -653,3 +653,47 @@ def test_metaless_root_with_compact_dirs_requires_recover(
     assert not any(
         d.name.startswith("_compact_") for d in root.iterdir()
     )
+
+
+def test_rebuild_repair_refuses_metaless_live_beside_old(
+    spark, tmp_path
+):
+    """old + live both present with the LIVE dir metaless is not the
+    post-swap crash shape (the swap only installs complete,
+    meta-bearing builds — meta loss is external damage): finishing
+    the swap would delete the old copy, which may be the only
+    meta-bearing complete index left, and auto-restoring old would
+    silently serve the pre-rebuild index.  Refuse with both copies
+    intact and restoration guidance instead."""
+    import pytest
+
+    from webstruct_spark.operators.similarity import _repair_ann_rebuild
+
+    emb = _embeddings(spark, n=60, dim=8)
+    path = str(tmp_path / "damaged")
+    root = tmp_path / "damaged"
+    write_ann_index(emb, path, kind="lsh", n_planes=4)
+    # fabricate: post-swap crash leftover (old copy), then the live
+    # meta sidecar is lost
+    shutil.copytree(root, tmp_path / "damaged.__ann_rebuild_old__")
+    shutil.rmtree(root / "_ann_meta.parquet")
+
+    with pytest.raises(RuntimeError, match="lost its _ann_meta"):
+        _repair_ann_rebuild(spark, path)
+    # both copies intact, old's meta untouched
+    assert (tmp_path / "damaged.__ann_rebuild_old__"
+            / "_ann_meta.parquet").exists()
+    assert root.exists()
+    # the message guides the meta-bearing restoration
+    with pytest.raises(RuntimeError, match="still carries its meta"):
+        _repair_ann_rebuild(spark, path)
+
+    # the TRUE post-swap crash shape (live meta intact) still
+    # finishes the swap
+    emb2 = _embeddings(spark, n=60, dim=8)
+    p2 = str(tmp_path / "healthy")
+    write_ann_index(emb2, p2, kind="lsh", n_planes=4)
+    shutil.copytree(tmp_path / "healthy",
+                    tmp_path / "healthy.__ann_rebuild_old__")
+    assert _repair_ann_rebuild(spark, p2) == "finished_swap"
+    assert not (tmp_path / "healthy.__ann_rebuild_old__").exists()

@@ -435,6 +435,45 @@ def _repair_ann_rebuild(spark: SparkSession, path: str) -> str:
     old = path + _ANN_REBUILD_OLD
     if fsio.exists(spark, old):
         if fsio.exists(spark, path):
+            if not fsio.exists(spark, _sidecar(path, "_ann_meta.parquet")):
+                # NOT the post-swap crash shape: the swap only ever
+                # renames a complete (meta-bearing, meta written
+                # last) tmp to the live name, so a metaless live dir
+                # beside an old copy means the live meta was LOST
+                # after the swap — external damage, not a protocol
+                # window.  Finishing the swap here would delete what
+                # may be the only meta-bearing complete copy, and
+                # auto-restoring the old copy would silently serve
+                # the PRE-rebuild index (the metaless live dir is
+                # the newer build); refuse with both intact, like
+                # every other non-protocol shape
+                old_has_meta = fsio.exists(
+                    spark, _sidecar(old, "_ann_meta.parquet")
+                )
+                raise RuntimeError(
+                    "ann rebuild repair: live index %r lost its "
+                    "_ann_meta.parquet sidecar while a %s copy "
+                    "exists — not a crash shape the swap protocol "
+                    "can produce (the swap only installs complete, "
+                    "meta-bearing builds), so refusing to delete "
+                    "either copy.  %s  Or retrain from the external "
+                    "source: write_ann_index(..., recover=True) "
+                    "after removing the old copy by hand"
+                    % (
+                        path, _ANN_REBUILD_OLD,
+                        (
+                            "The old copy still carries its meta: "
+                            "restore the PRE-rebuild index by "
+                            "deleting the metaless live dir and "
+                            "renaming the old copy to the live name "
+                            "(accepting that the crashed rebuild's "
+                            "newer input is discarded)."
+                            if old_has_meta else
+                            "The old copy lacks its meta too — "
+                            "neither is complete; salvage by hand."
+                        ),
+                    )
+                )
             fsio.delete(spark, tmp)
             fsio.delete(spark, old)
             return "finished_swap"
@@ -498,7 +537,12 @@ def write_ann_index(
     from those shapes.  Never pass it with index-derived input: its
     file listing is missing the refused bucket's rows (parquet
     discovery skips the ``_``-prefixed dirs holding their only copy)
-    and the swap would delete them permanently."""
+    and the swap would delete them permanently.  On a METALESS root
+    still holding ``_compact_*`` dirs (a once-live index whose meta
+    sidecar was lost) the same assertion is required, but the
+    recovery there is a direct ``mode('overwrite')`` build, NOT the
+    two-rename swap — there is no complete old index to keep serving,
+    so a crash mid-recovery leaves only the partial new build."""
     from ..plans import fsio
 
     spark = embeddings.sparkSession
@@ -546,6 +590,31 @@ def write_ann_index(
                     "refusals need the stray dirs inspected and "
                     "salvaged by hand)" % path
                 ) from exc
+    elif not live and not recover:
+        # metaless root: nothing servable to protect UNLESS it still
+        # holds _compact_* dirs — those only exist on crashed
+        # maintenance of a once-live index (the meta sidecar was
+        # lost, not never written), an old-without-live dir may hold
+        # a bucket's only copies, and the direct mode('overwrite')
+        # build below deletes them without the swap the live gate
+        # protects.  Same recover=True assertion required, checked
+        # HERE — one dir LIST, before any Spark job (first()/k-means)
+        # runs on a doomed build's behalf
+        leftovers = sorted(
+            n for n, _sz in (fsio.listdir_if_exists(spark, path) or [])
+            if n.startswith(_ANN_TMP) or n.startswith(_ANN_OLD)
+        )
+        if leftovers:
+            raise RuntimeError(
+                "metaless index root %r still holds crashed-"
+                "compact dirs %s — the meta sidecar of a live "
+                "index was lost, and an old-without-live dir may "
+                "hold a bucket's only copies, which this build's "
+                "overwrite would delete.  Re-run with "
+                "recover=True if `embeddings` is a complete "
+                "external source; otherwise salvage the _compact_"
+                "* dirs first" % (path, leftovers)
+            )
     first = embeddings.select(vec_col).first()
     if first is None:
         raise ValueError("cannot build an ANN index over an empty table")
@@ -564,32 +633,12 @@ def write_ann_index(
     else:
         raise ValueError("kind must be 'lsh' or 'ivf'")
     if not live:
-        # first build (or a metaless partial first build — nothing
-        # servable to protect): write directly.  EXCEPT when the
-        # metaless root still holds _compact_* dirs — those only
-        # exist on crashed maintenance of a once-live index (the meta
-        # sidecar was lost, not never written), an old-without-live
-        # dir may hold a bucket's only copies, and mode('overwrite')
-        # below deletes them without the swap the refusal gate
-        # protects — so the same recover=True assertion is required
-        # here, or the metaless path would silently bypass the gate
-        if not recover:
-            root_listing = fsio.listdir_if_exists(spark, path)
-            leftovers = sorted(
-                n for n, _sz in (root_listing or [])
-                if n.startswith(_ANN_TMP) or n.startswith(_ANN_OLD)
-            )
-            if leftovers:
-                raise RuntimeError(
-                    "metaless index root %r still holds crashed-"
-                    "compact dirs %s — the meta sidecar of a live "
-                    "index was lost, and an old-without-live dir may "
-                    "hold a bucket's only copies, which this build's "
-                    "overwrite would delete.  Re-run with "
-                    "recover=True if `embeddings` is a complete "
-                    "external source; otherwise salvage the _compact_"
-                    "* dirs first" % (path, leftovers)
-                )
+        # first build (or a metaless root already vetted by the
+        # entry gate above): write directly — NOTE this path is a
+        # plain mode('overwrite'), not the two-rename swap, so with
+        # recover=True on a damaged metaless root a crash mid-build
+        # leaves only the partial new build (there was no complete
+        # old index to keep serving anyway)
         _build_index_at(spark, embeddings, path, kind, state, meta,
                         id_col, vec_col)
         return meta
