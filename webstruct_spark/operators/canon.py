@@ -211,6 +211,49 @@ def canonicalize(
     linked = linked.withColumn(
         "skey", surface_key_col(F.col("entity_type"), F.col("norm_text"))
     )
+    if not fuzzy:
+        # Closed-form labels: without fuzzy edges the graph is
+        # BIPARTITE BY CONSTRUCTION — every edge is (surface skey →
+        # "g:"+canonical_id) and link_surfaces emits at most ONE
+        # canonical_id per surface (normalized_gazetteer aggregates to
+        # one row per (entity_type, alias)), so every component is a
+        # star around one g: node: {g:cid} ∪ {skeys linked to cid}.
+        # Its min-member label is least(g:cid, min skey) — ONE window
+        # pass instead of the O(log n) large-star/small-star loop (per
+        # round: 4 exchanges, 2 localCheckpoints, 2 driver collects;
+        # ~2 s at sf0.1 and a driver-barrier sequence at any scale).
+        # The window partitions by coalesce(canonical_id, skey), so an
+        # unlinked surface is its own partition (no all-NULLs-in-one-
+        # task skew; a cid partition is bounded by its distinct
+        # surface count).  Equality with connected_components_df on
+        # this edge shape is pytest-gated (tests/
+        # test_connected_components.py::test_star_labels_match_cc_loop).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.coalesce("canonical_id", "skey"))
+        label = F.when(
+            F.col("canonical_id").isNotNull(),
+            # F.least skips no NULLs here: both sides are non-null
+            F.least(
+                F.concat(F.lit("g:"), "canonical_id"),
+                F.min("skey").over(w),
+            ),
+        ).otherwise(F.col("skey"))
+        links = linked.select(
+            "entity_type",
+            "norm_text",
+            label.alias("node_id"),
+            "n_mentions",
+        )
+        nodes = links.groupBy("node_id").agg(
+            F.min(F.struct("entity_type", "norm_text"))["entity_type"].alias(
+                "entity_type"
+            ),
+            F.min("norm_text").alias("canonical_text"),
+            F.count(F.lit(1)).cast("int").alias("n_surfaces"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+        return links.select("entity_type", "norm_text", "node_id"), nodes
     # linked feeds THREE consumers (edge list, vertex list, the final
     # label join) — checkpoint the small per-surface table once so
     # the upstream extract+aggregate+gazetteer-join chain doesn't run
@@ -220,13 +263,12 @@ def canonicalize(
         F.col("skey").alias("src"),
         F.concat(F.lit("g:"), "canonical_id").alias("dst"),
     )
-    if fuzzy:
-        edges = edges.union(
-            fuzzy_edges(
-                linked.select("entity_type", "norm_text"),
-                threshold=fuzzy_threshold,
-            )
+    edges = edges.union(
+        fuzzy_edges(
+            linked.select("entity_type", "norm_text"),
+            threshold=fuzzy_threshold,
         )
+    )
     vertices = linked.select(F.col("skey").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
