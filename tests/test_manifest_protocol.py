@@ -172,8 +172,11 @@ def test_records_survives_whole_compaction_delete_loop(
     }
     # one restart absorbs the whole delete loop: pass 1 hits the
     # first vanish (no snapshot listed yet) and restarts; pass 2
-    # lists the snapshot and skips every further vanish in-pass
-    assert state["listing_passes"] == 2, state["listing_passes"]
+    # lists the snapshot, skips every further vanish in-pass, and —
+    # because it skipped — pays ONE verification re-list at the end
+    # proving no newer snapshot appeared mid-pass (the clock-skew
+    # second-compaction race)
+    assert state["listing_passes"] == 3, state["listing_passes"]
 
 
 def test_records_tolerates_legacy_manifest_vanish(tmp_path, monkeypatch):

@@ -271,15 +271,16 @@ def _write_ann_meta(spark: SparkSession, path: str, meta: dict) -> None:
         int(meta["dim"]),
     )
     (
+        # one explicit slice: createDataFrame of a local list would
+        # parallelize into defaultParallelism mostly-empty slices —
+        # coalesce(1) evaluates them SERIALLY through one task (≈ 5 s
+        # of Python-worker round-trips) and repartition(1) pays a
+        # shuffle job (~0.5 s); parallelize(row, 1) is one task, no
+        # shuffle, no extra job.
         spark.createDataFrame(
-            [row], "kind string, n_planes int, n_centroids int, dim int"
+            spark.sparkContext.parallelize([row], 1),
+            "kind string, n_planes int, n_centroids int, dim int",
         )
-        # repartition(1), NOT coalesce(1): createDataFrame of a local
-        # list parallelizes into defaultParallelism slices, and
-        # coalesce(1) evaluates all of them SERIALLY through one task
-        # (one Python-worker round-trip per mostly-empty slice ≈ 5 s
-        # of pure overhead); the one-row shuffle costs ~0.5 s.
-        .repartition(1)
         .write.mode("overwrite")
         .parquet(_sidecar(path, "_ann_meta.parquet"))
     )
@@ -398,9 +399,41 @@ def _build_index_at(
     is written LAST on purpose: its presence is the completeness
     marker the rebuild-swap repair trusts (a crash anywhere earlier
     leaves a metaless dir that reads as incomplete)."""
+    sc = spark.sparkContext
+    n_buckets = int(state.shape[0]) if kind == "ivf" else (
+        1 << int(meta["n_planes"])
+    )
+    # Cluster rows by bucket BEFORE the partitioned write, into an
+    # EXPLICIT task count.  Without this, each write task opens one
+    # file per distinct bucket it holds — measured at sf0.1: the scan
+    # is one partition, so ONE task serially creates all 256 bucket
+    # files (~5.6 s of executorRunTime, the whole build cost); an
+    # AQE-coalescible keyed repartition collapses right back to that
+    # single task (the post-shuffle partitions are tiny), which is why
+    # the explicit numPartitions matters — AQE does not coalesce a
+    # user-specified count.  The key is (bucket, salt): with
+    # n_tasks <= n_buckets the salt is constant (pure bucket hash, one
+    # file per bucket); on a big cluster (n_tasks >> n_buckets) the
+    # deterministic vec_id salt splits each bucket over ~n_tasks/
+    # n_buckets writers so a 100 TB bucket never lands whole in one
+    # task (guide §2.5: derive synthetic keys deterministically, never
+    # from rand()).
+    n_tasks = max(1, sc.defaultParallelism)
+    salt_slots = max(1, -(-n_tasks // n_buckets))
     (
         _bucketized(embeddings, kind, state, id_col, vec_col)
+        .repartition(
+            n_tasks,
+            F.col("bucket"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(salt_slots)),
+        )
         .write.mode("overwrite")
+        # static overwrite pinned: under a cluster-wide
+        # partitionOverwriteMode=dynamic, overwrite would keep stale
+        # bucket=N dirs (and crashed-compact leftovers) that are
+        # absent from the new data — the recover path's deletion
+        # guarantee depends on static semantics
+        .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
         .parquet(target)
     )
@@ -409,10 +442,11 @@ def _build_index_at(
             (int(i), [float(x) for x in row])
             for i, row in enumerate(state)
         ]
-        # repartition(1), not coalesce(1) — see _write_ann_meta
+        # one explicit slice, no shuffle — see _write_ann_meta
         spark.createDataFrame(
-            cent_rows, "cell int, centroid array<float>"
-        ).repartition(1).write.mode("overwrite").parquet(
+            spark.sparkContext.parallelize(cent_rows, 1),
+            "cell int, centroid array<float>",
+        ).write.mode("overwrite").parquet(
             _sidecar(target, "_ann_centroids.parquet")
         )
     _write_ann_meta(spark, target, meta)

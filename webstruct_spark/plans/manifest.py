@@ -272,6 +272,7 @@ class Manifest:
             (n for n in json_names if _SNAPSHOT_NAME_RE.match(n)),
             default="",
         )
+        skipped_vanished = False
         for name in json_names:
             # non-.json names (.tmp orphans of crashed commits) were
             # filtered above
@@ -282,6 +283,7 @@ class Manifest:
                 if fsio.exists(self.spark, fpath):
                     raise  # failed for a real reason, not the race
                 if max_snap > name:
+                    skipped_vanished = True
                     continue  # folded into a snapshot we will read
                 raise _VanishedRecordError(
                     "record %s vanished from %s with no later "
@@ -300,6 +302,32 @@ class Manifest:
                 out.extend(rec["records"])
             else:
                 out.append(rec)
+        if skipped_vanished:
+            # The name-order proof above assumes record names commit
+            # in sorted order ACROSS processes; a writer with a
+            # backward-skewed clock can commit a record that sorts
+            # before an already-listed snapshot, and a SECOND
+            # compaction (snapshot absent from this pass's listing)
+            # may have folded+deleted it mid-pass — its content then
+            # lives only in that unseen snapshot.  One extra LIST on
+            # vanish-bearing passes detects exactly that: a snapshot
+            # newer than this pass's max_snap means the pass raced a
+            # compaction it did not read — restart with a fresh
+            # listing (records() bounds the retries).
+            relist = (
+                sorted(fsio.listdir_names(self.spark, self.records_dir))
+                if fsio.exists(self.spark, self.records_dir) else []
+            )
+            new_max = max(
+                (n for n in relist if _SNAPSHOT_NAME_RE.match(n)),
+                default="",
+            )
+            if new_max > max_snap:
+                raise _VanishedRecordError(
+                    "records vanished while a newer snapshot %s "
+                    "appeared (raced a second compaction) — re-list"
+                    % new_max
+                )
         return out
 
     def committed(self) -> Dict[str, dict]:
