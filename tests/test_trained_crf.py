@@ -448,3 +448,163 @@ def test_prepared_rows_byte_identical(spark):
         prepared.unpersist()
     with pytest.raises(ValueError, match="sample"):
         train_crf_distributed(None, sample=10, prepared=prepared)
+
+
+def test_fit_compact_bit_identical():
+    """fit_compact (dense int-id arrays) must produce byte-identical
+    weights to fit(seqs, feats_per_seq=..., feats_prehashed=True) —
+    warm starts, empty sequences, duplicate features, multi-epoch,
+    and unknown-tag raising included."""
+    import random as _random
+
+    import numpy as _np
+
+    from webstruct_spark.kernel.crf import CRFTagger, token_features
+
+    rng = _random.Random(13)
+    words = ["Acme", "visit", "us", "at", "Springfield", "TX", "77", "@x",
+             "Corp", "on", "Main", "street", "zip", "02134"]
+    types = ("ORG", "CITY", "STATE")
+    tagset = ["O"]
+    for t in types:
+        tagset += ["B-" + t, "I-" + t]
+
+    def mk_seqs(n):
+        seqs = []
+        for _ in range(n):
+            L = rng.randrange(0, 9)  # includes empty sequences
+            toks = [rng.choice(words) for _ in range(L)]
+            tags = []
+            prev = "O"
+            for _i in range(L):
+                if prev == "O":
+                    tags.append(rng.choice(
+                        ["O", "O", "B-ORG", "B-CITY", "B-STATE"]))
+                else:
+                    tags.append(rng.choice(["O", "I" + prev[1:], "B-ORG"]))
+                prev = tags[-1]
+            seqs.append((toks, tags))
+        return seqs
+
+    def compact(seqs, feats):
+        tag_vocab, tag_ix, vocab, vocab_ix = [], {}, [], {}
+        rtc, gid, tfc, fid = [], [], [], []
+        for (toks, tags), sf in zip(seqs, feats):
+            rtc.append(len(toks))
+            for t in tags:
+                if t not in tag_ix:
+                    tag_ix[t] = len(tag_vocab)
+                    tag_vocab.append(t)
+                gid.append(tag_ix[t])
+            for fl in sf:
+                tfc.append(len(fl))
+                for f in fl:
+                    if f not in vocab_ix:
+                        vocab_ix[f] = len(vocab)
+                        vocab.append(f)
+                    fid.append(vocab_ix[f])
+        return (tag_vocab, _np.asarray(rtc, _np.int32),
+                _np.asarray(gid, _np.int32), _np.asarray(tfc, _np.int32),
+                _np.asarray(fid, _np.int32), vocab)
+
+    # warm-start model (one prior fit) -> both paths resume from it,
+    # exercising the untouched-feature passthrough
+    warm = CRFTagger(types).fit(mk_seqs(30), epochs=1)
+    blob = warm.export()
+    for epochs in (1, 2):
+        seqs = mk_seqs(40)
+        feats = [
+            [token_features(toks, i) for i in range(len(toks))]
+            for toks, _t in seqs
+        ]
+        a = CRFTagger.from_export(blob).fit(
+            seqs, epochs=epochs, feats_per_seq=feats, feats_prehashed=True
+        )
+        b = CRFTagger.from_export(blob).fit_compact(
+            *compact(seqs, feats), epochs=epochs
+        )
+        assert a.export() == b.export()
+
+    # unknown gold tag raises on both paths
+    bad = [(["x"], ["B-NOPE"])]
+    bad_feats = [[token_features(["x"], 0)]]
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        CRFTagger(types).fit(bad, feats_per_seq=bad_feats)
+    with _pytest.raises(KeyError):
+        CRFTagger(types).fit_compact(*compact(bad, bad_feats))
+
+
+def test_fit_epoch_native_bit_identical():
+    """The C epoch loop (kernel/_crf_native.c) must be bit-identical
+    to the pure-Python loop it replaces, across random corpora, warm
+    starts and multi-epoch runs."""
+    import random as _random
+
+    import webstruct_spark.kernel.crf as crf_mod
+    from webstruct_spark.kernel.crf import CRFTagger, token_features
+
+    if crf_mod._ccrf() is None:
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler for the native kernel")
+
+    import numpy as _np
+
+    types = ("ORG", "CITY", "TEL")
+    words = ["Acme", "visit", "Main", "St", "77", "tel", "555-0100",
+             "Springfield", "and", "the", "office", "x", "Y"]
+
+    def compact(seqs, feats):
+        tag_vocab, tag_ix, vocab, vocab_ix = [], {}, [], {}
+        rtc, gid, tfc, fid = [], [], [], []
+        for (toks, tags), sf in zip(seqs, feats):
+            rtc.append(len(toks))
+            for t in tags:
+                if t not in tag_ix:
+                    tag_ix[t] = len(tag_vocab)
+                    tag_vocab.append(t)
+                gid.append(tag_ix[t])
+            for fl in sf:
+                tfc.append(len(fl))
+                for f in fl:
+                    if f not in vocab_ix:
+                        vocab_ix[f] = len(vocab)
+                        vocab.append(f)
+                    fid.append(vocab_ix[f])
+        return (tag_vocab, _np.asarray(rtc, _np.int32),
+                _np.asarray(gid, _np.int32), _np.asarray(tfc, _np.int32),
+                _np.asarray(fid, _np.int32), vocab)
+
+    for seed in range(6):
+        rng = _random.Random(100 + seed)
+        seqs = []
+        for _ in range(25):
+            L = rng.randrange(0, 12)
+            toks = [rng.choice(words) for _ in range(L)]
+            tags, prev = [], "O"
+            for _i in range(L):
+                if prev == "O":
+                    tags.append(rng.choice(["O", "O", "B-ORG", "B-CITY"]))
+                else:
+                    tags.append(rng.choice(["O", "I" + prev[1:], "B-TEL"]))
+                prev = tags[-1]
+            seqs.append((toks, tags))
+        feats = [
+            [token_features(toks, i) for i in range(len(toks))]
+            for toks, _t in seqs
+        ]
+        blob = CRFTagger(types).fit(seqs[:10], epochs=1).export()
+        epochs = 1 + (seed % 3)
+        native = CRFTagger.from_export(blob).fit_compact(
+            *compact(seqs, feats), epochs=epochs
+        )
+        saved = crf_mod._CCRF_MOD
+        crf_mod._CCRF_MOD = None  # force the Python oracle loop
+        try:
+            pure = CRFTagger.from_export(blob).fit_compact(
+                *compact(seqs, feats), epochs=epochs
+            )
+        finally:
+            crf_mod._CCRF_MOD = saved
+        assert native.export() == pure.export(), "seed %d" % seed

@@ -36,6 +36,19 @@ from .viterbi import build_tagset, viterbi_decode, viterbi_decode_batch
 
 NEG = -1e9
 
+_CCRF_MOD: object = False  # sentinel: not attempted yet
+
+
+def _ccrf():
+    """Native epoch-loop kernel (or None) — built lazily like the
+    tokenizer kernel; see kernel/_crf_build.py."""
+    global _CCRF_MOD
+    if _CCRF_MOD is False:
+        from ._crf_build import load
+
+        _CCRF_MOD = load()
+    return _CCRF_MOD
+
 
 def _shape(tok: str) -> str:
     out = []
@@ -437,6 +450,158 @@ class CRFTagger:
         self._feat_cache.clear()
         self._reset_batch_caches()  # interned rows depend on weights
         return self
+
+    def fit_compact(
+        self,
+        tag_vocab: Sequence[str],
+        row_tok_counts: np.ndarray,
+        gold_ids: np.ndarray,
+        tok_feat_counts: np.ndarray,
+        feat_ids: np.ndarray,
+        vocab: Sequence[str],
+        epochs: int = 1,
+    ) -> "CRFTagger":
+        """:meth:`fit` over the COMPACT shard representation (int-id
+        arrays + per-shard string vocab) built by
+        ``operators.trained.prepare_fit_rows`` — the cache-friendly
+        twin of ``fit(seqs, epochs=..., feats_per_seq=...,
+        feats_prehashed=True)``.  BYTE-IDENTICAL weights by
+        construction, asserted by tests/test_trained_crf.py::
+        test_fit_compact_bit_identical:
+
+        * emissions accumulate per token in feature order via dense
+          rows ``W[fid]`` — a feature absent from ``self.w`` (and not
+          yet created by an update) contributes an all ``+0.0`` row,
+          and ``x + 0.0 == x`` bit-exactly because no weight vector
+          ever holds ``-0.0`` (updates are ±1.0 from zeros; averaged
+          exports divide positive sums), so the dense add equals the
+          scalar path's skip;
+        * the decode is the same :func:`viterbi_decode`;
+        * updates, the ``c`` counter (empty rows skipped WITHOUT
+          incrementing it), and the final ``w -= u/c`` averaging run
+          the identical float-op sequence;
+        * ``vocab`` entries are FINAL feature names — callers on the
+          hashed path pre-map to bucket strings (feats_prehashed
+          semantics), and warm-start features outside ``vocab`` pass
+          through unchanged exactly as untouched dict entries do.
+        """
+        T = len(self.tags)
+        # unknown gold tags raise KeyError exactly like fit()'s
+        # gold_per_seq construction
+        tag_lut = np.array(
+            [self.tag_index[t] for t in tag_vocab], dtype=np.int64
+        ) if len(tag_vocab) else np.zeros(0, dtype=np.int64)
+        V = len(vocab)
+        W = np.zeros((V, T), dtype=np.float64)
+        existed = np.zeros(V, dtype=bool)
+        for j, f in enumerate(vocab):
+            v = self.w.get(f)
+            if v is not None:
+                W[j] = v
+                existed[j] = True
+        U = np.zeros((V, T), dtype=np.float64)
+        touched = np.zeros(V, dtype=bool)
+        ut = np.zeros((T, T), dtype=np.float64)
+        ui = np.zeros(T, dtype=np.float64)
+        c = 1.0
+        R = len(row_tok_counts)
+        row_tok_off = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(row_tok_counts, out=row_tok_off[1:])
+        feat_off = np.zeros(len(tok_feat_counts) + 1, dtype=np.int64)
+        np.cumsum(tok_feat_counts, out=feat_off[1:])
+        gold_mapped = (
+            tag_lut[gold_ids]
+            if len(gold_ids)
+            else np.zeros(0, dtype=np.int64)
+        )
+        trans = self.trans
+        init = self.init
+        ccrf = _ccrf()
+        if ccrf is not None:
+            # native epoch loop: bit-identical op order (fuzzed vs
+            # this Python loop in test_fit_epoch_native_bit_identical);
+            # mutates W/U/touched/trans/init/ut/ui in place and
+            # returns the advanced averaging counter
+            rtc32 = np.ascontiguousarray(row_tok_counts, dtype=np.int32)
+            tfc32 = np.ascontiguousarray(tok_feat_counts, dtype=np.int32)
+            fid32 = np.ascontiguousarray(feat_ids, dtype=np.int32)
+            c = ccrf.fit_epoch(
+                W, U, touched.view(np.uint8), trans, ut, init, ui,
+                rtc32, np.ascontiguousarray(gold_mapped, dtype=np.int64),
+                tfc32, fid32, c, int(epochs),
+            )
+        else:
+            c = self._fit_compact_epochs_py(
+                W, U, touched, ut, ui, c, epochs,
+                row_tok_counts, gold_mapped, feat_ids,
+                row_tok_off, feat_off,
+            )
+        for j in np.nonzero(touched)[0]:
+            W[j] -= U[j] / c
+        self.trans -= ut / c
+        self.init -= ui / c
+        emit = existed | touched
+        new_w = dict(self.w)
+        for j in np.nonzero(emit)[0]:
+            new_w[vocab[j]] = W[j]
+        self.w = new_w
+        self._feat_cache.clear()
+        self._reset_batch_caches()  # interned rows depend on weights
+        return self
+
+    def _fit_compact_epochs_py(
+        self, W, U, touched, ut, ui, c, epochs,
+        row_tok_counts, gold_mapped, feat_ids, row_tok_off, feat_off,
+    ) -> float:
+        """Pure-Python epoch loop of :meth:`fit_compact` — the
+        differential oracle for the native kernel (and the fallback
+        when no C compiler is available)."""
+        T = len(self.tags)
+        R = len(row_tok_counts)
+        trans = self.trans
+        init = self.init
+        for _ep in range(epochs):
+            for r in range(R):
+                n = int(row_tok_counts[r])
+                if n == 0:
+                    continue
+                t0 = row_tok_off[r]
+                gold = [int(g) for g in gold_mapped[t0 : t0 + n]]
+                em = np.zeros((n, T), dtype=np.float64)
+                for i in range(n):
+                    row = em[i]
+                    for fid in feat_ids[
+                        feat_off[t0 + i] : feat_off[t0 + i + 1]
+                    ]:
+                        row += W[fid]
+                pred = viterbi_decode(em, trans, init=init)
+                if pred != gold:
+                    for i in range(n):
+                        g, p = gold[i], pred[i]
+                        if g != p:
+                            for fid in feat_ids[
+                                feat_off[t0 + i] : feat_off[t0 + i + 1]
+                            ]:
+                                W[fid, g] += 1.0
+                                W[fid, p] -= 1.0
+                                U[fid, g] += c
+                                U[fid, p] -= c
+                                touched[fid] = True
+                        if i == 0:
+                            if g != p:
+                                init[g] += 1.0
+                                init[p] -= 1.0
+                                ui[g] += c
+                                ui[p] -= c
+                        else:
+                            pg, pp = gold[i - 1], pred[i - 1]
+                            if (pg, g) != (pp, p):
+                                trans[pg, g] += 1.0
+                                trans[pp, p] -= 1.0
+                                ut[pg, g] += c
+                                ut[pp, p] -= c
+                c += 1.0
+        return c
 
     def _emissions_train(
         self, feats: Sequence[Sequence[str]], n: int

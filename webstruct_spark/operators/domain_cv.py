@@ -113,11 +113,12 @@ def domain_group_kfold_eval(
     same holds via the scheduler's FIFO interleave of independent
     jobs.
 
-    Memory trade: each in-flight fold persists its own grouped
+    Memory trade: each in-flight fold persists its own compact
     (k-1)/k training cut on top of the shared prepared RDD, so
-    steady-state cache is ~1 + concurrency*(k-1)/k corpus-featurized
-    copies (all MEMORY_AND_DISK — spills, never OOMs).  On
-    memory-tight clusters set fold_concurrency=1 (CLI:
+    steady-state cache is ~1 + concurrency*(k-1)/k compact-featurized
+    copies (all MEMORY_AND_DISK — spills, never OOMs; the compact
+    int-array form is ~20x smaller than the round-4 feature-string
+    cache).  On memory-tight clusters set fold_concurrency=1 (CLI:
     ``--fold-concurrency``) to restore the sequential ~1 + (k-1)/k
     bound."""
     from pyspark import StorageLevel

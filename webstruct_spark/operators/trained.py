@@ -77,17 +77,81 @@ def train_crf_local(
 # -- distributed training (iterated parameter mixing) -------------------
 
 
+def _compact_shard(pid, rows):
+    """One COMPACT per-shard record from ``rows`` = [( (conv_id,
+    turn_idx, text), tag )] ALREADY in full-triple sorted order:
+
+    ``(pid, row_tags, tag_vocab, row_tok_counts, gold_ids,
+    tok_feat_counts, feat_ids, vocab)``
+
+    with int32 id arrays into the per-shard ``tag_vocab`` /  ``vocab``
+    string lists (first-occurrence interning).  This is the ONE
+    compaction both the ``turns=`` and ``prepared=`` paths cache, so
+    their fit inputs are byte-identical BY CONSTRUCTION (and
+    pytest-pinned vs the single-node twin).  Why compact: the cached
+    RDD is re-deserialized by EVERY mixing round and every CV fold —
+    as per-token feature-string lists that unpickle cost ~1 s/round at
+    sf0.1 (it was the dominant trainer cost, >4x the actual perceptron
+    epochs); as flat int arrays it is ~20x smaller and near-free to
+    load.  Feature ORDER per token and row order are exactly the
+    string path's, so :meth:`CRFTagger.fit_compact` replays the
+    identical float-op sequence."""
+    import numpy as np
+
+    from ..kernel.crf import token_features
+
+    row_tags = []
+    tag_vocab: list = []
+    tag_ix: dict = {}
+    vocab: list = []
+    vocab_ix: dict = {}
+    row_tok_counts = []
+    gold_ids = []
+    tok_feat_counts = []
+    feat_ids = []
+    for key, tag in rows:
+        row_tags.append(tag)
+        toks, gtags = labeled_sequences(key[2])
+        row_tok_counts.append(len(toks))
+        for t in gtags:
+            gi = tag_ix.get(t)
+            if gi is None:
+                gi = tag_ix[t] = len(tag_vocab)
+                tag_vocab.append(t)
+            gold_ids.append(gi)
+        for i in range(len(toks)):
+            fl = token_features(toks, i)
+            tok_feat_counts.append(len(fl))
+            for f in fl:
+                fi = vocab_ix.get(f)
+                if fi is None:
+                    fi = vocab_ix[f] = len(vocab)
+                    vocab.append(f)
+                feat_ids.append(fi)
+    return (
+        pid,
+        row_tags,
+        tag_vocab,
+        np.asarray(row_tok_counts, dtype=np.int32),
+        np.asarray(gold_ids, dtype=np.int32),
+        np.asarray(tok_feat_counts, dtype=np.int32),
+        np.asarray(feat_ids, dtype=np.int32),
+        vocab,
+    )
+
+
 def prepare_fit_rows(
     turns: DataFrame,
     n_parts: int = 8,
     text_col: str = "text",
     tag_col: str | None = None,
 ):
-    """Row-granularity fit inputs for :func:`train_crf_distributed`:
-    an RDD of ``(pid, tag, (conv_id, turn_idx, text), seq, feats)``
-    identity-partitioned by ``pid = crc32(conv_id) % n_parts`` — the
-    same shard assignment the trainer uses — with tokenization, gold
-    BILOU encoding, and token-feature extraction already done per row.
+    """Fit inputs for :func:`train_crf_distributed`: an RDD with ONE
+    compact record per shard (see :func:`_compact_shard`), identity-
+    partitioned by ``pid = crc32(conv_id) % n_parts`` — the same shard
+    assignment the trainer uses — with the per-shard full-triple sort,
+    tokenization, gold BILOU encoding, and token-feature extraction
+    already done.
 
     Purpose: cross-validation reuse.  Tokenize/featurize are the
     expensive, ROW-LOCAL, split-invariant part of every fit; a k-fold
@@ -96,10 +160,9 @@ def prepare_fit_rows(
     result, and hands each fold's training cut to the trainer via
     ``prepared=`` + ``prepared_keep=`` — k-1 redundant featurization
     passes collapse into one, and the fold filter runs executor-side
-    on the per-row ``tag`` (no driver-held id sets).  Byte-identity
-    with the non-prepared path is guaranteed because the trainer
-    re-applies the identical per-shard full-triple sort before
-    grouping (pytest-gated in test_trained_crf).
+    on the per-row ``tag`` (no driver-held id sets).  Filtering rows
+    AFTER the sort preserves order, so a fold's cut is byte-identical
+    to sorting the cut itself (pytest-gated in test_trained_crf).
 
     ``tag_col`` names an int/str column carried per row (e.g. the CV
     fold) for ``prepared_keep`` to filter on; None stores 0.
@@ -107,9 +170,10 @@ def prepare_fit_rows(
     The caller owns persistence: ``rdd.persist(...)`` before the
     first fit, ``unpersist()`` after the last.
     """
-    from pyspark.sql import functions as F
+    import pickle
 
-    from ..kernel.crf import token_features
+    import pandas as pd
+    from pyspark.sql import functions as F
 
     cols = ["conv_id", "turn_idx", F.col(text_col).alias("text")]
     if tag_col is not None:
@@ -120,25 +184,56 @@ def prepare_fit_rows(
     )
     has_tag = tag_col is not None
 
-    def _featurize(kv):
-        pid, (key, tag) = kv
-        seq = labeled_sequences(key[2])
-        toks = seq[0]
-        feats = [token_features(toks, i) for i in range(len(toks))]
-        return pid, tag, key, seq, feats
-
-    return (
-        src.rdd.map(
-            lambda r, _t=has_tag: (
-                int(r["pid"]),
-                (
-                    (r["conv_id"], int(r["turn_idx"]), r["text"]),
-                    r["_tag"] if _t else 0,
-                ),
+    # Shard assembly rides groupBy(pid).applyInPandas — the Arrow/JVM
+    # shuffle — instead of df.rdd + partitionBy, whose row-at-a-time
+    # JVM→pickle conversion alone cost ~2 s at sf0.1.  Each pid group
+    # IS a shard regardless of which task it lands on; the compact
+    # record travels as one pickled blob, and the tiny (pid, blob)
+    # RDD is then identity-partitioned (one hop of n_parts blobs) so
+    # the trainer keeps its shard-per-partition contract.  Memory
+    # posture unchanged from the sort-based path: one shard's rows
+    # were always materialized per task (n_parts scales with corpus).
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pid"].iloc[0])
+        tags = pdf["_tag"].tolist() if has_tag else None
+        rows = [
+            ((cid, int(ti), tx), tags[i] if tags is not None else 0)
+            for i, (cid, ti, tx) in enumerate(
+                zip(
+                    pdf["conv_id"].tolist(),
+                    pdf["turn_idx"].tolist(),
+                    pdf["text"].tolist(),
+                )
             )
+        ]
+        # per-shard FULL-TRIPLE sort: a (conv_id, turn_idx)-only key
+        # would leave duplicate-key order to arrival order
+        rows.sort(key=lambda r: r[0])
+        rec = _compact_shard(pid, rows)
+        return pd.DataFrame(
+            {"pid": [pid], "blob": [pickle.dumps(rec, protocol=4)]}
         )
+
+    # explicit-count repartition on pid BEFORE the groupBy: the
+    # groups' OUTPUT is tiny (one blob per shard), so AQE would
+    # coalesce the groupBy exchange to 1-2 tasks and run the whole
+    # featurization on 1-2 cores (measured: 2 tasks / 4.3 s of
+    # execRun at sf0.1).  A user-specified partition count is exempt
+    # from AQE coalescing, and groupBy reuses the compatible
+    # partitioning; 4x n_parts keeps the balls-in-bins max load near
+    # one shard per task.
+    compact_df = (
+        src.repartition(4 * n_parts, F.col("pid"))
+        .groupBy("pid")
+        .applyInPandas(_build, "pid int, blob binary")
+    )
+    return (
+        compact_df.rdd.map(lambda r: (int(r["pid"]), bytes(r["blob"])))
         .partitionBy(n_parts, lambda pid: pid)
-        .map(_featurize, preservesPartitioning=True)
+        .mapPartitions(
+            lambda it: (pickle.loads(b) for _p, b in it),
+            preservesPartitioning=True,
+        )
     )
 
 
@@ -197,31 +292,32 @@ def train_crf_distributed(
     transparently.  Both knobs compose (prune on raw names, then
     hash) and both stay byte-identical to the twin.
 
-    100 TB shape: ONE corpus shuffle total (an identity
-    ``partitionBy`` that pins exactly one shard per partition — a
-    hash-partitioned ``groupBy(pid)`` co-locates 2-3 shards per task
-    by balls-in-bins and every round then waits on the heaviest task),
-    tokenization + gold encoding + feature extraction run once
-    (round-invariant, cached with the partition; MEMORY_AND_DISK, so
-    it spills rather than OOMs).  Each mixing round is a shuffle-free
-    ``mapPartitions`` fit followed by a small per-feature
-    ``groupByKey`` (n_parts bounded vectors per key) whose averaged
+    100 TB shape: the corpus moves through ONE Arrow groupBy(pid)
+    shuffle into :func:`_compact_shard` (sorted, tokenized, gold-
+    encoded, feature-extracted, int-interned), then one tiny hop of
+    n_parts compact blobs pins exactly one shard per partition
+    (MEMORY_AND_DISK — spills, never OOMs; the compact form is ~20x
+    smaller than feature strings, so the per-round cache reload is
+    near-free).  Each mixing round is a shuffle-free ``mapPartitions``
+    epoch (native C inner loop, kernel/_crf_native.c, bit-identical to
+    the Python oracle) followed by a small feature-BLOCK ``groupByKey``
+    (deterministic crc32 blocks; within a block every feature still
+    averages zero-accumulator + ascending-pid + /P) whose averaged
     output — exactly ONE model — is what the driver collects and
     broadcasts; the driver never holds n_parts simultaneous weight
     blobs (the round-3 scale caveat).
 
     ``prepared``/``prepared_keep``: reuse path for k-fold callers.
-    ``prepared`` is a :func:`prepare_fit_rows` RDD (already
-    featurized, identity-partitioned with the same crc32 shards);
+    ``prepared`` is a :func:`prepare_fit_rows` RDD (compact per-shard
+    records, identity-partitioned with the same crc32 shards);
     ``prepared_keep`` is an executor-side predicate over each row's
     tag (e.g. ``lambda fold: fold != held_out``).  The trainer then
-    skips the corpus shuffle AND the featurization — only the fold
-    filter, the per-shard sort, and the fit rounds run — and stays
-    byte-identical to the ``turns=`` path (pytest
-    test_prepared_rows_byte_identical).  ``turns`` may be None in
-    this mode; ``sample=`` is rejected.
+    skips the corpus shuffle AND the featurization — only the compact
+    fold cut and the fit rounds run — and stays byte-identical to the
+    ``turns=`` path (rows were sorted before compaction; filtering
+    preserves order — pytest test_prepared_rows_byte_identical).
+    ``turns`` may be None in this mode; ``sample=`` is rejected.
     """
-    from itertools import chain
     from operator import add as _add
 
     from pyspark import StorageLevel
@@ -283,26 +379,37 @@ def train_crf_distributed(
     # multi-session drivers)
     sc = rows_src.context
 
-    def _prep_grp(it, _keep=keep):
-        # filter on the per-row tag (e.g. CV fold — None keeps all),
-        # then the per-shard FULL-TRIPLE sort: a (conv_id, turn_idx)-
-        # only key would leave duplicate-key order to RDD arrival
-        # order.  Both the turns= and prepared= paths group through
-        # this one function, so their (pid, seqs, feats) records are
-        # byte-identical BY CONSTRUCTION (and pytest-pinned vs the
-        # single-node twin).
-        rows = [r for r in it if _keep is None or _keep(r[1])]
-        rows.sort(key=lambda r: r[2])
-        if rows:
-            yield (
-                rows[0][0],
-                [r[3] for r in rows],
-                [r[4] for r in rows],
-            )
+    if keep is not None:
+        # executor-side fold cut over the compact records: rows were
+        # sorted BEFORE compaction, and filtering preserves order, so
+        # the cut equals compacting the filtered rows directly
+        def _cut(it, _keep=keep):
+            import numpy as np
 
-    parted = rows_src.mapPartitions(
-        _prep_grp, preservesPartitioning=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+            for rec in it:
+                (pid, row_tags, tv, rtc, gid, tfc, fid, vocab) = rec
+                rmask = np.fromiter(
+                    (bool(_keep(t)) for t in row_tags),
+                    dtype=bool, count=len(row_tags),
+                )
+                if not rmask.any():
+                    continue
+                if rmask.all():
+                    yield rec
+                    continue
+                tmask = np.repeat(rmask, rtc)
+                fmask = np.repeat(tmask, tfc)
+                yield (
+                    pid,
+                    [t for t, k in zip(row_tags, rmask) if k],
+                    tv, rtc[rmask], gid[tmask], tfc[tmask],
+                    fid[fmask], vocab,
+                )
+
+        parted = rows_src.mapPartitions(_cut, preservesPartitioning=True)
+    else:
+        parted = rows_src
+    parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
     bc_wl = None
     try:
         prune = min_feat_df is not None and min_feat_df > 1
@@ -310,14 +417,25 @@ def train_crf_distributed(
             # global per-sequence document frequency over the cached
             # fit inputs; the whitelist collect is bounded by the
             # SHARED vocabulary (features appearing in >=2 sequences)
+            def _df_pairs(rec):
+                import numpy as np
+
+                (_pid, _rt, _tv, rtc, _gid, tfc, fid, vocab) = rec
+                counts = np.zeros(len(vocab), dtype=np.int64)
+                feat_off = np.zeros(len(tfc) + 1, dtype=np.int64)
+                np.cumsum(tfc, out=feat_off[1:])
+                row_tok_off = np.zeros(len(rtc) + 1, dtype=np.int64)
+                np.cumsum(rtc, out=row_tok_off[1:])
+                row_feat_off = feat_off[row_tok_off]
+                for r in range(len(rtc)):
+                    seg = fid[row_feat_off[r] : row_feat_off[r + 1]]
+                    if len(seg):
+                        counts[np.unique(seg)] += 1
+                for j in np.nonzero(counts)[0]:
+                    yield vocab[j], int(counts[j])
+
             wl_feats = (
-                parted.flatMap(
-                    lambda rec: (
-                        (f, 1)
-                        for sf in rec[2]
-                        for f in set(chain.from_iterable(sf))
-                    )
-                )
+                parted.flatMap(_df_pairs)
                 .reduceByKey(_add)
                 .filter(lambda kv: kv[1] >= min_feat_df)
                 .keys()
@@ -329,20 +447,43 @@ def train_crf_distributed(
             # one transform pass bakes BOTH round-invariant feature
             # maps into the cache: whitelist filter (on raw names)
             # then hash buckets — fit rounds reuse them as-is
-            def _xform(it, _bc=bc_wl, _fx=model._fx_list, _h=feat_hash_dim):
+            def _xform(it, _bc=bc_wl, _fx=model._fx, _h=feat_hash_dim):
+                import numpy as np
+
                 wl = _bc.value if _bc is not None else None
-                for pid, seqs, feats in it:
-                    out = []
-                    for sf in feats:
-                        fls = (
-                            [[f for f in fl if f in wl] for fl in sf]
-                            if wl is not None
-                            else sf
+                for rec in it:
+                    (pid, row_tags, tv, rtc, gid, tfc, fid, vocab) = rec
+                    if wl is not None:
+                        vmask = np.fromiter(
+                            (f in wl for f in vocab),
+                            dtype=bool, count=len(vocab),
                         )
-                        out.append(
-                            [_fx(fl) for fl in fls] if _h else fls
-                        )
-                    yield pid, seqs, out
+                        fkeep = vmask[fid]
+                        cum = np.zeros(len(fkeep) + 1, dtype=np.int64)
+                        np.cumsum(fkeep, out=cum[1:])
+                        feat_off = np.zeros(len(tfc) + 1, dtype=np.int64)
+                        np.cumsum(tfc, out=feat_off[1:])
+                        tfc = (
+                            cum[feat_off[1:]] - cum[feat_off[:-1]]
+                        ).astype(np.int32)
+                        fid = fid[fkeep]
+                    if _h:
+                        # hash buckets, interned in old-vocab scan
+                        # order (order is numerically irrelevant: the
+                        # weight dict is keyed by name)
+                        lut = np.empty(len(vocab), dtype=np.int32)
+                        new_vocab: list = []
+                        bix: dict = {}
+                        for j, f in enumerate(vocab):
+                            b = _fx(f)
+                            k = bix.get(b)
+                            if k is None:
+                                k = bix[b] = len(new_vocab)
+                                new_vocab.append(b)
+                            lut[j] = k
+                        fid = lut[fid]
+                        vocab = new_vocab
+                    yield pid, row_tags, tv, rtc, gid, tfc, fid, vocab
 
             xformed = parted.mapPartitions(
                 _xform, preservesPartitioning=True
@@ -361,31 +502,54 @@ def train_crf_distributed(
             bc = sc.broadcast(model.export())
 
             def fit_part(it, _bc=bc):
-                for pid, seqs, feats in it:
+                for rec in it:
                     m = CRFTagger.from_export(_bc.value)
-                    m.fit(
-                        seqs, epochs=1, feats_per_seq=feats,
-                        feats_prehashed=True,
-                    )
-                    yield pid, m.w, m.trans, m.init
+                    m.fit_compact(*rec[2:], epochs=1)
+                    yield rec[0], m.w, m.trans, m.init
 
-            def expand(rec):
-                # sentinel keys can't collide: no feature string
-                # starts with "\x00" (all are "b"/"w="/"sh="/... )
+            # The executor-side mix ships feature BLOCKS, not single
+            # features: per (shard, block) one (keys, stacked-matrix)
+            # record — crc32(f) % n_blocks is deterministic, so every
+            # shard blocks identically.  Per-feature records (vocab ×
+            # n_parts tiny pickled tuples; ~116k at sf0.1/32 shards)
+            # made the mix shuffle the dominant per-round cost; blocks
+            # cut the record count ~50x at identical math: inside a
+            # block each feature still averages as zero-accumulator +
+            # ascending-pid adds + /P — the float-op sequence of
+            # average_exports exactly (np.stack copies values
+            # bit-exactly).  Sentinel blocks can't collide with real
+            # ones: ints for features, strings for trans/init.
+            n_blocks = 4 * max(8, n_parts)
+
+            def expand(rec, _nb=n_blocks):
+                import zlib as _zlib
+
                 pid, w, trans, init = rec
-                yield "\x00trans", (pid, trans)
-                yield "\x00init", (pid, init)
+                yield "\x00trans", (pid, ([0], trans.reshape(1, -1)))
+                yield "\x00init", (pid, ([0], init.reshape(1, -1)))
+                blocks: dict = {}
                 for f, v in w.items():
-                    yield f, (pid, v)
+                    b = _zlib.crc32(f.encode("utf-8")) % _nb
+                    blk = blocks.get(b)
+                    if blk is None:
+                        blk = blocks[b] = ([], [])
+                    blk[0].append(f)
+                    blk[1].append(v)
+                for b, (keys, vs) in blocks.items():
+                    yield b, (pid, (keys, np.stack(vs)))
 
             def avg(vals, _P=P):
-                # zero accumulator + ascending-pid adds + /P: the
-                # identical float-op sequence as average_exports
+                # zero accumulator + ascending-pid adds + /P per key:
+                # the identical float-op sequence as average_exports
                 vl = sorted(vals, key=lambda kv: kv[0])
-                acc = np.zeros_like(vl[0][1])
-                for _pid, v in vl:
-                    acc += v
-                return acc / _P
+                accs: dict = {}
+                for _pid, (keys, mat) in vl:
+                    for k, row in zip(keys, mat):
+                        a = accs.get(k)
+                        if a is None:
+                            a = accs[k] = np.zeros_like(row)
+                        a += row
+                return [(k, a / _P) for k, a in accs.items()]
 
             items = (
                 parted.mapPartitions(fit_part)
@@ -397,13 +561,15 @@ def train_crf_distributed(
             bc.destroy()
             w: dict = {}
             trans = init = None
-            for k, v in items:
-                if k == "\x00trans":
-                    trans = v
-                elif k == "\x00init":
-                    init = v
+            T = len(tags)
+            for blk, kvs in items:
+                if blk == "\x00trans":
+                    trans = kvs[0][1].reshape(T, T)
+                elif blk == "\x00init":
+                    init = kvs[0][1].reshape(T)
                 else:
-                    w[k] = v.tolist()
+                    for k, v in kvs:
+                        w[k] = v.tolist()
             model = CRFTagger.from_export(
                 (tags, w, trans.tolist(), init.tolist(), feat_hash_dim)
             )
