@@ -125,7 +125,9 @@ def verify_annotations(
                 rows, columns=[f.name for f in out_schema.fields]
             )
 
-    return df.select(*cols).mapInPandas(run, out_schema)
+    from ..operators.spread import widen_scan
+
+    return widen_scan(df.select(*cols)).mapInPandas(run, out_schema)
 
 
 def convert_gate_to_webannotator(

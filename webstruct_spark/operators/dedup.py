@@ -145,8 +145,12 @@ def minhash_lsh_pairs(
     result (bench.py does).  One-shot callers that will materialize
     the result exactly once and cannot manage the handle should pass
     ``persist=False`` (the sketch recomputes per downstream use)."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    from .spread import widen_scan
+
+    base = widen_scan(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
     )
     sketch = base.select(
         "doc_id", _minhash_sketch_udf("text").alias("s")
@@ -230,8 +234,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with simhash hamming distance <=
     max_hamming, found via 16-bit-chunk pigeonhole banding."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    from .spread import widen_scan
+
+    base = widen_scan(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
     )
     sims = base.withColumn("simhash", _simhash_udf("text"))
     banded = sims.select(

@@ -225,19 +225,15 @@ def _kfold_run(
             prepared=prepared,
             prepared_keep=lambda t, _f=fold: t != _f,
         )
-        # persist both sides: set_prf runs three counting jobs (tp
-        # join, n_pred, n_gold) and would otherwise re-execute the
-        # fold's full distributed inference / gold extraction each time
-        pred = crf_tagged_mentions(test_turns, model).persist()
-        gold = mentions(test_turns).persist()
-        try:
-            row = set_prf(
-                pred, gold,
-                ["conv_id", "turn_idx", "text", "entity_type"],
-            ).collect()[0]
-        finally:
-            pred.unpersist()
-            gold.unpersist()
+        # set_prf is a SINGLE full-outer-join job now, so the fold's
+        # inference and gold extraction each execute exactly once —
+        # persisting them would only add a materialization pass
+        pred = crf_tagged_mentions(test_turns, model)
+        gold = mentions(test_turns)
+        row = set_prf(
+            pred, gold,
+            ["conv_id", "turn_idx", "text", "entity_type"],
+        ).collect()[0]
         return (
             fold, fold_sizes[fold], row["tp"], row["n_pred"],
             row["n_gold"], row["precision_x1e6"], row["recall_x1e6"],

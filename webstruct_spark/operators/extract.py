@@ -374,7 +374,9 @@ def extract_rows(
         return src.mapInPandas(
             _flat_mapper(list(passthrough), tagset=tagset), schema
         )
-    return src.mapInArrow(
+    from .spread import widen_scan
+
+    return widen_scan(src).mapInArrow(
         _arrow_flat_mapper(list(passthrough), tagset=tagset), schema
     )
 

@@ -69,8 +69,10 @@ def token_rows(turns: DataFrame, text_col: str = "text") -> DataFrame:
                     out["tool"].append(tool)
             yield pd.DataFrame(out)
 
-    return turns.select(
-        "conv_id", "turn_idx", "text", "role", "tool"
+    from .spread import widen_scan
+
+    return widen_scan(
+        turns.select("conv_id", "turn_idx", "text", "role", "tool")
     ).mapInPandas(run, TOKEN_ROWS_SCHEMA)
 
 

@@ -26,11 +26,33 @@ def set_prf(
 
     Ratios are integer-scaled floor values (exact integer arithmetic)
     so any engine reproduces them bit-for-bit — float rounding at
-    decimal midpoints is not portable."""
-    p = _seg_keys(pred, keys)
-    g = _seg_keys(gold, keys)
-    tp = p.join(g, keys, "inner").count()
-    np_, ng = p.count(), g.count()
+    decimal midpoints is not portable.
+
+    Single-action shape: tp/n_pred/n_gold all come from ONE
+    full-outer join + aggregate job (instead of three separate
+    counting jobs over the inputs, which forced callers to persist
+    both sides just to avoid recomputing their upstream inference
+    three times — guide §2.4, share the exchange).  The two distinct
+    exchanges partition by the same keys as the join, so the join
+    itself adds no exchange."""
+    p = _seg_keys(pred, keys).withColumn("_in_p", F.lit(1))
+    g = _seg_keys(gold, keys).withColumn("_in_g", F.lit(1))
+    row = (
+        p.join(g, keys, "full_outer")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("_in_p").isNotNull()
+                    & F.col("_in_g").isNotNull(),
+                    1,
+                )
+            ).alias("tp"),
+            F.count("_in_p").alias("n_pred"),
+            F.count("_in_g").alias("n_gold"),
+        )
+        .collect()[0]
+    )
+    tp, np_, ng = int(row["tp"]), int(row["n_pred"]), int(row["n_gold"])
     prec_x = (1_000_000 * tp) // np_ if np_ else 0
     rec_x = (1_000_000 * tp) // ng if ng else 0
     f1_x = (2_000_000 * tp) // (np_ + ng) if (np_ + ng) else 0

@@ -180,6 +180,10 @@ def _tagged_rows_df(turns: DataFrame, text_col: str, get_model) -> DataFrame:
 
         return src.mapInPandas(run_pd, TAGGED_SCHEMA)
 
+    from .spread import widen_scan
+
+    src = widen_scan(src)
+
     import pyarrow as pa
 
     def run_arrow(batches):
@@ -246,7 +250,9 @@ def token_confusion(
                 }
             )
 
-    src = turns.select(F.col(text_col).alias("text"))
+    from .spread import widen_scan
+
+    src = widen_scan(turns.select(F.col(text_col).alias("text")))
     partial = src.mapInPandas(run, CONFUSION_PARTIAL_SCHEMA)
     return partial.groupBy("tag_gold", "tag_pred").agg(
         F.sum("n").alias("n_tokens")
