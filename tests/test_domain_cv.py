@@ -199,9 +199,12 @@ def test_conflicting_domain_rows_deterministic_min(spark):
     assert f["fold"] == zlib.crc32(f["domain"].encode("utf-8")) % 3
 
 
-def test_prepared_partitioner_loss_rejected(spark):
-    """repartition() keeps the shard COUNT but destroys pid purity —
-    the trainer must reject a prepared RDD without a partitioner."""
+def test_prepared_placement_invariant(spark):
+    """Compact fit records are self-contained (each carries its pid
+    and full shard) and the mix averages in explicit ascending-pid
+    order, so ANY placement of intact records — even a repartition()
+    that mixes shards within partitions — must yield byte-identical
+    weights.  (The count contract still guards an n_parts mismatch.)"""
     import pytest
 
     from webstruct_spark.operators.trained import (
@@ -210,9 +213,21 @@ def test_prepared_partitioner_loss_rejected(spark):
     )
 
     turns = spark.read.parquet(os.path.join(CORPUS, "transcripts.parquet"))
-    broken = prepare_fit_rows(turns, n_parts=4).repartition(4)
-    with pytest.raises(ValueError, match="partitioner"):
-        train_crf_distributed(None, n_parts=4, prepared=broken)
+    prepared = prepare_fit_rows(turns, n_parts=4)
+    want = train_crf_distributed(
+        None, n_parts=4, prepared=prepared
+    ).export()
+    shuffled = prepare_fit_rows(turns, n_parts=4).repartition(4)
+    got = train_crf_distributed(
+        None, n_parts=4, prepared=shuffled
+    ).export()
+    assert got == want
+    # shard-count mismatch still rejected (wrong crc32 modulus)
+    with pytest.raises(ValueError, match="n_parts"):
+        train_crf_distributed(
+            None, n_parts=8,
+            prepared=prepare_fit_rows(turns, n_parts=4),
+        )
 
 
 def test_fold_concurrency_identical(spark):

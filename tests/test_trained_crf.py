@@ -608,3 +608,31 @@ def test_fit_epoch_native_bit_identical():
         finally:
             crf_mod._CCRF_MOD = saved
         assert native.export() == pure.export(), "seed %d" % seed
+
+
+def test_murmur_preimage_slots_match_spark_hash(spark):
+    """_identity_slots relies on a Python re-expression of Spark's
+    Murmur3 int32 hash (HashPartitioning, seed 42); pin it against
+    F.hash over a value range plus the actual preimages, so a Spark
+    hash change can never silently degrade the one-shard-per-
+    partition layout into collisions."""
+    from pyspark.sql import functions as F
+
+    from webstruct_spark.operators.trained import (
+        _identity_slots,
+        _murmur3_int,
+    )
+
+    vals = list(range(0, 200)) + [2**31 - 1, -1, -2**31]
+    for n in (4, 8, 32):
+        vals += _identity_slots(n)
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert _murmur3_int(r["v"]) == r["h"], (r["v"], r["h"])
+    for n in (4, 8, 32):
+        slots = _identity_slots(n)
+        assert sorted(_murmur3_int(k) % n for k in slots) == list(range(n))

@@ -18,7 +18,7 @@ The labeled-sample collect is the only driver materialization.
 from __future__ import annotations
 
 import uuid
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -140,6 +140,47 @@ def _compact_shard(pid, rows):
     )
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one little-endian int32 — the exact hash
+    Spark's ``HashPartitioning`` applies to an IntegerType column
+    (seed 42), re-expressed in Python so the driver can pick hash
+    PREIMAGES (public algorithm; pinned against ``F.hash`` in
+    tests/test_trained_crf.py).  Returns the signed int32 value."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = 42 if seed == 42 else seed
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total bytes hashed
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _identity_slots(n: int) -> List[int]:
+    """``slots[p]`` = smallest non-negative int whose Spark hash
+    partition (``pmod(murmur3_int(k), n)``) is ``p`` — the preimage
+    table that lets a DataFrame ``repartition(n, slot_col)`` place
+    each shard on its own partition (identity layout) while the
+    shuffle stays entirely JVM-side.  Pure function of ``n``."""
+    slots: List[Optional[int]] = [None] * n
+    left = n
+    k = 0
+    while left:
+        p = _murmur3_int(k) % n
+        if slots[p] is None:
+            slots[p] = k
+            left -= 1
+        k += 1
+    return slots  # type: ignore[return-value]
+
+
 def prepare_fit_rows(
     turns: DataFrame,
     n_parts: int = 8,
@@ -188,9 +229,9 @@ def prepare_fit_rows(
     # shuffle — instead of df.rdd + partitionBy, whose row-at-a-time
     # JVM→pickle conversion alone cost ~2 s at sf0.1.  Each pid group
     # IS a shard regardless of which task it lands on; the compact
-    # record travels as one pickled blob, and the tiny (pid, blob)
-    # RDD is then identity-partitioned (one hop of n_parts blobs) so
-    # the trainer keeps its shard-per-partition contract.  Memory
+    # record travels as one pickled blob, and a hash-preimage slot
+    # column places one shard per partition via a JVM repartition
+    # (see below) so the fit rounds stay balanced.  Memory
     # posture unchanged from the sort-based path: one shard's rows
     # were always materialized per task (n_parts scales with corpus).
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -227,12 +268,24 @@ def prepare_fit_rows(
         .groupBy("pid")
         .applyInPandas(_build, "pid int, blob binary")
     )
+    # one-shard-per-partition layout WITHOUT the Python-level
+    # partitionBy: map each pid to a Murmur3 hash PREIMAGE whose
+    # Spark hash partition is exactly pid, so a plain DataFrame
+    # repartition places every blob identically — the shuffle of the
+    # ~MB blobs stays JVM-side and the DF→RDD pickle conversion runs
+    # once on the already-placed rows (measured 3x cheaper than
+    # .rdd + partitionBy at sf0.1; placement only affects balance,
+    # never results — fit records are self-contained and the mix
+    # averages in explicit ascending-pid order).
+    slots = _identity_slots(n_parts)
+    slot_col = F.element_at(
+        F.array(*[F.lit(int(k)) for k in slots]), F.col("pid") + 1
+    ).cast("int")
     return (
-        compact_df.rdd.map(lambda r: (int(r["pid"]), bytes(r["blob"])))
-        .partitionBy(n_parts, lambda pid: pid)
-        .mapPartitions(
-            lambda it: (pickle.loads(b) for _p, b in it),
-            preservesPartitioning=True,
+        compact_df.withColumn("_slot", slot_col)
+        .repartition(n_parts, F.col("_slot"))
+        .rdd.mapPartitions(
+            lambda it: (pickle.loads(bytes(r["blob"])) for r in it)
         )
     )
 
@@ -341,16 +394,13 @@ def train_crf_distributed(
                 "with the same n_parts"
                 % (prepared.getNumPartitions(), n_parts)
             )
-        if prepared.partitioner is None:
-            # count alone can't prove shard purity: a repartition()
-            # or a pickle-file round-trip keeps 'n_parts partitions'
-            # but mixes pids within them, and _prep_grp labels each
-            # partition by its first row's pid — silent shard mixing
-            raise ValueError(
-                "train_crf_distributed: prepared RDD lost its "
-                "partitioner (repartitioned or reloaded?) — pass the "
-                "RDD exactly as prepare_fit_rows returned it"
-            )
+        # NOTE: no partitioner/placement requirement — compact fit
+        # records are SELF-CONTAINED (each carries its pid and its
+        # full shard), the averaging sorts contributions by pid from
+        # a zero accumulator, and P counts records, so any placement
+        # of intact records (repartitioned, even reloaded) yields
+        # byte-identical weights; placement is purely a load-balance
+        # concern (pytest-gated in test_domain_cv).
         rows_src = prepared
         keep = prepared_keep
     else:
