@@ -142,7 +142,7 @@ def main() -> None:
     timed("q15 build_kg", lambda: build_kg(spark, corpus, kg_out))
     man = Manifest(kg_out, spark=spark)
     for stage, rec in sorted(man.committed().items()):
-        print("   stage %-16s %7.3f s" % (stage, rec.get("duration_sec", -1)), flush=True)
+        print("   stage %-16s %7.3f s" % (stage, rec.get("wall_sec", -1)), flush=True)
     shutil.rmtree(kg_out, ignore_errors=True)
 
     spark.stop()

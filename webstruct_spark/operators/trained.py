@@ -548,12 +548,20 @@ def train_crf_distributed(
         P = float(n_live)
 
         tags = tuple(model.tags)
+        T = len(tags)
+        # weights travel in MATRIX form between driver and executors
+        # (to_blocks/from_blocks): one contiguous ndarray instead of a
+        # per-feature list dict — ~10x cheaper to (un)pickle at the
+        # unpruned vocabulary (the per-round driver rebuild + export +
+        # broadcast was ~0.5 s/round at sf0.1).  Values are
+        # bit-identical; only the transport changed.
+        blocks = model.to_blocks()
         for _round in range(rounds):
-            bc = sc.broadcast(model.export())
+            bc = sc.broadcast(blocks)
 
             def fit_part(it, _bc=bc):
                 for rec in it:
-                    m = CRFTagger.from_export(_bc.value)
+                    m = CRFTagger.from_blocks(_bc.value)
                     m.fit_compact(*rec[2:], epochs=1)
                     yield rec[0], m.w, m.trans, m.init
 
@@ -591,6 +599,10 @@ def train_crf_distributed(
             def avg(vals, _P=P):
                 # zero accumulator + ascending-pid adds + /P per key:
                 # the identical float-op sequence as average_exports
+                # (the stacked matrix divides elementwise — the same
+                # per-element a/P op as dividing each row).  Returns
+                # (keys, matrix) so the driver re-assembles the next
+                # round's broadcast without any per-feature Python.
                 vl = sorted(vals, key=lambda kv: kv[0])
                 accs: dict = {}
                 for _pid, (keys, mat) in vl:
@@ -599,7 +611,8 @@ def train_crf_distributed(
                         if a is None:
                             a = accs[k] = np.zeros_like(row)
                         a += row
-                return [(k, a / _P) for k, a in accs.items()]
+                ks = list(accs.keys())
+                return ks, np.stack([accs[k] for k in ks]) / _P
 
             items = (
                 parted.mapPartitions(fit_part)
@@ -609,20 +622,24 @@ def train_crf_distributed(
                 .collect()
             )
             bc.destroy()
-            w: dict = {}
             trans = init = None
-            T = len(tags)
-            for blk, kvs in items:
+            keys_all: list = []
+            mats: list = []
+            for blk, (ks, mat) in items:
                 if blk == "\x00trans":
-                    trans = kvs[0][1].reshape(T, T)
+                    trans = mat[0].reshape(T, T)
                 elif blk == "\x00init":
-                    init = kvs[0][1].reshape(T)
+                    init = mat[0].reshape(T)
                 else:
-                    for k, v in kvs:
-                        w[k] = v.tolist()
-            model = CRFTagger.from_export(
-                (tags, w, trans.tolist(), init.tolist(), feat_hash_dim)
+                    keys_all.extend(ks)
+                    mats.append(mat)
+            wmat = (
+                np.vstack(mats)
+                if mats
+                else np.zeros((0, T), dtype=np.float64)
             )
+            blocks = (tags, keys_all, wmat, trans, init, feat_hash_dim)
+        model = CRFTagger.from_blocks(blocks)
     finally:
         parted.unpersist()
         if bc_wl is not None:
