@@ -636,3 +636,54 @@ def test_murmur_preimage_slots_match_spark_hash(spark):
     for n in (4, 8, 32):
         slots = _identity_slots(n)
         assert sorted(_murmur3_int(k) % n for k in slots) == list(range(n))
+
+
+def test_train_crf_compact_equals_fit():
+    """train_crf_local (now routed through _compact_shard +
+    fit_compact's native loop) must stay byte-identical to the
+    original scalar fit over labeled_sequences — plain AND hashed
+    feature spaces, multiple epochs, empty turns included."""
+    import random as _random
+
+    from webstruct_spark.kernel.crf import CRFTagger
+    from webstruct_spark.operators.tagger import DEFAULT_TYPES
+    from webstruct_spark.operators.trained import (
+        labeled_sequences,
+        train_crf_local,
+    )
+
+    rng = _random.Random(7)
+    words = ["Acme", "Corp", "visit", "Springfield", "TX", "02134",
+             "call", "555", "x@y.z", "__START_ORG__", "__END_ORG__",
+             "__START_CITY__", "__END_CITY__", ""]
+
+    def mk_text():
+        n = rng.randrange(0, 12)
+        parts = []
+        open_t = None
+        for _ in range(n):
+            w = rng.choice(words)
+            if w.startswith("__START_"):
+                if open_t:
+                    parts.append("__END_%s__" % open_t)
+                open_t = w[8:-2]
+                parts.append(w)
+            elif w.startswith("__END_"):
+                continue  # only close what we opened
+            else:
+                parts.append(w)
+        if open_t:
+            parts.append("__END_%s__" % open_t)
+        return " ".join(p for p in parts if p)
+
+    texts = [mk_text() for _ in range(120)]
+    for fh in (None, 512):
+        for epochs in (1, 3):
+            want = CRFTagger(DEFAULT_TYPES, feat_hash_dim=fh).fit(
+                [labeled_sequences(t) for t in texts], epochs=epochs
+            )
+            got = train_crf_local(
+                texts, sample=len(texts), epochs=epochs,
+                feat_hash_dim=fh,
+            )
+            assert got.export() == want.export(), (fh, epochs)
