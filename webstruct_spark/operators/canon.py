@@ -194,12 +194,20 @@ def canonicalize(
     gazetteer: DataFrame,
     fuzzy: bool = False,
     fuzzy_threshold: float = 0.5,
+    checkpoint: bool = False,
 ):
     """Full linking + canonicalization.
 
     ``fuzzy=True`` additionally merges near-duplicate surfaces
     (blocking-key self-join + Jaccard, :func:`fuzzy_edges`) into the
     same components as the gazetteer-linked edges.
+
+    ``checkpoint=True`` localCheckpoints the shared per-surface table
+    before links/nodes fork from it — for callers that MATERIALIZE
+    BOTH outputs (the staged build writes two tables) the upstream
+    extract+aggregate+join chain then runs once instead of twice.
+    Single-output callers keep the default: the checkpoint would only
+    add a materialization.  Value-transparent either way.
 
     Returns (links_df, nodes_df):
       links: (entity_type, norm_text, node_id)
@@ -211,6 +219,11 @@ def canonicalize(
     linked = linked.withColumn(
         "skey", surface_key_col(F.col("entity_type"), F.col("norm_text"))
     )
+    if checkpoint and not fuzzy:
+        # the fuzzy path below checkpoints unconditionally (three
+        # consumers); the star-label path has two only when both
+        # outputs are written
+        linked = linked.localCheckpoint(eager=True)
     if not fuzzy:
         # Closed-form labels: without fuzzy edges the graph is
         # BIPARTITE BY CONSTRUCTION — every edge is (surface skey →

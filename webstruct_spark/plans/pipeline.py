@@ -695,7 +695,11 @@ def build_kg(
         # man.stage_path("nodes")).
         if not (committed("links") and committed("nodes")):
             mentions_df = spark.read.parquet(_dep("mentions"))
-            links_df, nodes_df = canonicalize(mentions_df, gazetteer)
+            # checkpoint=True: both outputs are written below, so the
+            # shared linking chain materializes once instead of twice
+            links_df, nodes_df = canonicalize(
+                mentions_df, gazetteer, checkpoint=True
+            )
             for stage, df in (("links", links_df), ("nodes", nodes_df)):
                 if not committed(stage):
                     _overwrite_commit(
@@ -934,7 +938,10 @@ def _rebuild_global_stages(
 
     if "links" in todo or "nodes" in todo:
         mentions_tbl = spark.read.parquet(man.stage_path("mentions"))
-        links_df, nodes_df = canonicalize(mentions_tbl, gazetteer)
+        links_df, nodes_df = canonicalize(
+            mentions_tbl, gazetteer,
+            checkpoint=("links" in todo and "nodes" in todo),
+        )
         if "links" in todo:
             commit("links", links_df)
         if "nodes" in todo:
@@ -1558,7 +1565,9 @@ def _append_kg_frames_impl(
         ):
             return man.stage_path("links")
         mentions_union = spark.read.parquet(mentions_path)
-        links_df, nodes_df = canonicalize(mentions_union, gazetteer)
+        links_df, nodes_df = canonicalize(
+            mentions_union, gazetteer, checkpoint=True
+        )
         commit_write("links", links_df, "overwrite")
         commit_write("nodes", nodes_df, "overwrite")
         return man.stage_path("links")
