@@ -205,6 +205,7 @@ def _kfold_run(
     ``interruptOnCancel``), then re-raises.  Output rows are ascending
     by fold either way."""
     import functools
+    from operator import add as _add
 
     from webstruct_spark.concurrency import run_concurrent_jobs
     from webstruct_spark.operators.extract import mentions
@@ -213,6 +214,53 @@ def _kfold_run(
         crf_tagged_mentions,
         train_crf_distributed,
     )
+
+    fold_ids = sorted(fold_sizes)
+    wl_by_fold: Dict[int, frozenset] = {}
+    if min_feat_df is not None and min_feat_df > 1:
+        # ONE (feature -> per-fold sequence count) pass over the
+        # shared prepared RDD replaces each fold fit's own df job:
+        # a fold's training cut excludes exactly the rows tagged with
+        # it, so df_fold(f) = total(f) - count_in_fold(f) — the same
+        # integers the trainer's internal count produces on the cut
+        # (identical unique-features-per-sequence arithmetic; the
+        # fold-level equality is pytest-gated vs the single-node twin).
+        fold_pos = {f: i for i, f in enumerate(fold_ids)}
+        k_live = len(fold_ids)
+
+        def _df_fold_pairs(rec, _pos=fold_pos, _k=k_live):
+            import numpy as np
+
+            (_pid, row_tags, _tv, rtc, _gid, tfc, fid, vocab) = rec
+            counts = np.zeros((len(vocab), _k + 1), dtype=np.int64)
+            feat_off = np.zeros(len(tfc) + 1, dtype=np.int64)
+            np.cumsum(tfc, out=feat_off[1:])
+            row_tok_off = np.zeros(len(rtc) + 1, dtype=np.int64)
+            np.cumsum(rtc, out=row_tok_off[1:])
+            row_feat_off = feat_off[row_tok_off]
+            for r in range(len(rtc)):
+                seg = fid[row_feat_off[r] : row_feat_off[r + 1]]
+                if len(seg):
+                    col = _pos[row_tags[r]]
+                    u = np.unique(seg)
+                    counts[u, col] += 1
+                    counts[u, _k] += 1
+            for j in np.nonzero(counts[:, _k])[0]:
+                yield vocab[j], counts[j].copy()
+
+        pairs = (
+            prepared.flatMap(_df_fold_pairs)
+            .reduceByKey(_add)
+            .collect()
+        )
+        for f in fold_ids:
+            col = fold_pos[f]
+            wl_by_fold[f] = frozenset(
+                feat
+                for feat, cnt in pairs
+                if cnt[k_live] - cnt[col] >= min_feat_df
+            )
+        del pairs
 
     def run_fold(fold):
         test_ids = F.broadcast(
@@ -224,6 +272,7 @@ def _kfold_run(
             min_feat_df=min_feat_df,
             prepared=prepared,
             prepared_keep=lambda t, _f=fold: t != _f,
+            prune_whitelist=wl_by_fold.get(fold),
         )
         # set_prf is a SINGLE full-outer-join job now, so the fold's
         # inference and gold extraction each execute exactly once —
@@ -240,7 +289,6 @@ def _kfold_run(
             row["f1_x1e6"],
         )
 
-    fold_ids = sorted(fold_sizes)
     workers = max(1, min(int(fold_concurrency), len(fold_ids)))
     results = run_concurrent_jobs(
         turns.sparkSession,

@@ -336,6 +336,7 @@ def train_crf_distributed(
     feat_hash_dim: int | None = None,
     prepared=None,
     prepared_keep=None,
+    prune_whitelist=None,
 ) -> CRFTagger:
     """Distributed CRF training over the FULL labeled corpus (or an
     optional bounded head) via iterated parameter mixing (McDonald,
@@ -405,6 +406,16 @@ def train_crf_distributed(
     ``turns=`` path (rows were sorted before compaction; filtering
     preserves order — pytest test_prepared_rows_byte_identical).
     ``turns`` may be None in this mode; ``sample=`` is rejected.
+
+    ``prune_whitelist``: optionally supplies the min-df surviving
+    feature set (an iterable of feature names) instead of having this
+    call count document frequencies itself — for k-fold callers that
+    can derive EVERY fold's whitelist from one shared (feature, fold)
+    count pass over the prepared corpus (k df jobs collapse into one).
+    The caller owns equality with what the internal count would have
+    produced (domain_cv derives it from the same per-sequence unique-
+    feature counts; pytest-gated).  Only meaningful with
+    ``min_feat_df``; ignored when pruning is off.
     """
     from operator import add as _add
 
@@ -498,7 +509,9 @@ def train_crf_distributed(
     bc_wl = None
     try:
         prune = min_feat_df is not None and min_feat_df > 1
-        if prune:
+        if prune and prune_whitelist is not None:
+            bc_wl = sc.broadcast(frozenset(prune_whitelist))
+        elif prune:
             # global per-sequence document frequency over the cached
             # fit inputs; the whitelist collect is bounded by the
             # SHARED vocabulary (features appearing in >=2 sequences)
