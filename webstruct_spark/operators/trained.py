@@ -507,6 +507,7 @@ def train_crf_distributed(
         parted = rows_src
     parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
     bc_wl = None
+    parent = None
     try:
         prune = min_feat_df is not None and min_feat_df > 1
         if prune and prune_whitelist is not None:
@@ -583,17 +584,21 @@ def train_crf_distributed(
                         vocab = new_vocab
                     yield pid, row_tags, tv, rtc, gid, tfc, fid, vocab
 
-            xformed = parted.mapPartitions(
+            # lazy persist: round 0 materializes the transformed cache
+            # while it fits (the work happens either way; a separate
+            # count() job added one full extra pass over the cache).
+            # The PARENT cache must outlive round 0's lazy
+            # materialization, so it is released in the finally below,
+            # not here.  P (the mixing divisor) is likewise no longer
+            # pre-counted: every fit record contributes exactly one
+            # trans/init sentinel, so the round's collected sentinel
+            # contribution count IS the live record count.
+            parent = parted
+            parted = parted.mapPartitions(
                 _xform, preservesPartitioning=True
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            n_live = xformed.count()  # materialize before dropping parent
-            parted.unpersist()
-            parted = xformed
         else:
-            n_live = parted.count()
-        if n_live == 0:
-            raise ValueError("train_crf_distributed: no training data")
-        P = float(n_live)
+            parent = None
 
         tags = tuple(model.tags)
         T = len(tags)
@@ -644,13 +649,14 @@ def train_crf_distributed(
                 for b, (keys, vs) in blocks.items():
                     yield b, (pid, (keys, np.stack(vs)))
 
-            def avg(vals, _P=P):
-                # zero accumulator + ascending-pid adds + /P per key:
-                # the identical float-op sequence as average_exports
-                # (the stacked matrix divides elementwise — the same
-                # per-element a/P op as dividing each row).  Returns
-                # (keys, matrix) so the driver re-assembles the next
-                # round's broadcast without any per-feature Python.
+            def avg(vals):
+                # zero accumulator + ascending-pid adds per key — the
+                # float-op sequence of average_exports; the /P divide
+                # happens ONCE on the driver (elementwise over the
+                # assembled matrix — the same per-element sum/P op in
+                # the same order, bit-equal).  n_contribs rides along:
+                # for the trans/init sentinel blocks it equals the
+                # live record count, which is exactly P.
                 vl = sorted(vals, key=lambda kv: kv[0])
                 accs: dict = {}
                 for _pid, (keys, mat) in vl:
@@ -660,7 +666,7 @@ def train_crf_distributed(
                             a = accs[k] = np.zeros_like(row)
                         a += row
                 ks = list(accs.keys())
-                return ks, np.stack([accs[k] for k in ks]) / _P
+                return len(vl), ks, np.stack([accs[k] for k in ks])
 
             items = (
                 parted.mapPartitions(fit_part)
@@ -670,11 +676,17 @@ def train_crf_distributed(
                 .collect()
             )
             bc.destroy()
+            if not items:
+                raise ValueError(
+                    "train_crf_distributed: no training data"
+                )
+            P = None
             trans = init = None
             keys_all: list = []
             mats: list = []
-            for blk, (ks, mat) in items:
+            for blk, (n_contribs, ks, mat) in items:
                 if blk == "\x00trans":
+                    P = float(n_contribs)
                     trans = mat[0].reshape(T, T)
                 elif blk == "\x00init":
                     init = mat[0].reshape(T)
@@ -682,14 +694,18 @@ def train_crf_distributed(
                     keys_all.extend(ks)
                     mats.append(mat)
             wmat = (
-                np.vstack(mats)
+                np.vstack(mats) / P
                 if mats
                 else np.zeros((0, T), dtype=np.float64)
             )
-            blocks = (tags, keys_all, wmat, trans, init, feat_hash_dim)
+            blocks = (
+                tags, keys_all, wmat, trans / P, init / P, feat_hash_dim,
+            )
         model = CRFTagger.from_blocks(blocks)
     finally:
         parted.unpersist()
+        if parent is not None:
+            parent.unpersist()
         if bc_wl is not None:
             # safe only after the pruned RDD is unpersisted: nothing
             # can recompute it once its whitelist broadcast is gone
