@@ -248,9 +248,13 @@ def _kfold_run(
             for j in np.nonzero(counts[:, _k])[0]:
                 yield vocab[j], counts[j].copy()
 
+        # pre-collect threshold filter (mirrors the trainer's own df
+        # path): total df < min_feat_df implies every per-fold df is
+        # below it too, so the hapax majority never reaches the driver
         pairs = (
             prepared.flatMap(_df_fold_pairs)
             .reduceByKey(_add)
+            .filter(lambda kv, _k=k_live, _m=min_feat_df: kv[1][_k] >= _m)
             .collect()
         )
         for f in fold_ids:

@@ -39,6 +39,26 @@ def widen_scan(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        # AQE gotcha: with adaptive execution on, Dataset.rdd
+        # materializes every upstream query stage (shuffles run
+        # eagerly, then AGAIN when the widened frame executes).  The
+        # probe below is therefore gated on the optimized logical
+        # plan: any shuffle-inducing operator means the frame already
+        # re-partitions itself (post-shuffle parallelism is
+        # spark.sql.shuffle.partitions) AND probing it would
+        # double-execute the exchange — skip.  Joins stay eligible
+        # (a broadcast-joined scan is still as narrow as its probe
+        # side; re-running a tiny broadcast stage in the probe is
+        # harmless by definition of broadcast).
+        import re
+
+        plan = df._jdf.queryExecution().optimizedPlan().treeString()
+        if re.search(
+            r"(?m)^[\s+:*-]*(Aggregate|Window|Sort|Distinct|"
+            r"RepartitionBy|Repartition|Deduplicate|Exchange)\b",
+            plan,
+        ):
+            return df
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - exotic unplannable frames
         return df

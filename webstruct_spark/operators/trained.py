@@ -55,21 +55,32 @@ def _fit_texts_compact(
     rec = _compact_shard(0, [((None, 0, t), 0) for t in texts])
     (_pid, _rt, tag_vocab, rtc, gid, tfc, fid, vocab) = rec
     if model.feat_hash_dim:
-        lut = np.empty(len(vocab), dtype=np.int32)
-        new_vocab: list = []
-        bix: dict = {}
-        for j, f in enumerate(vocab):
-            b = model._fx(f)
-            k = bix.get(b)
-            if k is None:
-                k = bix[b] = len(new_vocab)
-                new_vocab.append(b)
-            lut[j] = k
-        fid = lut[fid] if len(fid) else fid
-        vocab = new_vocab
+        fid, vocab = _hash_remap(vocab, fid, model._fx)
     return model.fit_compact(
         tag_vocab, rtc, gid, tfc, fid, vocab, epochs=epochs
     )
+
+
+def _hash_remap(vocab, fid, fx):
+    """Map a compact record's vocab through the feature-space hash
+    ``fx``, re-interning duplicate buckets in old-vocab scan order —
+    the ONE bucket-remap used by both the driver-side compact fit and
+    the distributed trainer's transform pass (interning order is
+    numerically irrelevant: the weight dict is keyed by name).
+    Returns (new_fid, new_vocab)."""
+    import numpy as np
+
+    lut = np.empty(len(vocab), dtype=np.int32)
+    new_vocab: list = []
+    bix: dict = {}
+    for j, f in enumerate(vocab):
+        b = fx(f)
+        k = bix.get(b)
+        if k is None:
+            k = bix[b] = len(new_vocab)
+            new_vocab.append(b)
+        lut[j] = k
+    return lut[fid], new_vocab
 
 
 def train_crf(
@@ -185,7 +196,7 @@ def _murmur3_int(x: int, seed: int = 42) -> int:
     k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
     k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
     k = k * c2 & 0xFFFFFFFF
-    h = 42 if seed == 42 else seed
+    h = seed
     h ^= k
     h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
     h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
@@ -316,13 +327,20 @@ def prepare_fit_rows(
     slot_col = F.element_at(
         F.array(*[F.lit(int(k)) for k in slots]), F.col("pid") + 1
     ).cast("int")
-    return (
+    out = (
         compact_df.withColumn("_slot", slot_col)
         .repartition(n_parts, F.col("_slot"))
         .rdd.mapPartitions(
             lambda it: (pickle.loads(bytes(r["blob"])) for r in it)
         )
     )
+    # shard-modulus stamp: the trainer refuses a prepared RDD whose
+    # crc32 modulus disagrees with its n_parts= (partition COUNT alone
+    # can be spoofed by a repartition to the expected count); the
+    # stamp does not survive user transformations, where the count
+    # check remains the only (weaker) guard
+    out._ws_n_parts = n_parts
+    return out
 
 
 def train_crf_distributed(
@@ -430,15 +448,26 @@ def train_crf_distributed(
                 "train_crf_distributed: sample= is incompatible with "
                 "prepared= (the head cut happens before featurization)"
             )
-        if prepared.getNumPartitions() != n_parts:
+        stamped = getattr(prepared, "_ws_n_parts", None)
+        if (
+            stamped if stamped is not None
+            else prepared.getNumPartitions()
+        ) != n_parts:
             # shard assignment comes from the prepared RDD, so a
-            # layout/n_parts mismatch would silently fit a different
-            # shard count than the caller (and the twin) believe
+            # modulus/n_parts mismatch would silently fit a different
+            # shard count than the caller (and the twin) believe.
+            # The prepare-time stamp is authoritative when present;
+            # on user-transformed RDDs (stamp lost) the partition
+            # count is the remaining proxy.
             raise ValueError(
-                "train_crf_distributed: prepared RDD has %d shards "
-                "but n_parts=%d — prepare_fit_rows must be built "
-                "with the same n_parts"
-                % (prepared.getNumPartitions(), n_parts)
+                "train_crf_distributed: prepared RDD was built with "
+                "%s shards but n_parts=%d — prepare_fit_rows must be "
+                "built with the same n_parts"
+                % (
+                    stamped if stamped is not None
+                    else prepared.getNumPartitions(),
+                    n_parts,
+                )
             )
         # NOTE: no partitioner/placement requirement — compact fit
         # records are SELF-CONTAINED (each carries its pid and its
@@ -567,21 +596,7 @@ def train_crf_distributed(
                         ).astype(np.int32)
                         fid = fid[fkeep]
                     if _h:
-                        # hash buckets, interned in old-vocab scan
-                        # order (order is numerically irrelevant: the
-                        # weight dict is keyed by name)
-                        lut = np.empty(len(vocab), dtype=np.int32)
-                        new_vocab: list = []
-                        bix: dict = {}
-                        for j, f in enumerate(vocab):
-                            b = _fx(f)
-                            k = bix.get(b)
-                            if k is None:
-                                k = bix[b] = len(new_vocab)
-                                new_vocab.append(b)
-                            lut[j] = k
-                        fid = lut[fid]
-                        vocab = new_vocab
+                        fid, vocab = _hash_remap(vocab, fid, _fx)
                     yield pid, row_tags, tv, rtc, gid, tfc, fid, vocab
 
             # lazy persist: round 0 materializes the transformed cache
@@ -676,6 +691,13 @@ def train_crf_distributed(
                 .collect()
             )
             bc.destroy()
+            if parent is not None:
+                # round 0 materialized the transformed cache; the
+                # pre-transform cut cache is dead weight from here
+                # (matches the pre-lazy-persist steady-state footprint
+                # of one compact copy per in-flight fit)
+                parent.unpersist()
+                parent = None
             if not items:
                 raise ValueError(
                     "train_crf_distributed: no training data"

@@ -695,10 +695,14 @@ def build_kg(
         # man.stage_path("nodes")).
         if not (committed("links") and committed("nodes")):
             mentions_df = spark.read.parquet(_dep("mentions"))
-            # checkpoint=True: both outputs are written below, so the
-            # shared linking chain materializes once instead of twice
+            # checkpoint iff BOTH outputs will be written below — on a
+            # resume with one side committed, a checkpoint would only
+            # add a materialization for the single consumer
             links_df, nodes_df = canonicalize(
-                mentions_df, gazetteer, checkpoint=True
+                mentions_df, gazetteer,
+                checkpoint=(
+                    not committed("links") and not committed("nodes")
+                ),
             )
             for stage, df in (("links", links_df), ("nodes", nodes_df)):
                 if not committed(stage):
